@@ -1,0 +1,34 @@
+"""Test harness: force JAX onto an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; all sharding/collective logic
+is exercised on XLA's host platform with 8 virtual devices (the pattern
+recommended for testing jax.sharding code without a pod slice). Must run
+before any JAX backend initialization, hence module-level in conftest.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    return jax.make_mesh((8,), ("data",))
+
+
+def random_dna(rng, n, alphabet=b"ACGT"):
+    return rng.choice(np.frombuffer(alphabet, np.uint8), size=n).tobytes()
