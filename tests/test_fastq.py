@@ -1,0 +1,78 @@
+import gzip
+import io
+
+import pytest
+
+from mini_parallel_tpu.io import fastq
+
+
+@pytest.fixture
+def fq(tmp_path):
+    reads = [b"ACGT" * 10, b"TTTT" * 5, b"ACGTACG", b"GGGCCC"]
+    path = str(tmp_path / "sample.fastq")
+    fastq.write_fastq(path, reads)
+    return path, reads
+
+
+@pytest.fixture
+def fqgz(tmp_path):
+    reads = [("ACGT" * (i + 1)).encode() for i in range(25)]
+    path = str(tmp_path / "sample.fastq.gz")
+    fastq.write_fastq(path, reads)
+    return path, reads
+
+
+def test_iter_chunks_plain(fq):
+    path, reads = fq
+    chunks = list(fastq.iter_read_chunks(path, chunk_size_reads=3))
+    assert [len(c) for c in chunks] == [3, 1]  # final partial chunk kept
+    assert [r for c in chunks for r in c] == reads
+
+
+def test_iter_chunks_gz(fqgz):
+    path, reads = fqgz
+    got = [r for c in fastq.iter_read_chunks(path, 10) for r in c]
+    assert got == reads
+
+
+def test_zcat_engine_parity(fqgz):
+    path, reads = fqgz
+    via_zcat = [r for c in fastq.iter_read_chunks(path, 7, engine="zcat") for r in c]
+    via_py = [r for c in fastq.iter_read_chunks(path, 7, engine="python") for r in c]
+    assert via_zcat == via_py == reads
+
+
+def test_count_bases_and_reads(fqgz):
+    path, reads = fqgz
+    assert fastq.count_bases(path, 8) == sum(len(r) for r in reads)
+    assert fastq.count_reads(path, 8) == len(reads)
+
+
+def test_count_lines(fq, fqgz):
+    # 4 lines per record — linecount.rs parity
+    assert fastq.count_lines(fq[0]) == 4 * len(fq[1])
+    assert fastq.count_lines(fqgz[0]) == 4 * len(fqgz[1])
+
+
+def test_count_lines_stdin():
+    assert fastq.count_lines_stdin(io.BytesIO(b"a\nb\nc\n")) == 3
+
+
+def test_sequence_line_selection(tmp_path):
+    # Hand-built FASTQ: only line 2 of each record is a read, even when
+    # header/quality lines look like DNA.
+    path = str(tmp_path / "tricky.fastq")
+    with open(path, "w") as f:
+        f.write("@ACGT\nAAAA\n+\nACGT\n@r2\nCCCC\n+\nIIII\n")
+    got = [r for c in fastq.iter_read_chunks(path, 10) for r in c]
+    assert got == [b"AAAA", b"CCCC"]
+
+
+def test_truncated_gz_raises(tmp_path):
+    # Corrupt gzip: errors surface (after tolerance) rather than silently EOF.
+    path = str(tmp_path / "bad.fastq.gz")
+    blob = gzip.compress(b"@r\nACGT\n+\nIIII\n" * 100)
+    with open(path, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    with pytest.raises((IOError, EOFError)):
+        list(fastq.iter_read_chunks(path, 10))

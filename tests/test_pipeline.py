@@ -1,0 +1,185 @@
+"""End-to-end pipeline tests: engine + orchestrator + checkpoint + CLI,
+on tiny FASTQ fixtures, validated against the bit-exact reference emulation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mini_parallel_tpu.io import fastq
+from mini_parallel_tpu.models.alignment import AlignmentEngine
+from mini_parallel_tpu.models.wgs import process_full_wgs_dataset
+from mini_parallel_tpu.ops import kadane, sw
+from mini_parallel_tpu.utils.checkpoint import CheckpointState, deterministic_run_id
+from mini_parallel_tpu.utils.config import Config
+from tests.conftest import random_dna
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    return Config(
+        wgs_data_dir=str(tmp_path), sample_id="TEST", lanes=2, reads_per_lane=1,
+        chunk_size_reads=5, read_pad=64,
+    )
+
+
+def make_lane(tmp_path, name, reads):
+    path = str(tmp_path / name)
+    fastq.write_fastq(path, reads)
+    return path
+
+
+def test_direct_mode_parity_vs_reference():
+    eng = AlignmentEngine(Config(chunk_size_reads=10), mode="kadane")
+    for a, b in [("ACGT", "ACGA"), ("AAAA", "TTTT"), ("", "ACGT"), ("A", "A")]:
+        assert eng.score_strings(a, b) == kadane.reference_align_score(a, b)
+
+
+def test_direct_mode_sw():
+    eng = AlignmentEngine(Config(chunk_size_reads=10), mode="sw")
+    assert eng.score_strings("ACGT", "ACGT") == 8
+    assert eng.score_strings("ACGTT", "ACGAT") == sw.sw_score_numpy("ACGTT", "ACGAT")
+
+
+def test_self_align_file_parity(tmp_path, rng, cfg):
+    # 12 reads of 100bp, chunks of 5 -> chunks of sizes 5,5,2;
+    # concat lengths 500,500,200 -> last chunk <1000 scores 0 (aligner.rs:366).
+    reads = [random_dna(rng, 100) for _ in range(12)]
+    path = make_lane(tmp_path, "TEST_L001_R1_001.fastq.gz", reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+    res = eng.self_align_file(path)
+    # per-chunk reference score: gpu_align(concat, concat)
+    expect = 0
+    for i in range(0, 12, 5):
+        concat = b"".join(reads[i : i + 5])
+        if len(concat) >= 1000:
+            expect += kadane.reference_align_score(concat, concat)
+    assert res.score == expect
+    assert res.total_reads == 12
+    assert res.total_bases == 1200
+    assert res.chunks == 3
+
+
+def test_self_align_file_large_chunks_score_two_each(tmp_path, rng, cfg):
+    reads = [random_dna(rng, 300) for _ in range(10)]  # concat 1500 >= 1000
+    path = make_lane(tmp_path, "big.fastq.gz", reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+    res = eng.self_align_file(path)
+    assert res.chunks == 2 and res.score == 4  # 2 per qualifying chunk
+
+
+def test_self_align_sw_mode(tmp_path, rng, cfg):
+    reads = [random_dna(rng, 50) for _ in range(4)]
+    path = make_lane(tmp_path, "sw.fastq.gz", reads)
+    eng = AlignmentEngine(cfg, mode="sw")
+    res = eng.self_align_file(path)
+    assert res.score == sum(2 * len(r) for r in reads)  # self-SW = 2*len
+
+
+def test_pair_align_files_cross_product_parity(tmp_path, rng, cfg):
+    r1 = [random_dna(rng, 40) for _ in range(7)]
+    r2 = [random_dna(rng, 40) for _ in range(6)]
+    f1 = make_lane(tmp_path, "p1.fastq.gz", r1)
+    f2 = make_lane(tmp_path, "p2.fastq.gz", r2)
+    eng = AlignmentEngine(cfg, mode="kadane")
+    res = eng.pair_align_files(f1, f2)
+    expect = 0  # aligner.rs:390-398 cross product of chunks (size 5)
+    chunks1 = [r1[:5], r1[5:]]
+    chunks2 = [r2[:5], r2[5:]]
+    for c1 in chunks1:
+        for c2 in chunks2:
+            expect += kadane.reference_align_score(b"".join(c1), b"".join(c2))
+    assert res.score == expect
+    assert res.bases1 == sum(map(len, r1)) and res.bases2 == sum(map(len, r2))
+
+
+def test_full_wgs_with_checkpoint_resume(tmp_path, rng, cfg, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    reads = [random_dna(rng, 300) for _ in range(10)]
+    for lane in (1, 2):
+        make_lane(tmp_path, f"TEST_L{lane:03d}_R1_001.fastq.gz", reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+    out = []
+    results = process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
+                                       echo=out.append)
+    assert len(results) == 2
+    assert all(r.score == 4 for r in results)
+
+    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(), "kadane")
+    state = CheckpointState.load(run_id, str(tmp_path))
+    assert state is not None and state.completed_files == 2
+
+    # resume: both files skipped, results reconstructed from checkpoint
+    out2 = []
+    results2 = process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
+                                        echo=out2.append)
+    assert len(results2) == 2 and all(r.score == 4 for r in results2)
+    assert sum("Skipping file" in line for line in out2) == 2
+
+    # benchmark JSON written with real totals
+    legacy = json.loads((tmp_path / "benchmark_results.json").read_text())
+    assert legacy[-1]["total_reads"] == 20
+    assert legacy[-1]["total_bases"] == 6000
+    assert legacy[-1]["total_score"] == 8
+
+
+def test_full_wgs_failure_saves_partial_checkpoint(tmp_path, cfg, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    make_lane(tmp_path, "TEST_L001_R1_001.fastq.gz", [random_dna(rng, 300)] * 10)
+    # second lane file missing -> failure after first file completes
+    eng = AlignmentEngine(cfg, mode="kadane")
+    with pytest.raises(RuntimeError, match="File 2 failed"):
+        process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
+                                 echo=lambda *_: None)
+    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(), "kadane")
+    state = CheckpointState.load(run_id, str(tmp_path))
+    assert state is not None
+    assert state.is_file_completed(0) and not state.is_file_completed(1)
+
+
+def test_cli_direct_mode(capsys):
+    from mini_parallel_tpu.cli import main
+
+    rc = main(["-1", "ACGT", "-2", "ACGA", "--allow-cpu"])
+    assert rc == 0
+    assert "Alignment score: 2" in capsys.readouterr().out
+
+
+def test_cli_direct_sw_mode(capsys):
+    from mini_parallel_tpu.cli import main
+
+    rc = main(["-1", "ACGT", "-2", "ACGT", "--mode", "sw", "--allow-cpu"])
+    assert rc == 0
+    assert "Alignment score: 8" in capsys.readouterr().out
+
+
+def test_cli_test_wgs(tmp_path, rng, monkeypatch, capsys):
+    reads = [random_dna(rng, 50) for _ in range(3)]
+    for r in (1, 2):
+        fastq.write_fastq(str(tmp_path / f"TEST_L001_R{r}_001.fastq.gz"), reads)
+    monkeypatch.setenv("WGS_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("WGS_SAMPLE_ID", "TEST")
+    monkeypatch.setenv("GPU_CHUNK_SIZE_READS", "10")
+    from mini_parallel_tpu.cli import main
+
+    rc = main(["--test-wgs", "--allow-cpu"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.count("150 bases") == 2
+
+
+def test_cli_pair_files(tmp_path, rng, monkeypatch, capsys):
+    f1 = make_lane(tmp_path, "a.fastq.gz", [random_dna(rng, 30)] * 4)
+    f2 = make_lane(tmp_path, "b.fastq.gz", [random_dna(rng, 30)] * 4)
+    monkeypatch.setenv("GPU_CHUNK_SIZE_READS", "10")
+    from mini_parallel_tpu.cli import main
+
+    rc = main(["--files", "-1", f1, "-2", f2, "--allow-cpu"])
+    assert rc == 0
+    assert "Alignment score:" in capsys.readouterr().out
+
+
+def test_cli_no_args_prints_help(capsys):
+    from mini_parallel_tpu.cli import main
+
+    assert main([]) == 2
