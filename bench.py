@@ -1,0 +1,86 @@
+"""Headline benchmark: batched Smith-Waterman on one chip.
+
+Measures the flagship kernel on BASELINE.json config 2 — "Batched SW: 10k
+reads x 150bp" — and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+value: DP throughput in GCUPS (giga cell-updates/sec) for true
+Smith-Waterman over the 10,000-pair batch (10k x 150 x 150 = 225e6 cells).
+
+vs_baseline: the reference never published throughput (SURVEY.md §6); its
+only stated performance target is "sub-200 ms processing" per chunk
+(improvements.txt:61), which it did not achieve. vs_baseline is therefore
+(200 ms / measured batch latency) on the same 10k-read unit of work — >1.0
+means faster than the reference's aspirational target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+READS = 10_000
+READ_LEN = 150
+PAD = 160
+REFERENCE_TARGET_MS = 200.0  # improvements.txt:61 (aspirational, not achieved)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.ops import encode, sw
+
+    rng = np.random.default_rng(0)
+    base = np.frombuffer(b"ACGT", np.uint8)
+    reads_a = rng.choice(base, size=(READS, READ_LEN)).astype(np.uint8)
+    reads_b = rng.choice(base, size=(READS, READ_LEN)).astype(np.uint8)
+    arr_a = np.full((READS, PAD), encode.PAD_A, np.uint8)
+    arr_b = np.full((READS, PAD), encode.PAD_B, np.uint8)
+    arr_a[:, :READ_LEN] = reads_a
+    arr_b[:, :READ_LEN] = reads_b
+
+    a = jnp.asarray(arr_a)
+    b = jnp.asarray(arr_b)
+
+    # warm-up / compile (np.asarray forces a real device fetch; on the axon
+    # tunnel block_until_ready returns before execution completes)
+    np.asarray(sw.sw_score_batch(a, b))
+
+    def timed(iters: int) -> float:
+        t0 = time.perf_counter()
+        outs = [sw.sw_score_batch(a, b) for _ in range(iters)]
+        np.asarray(outs[-1])  # device executes serially; one fetch drains all
+        return time.perf_counter() - t0
+
+    # slope method: per-batch compute time net of the fixed host<->device
+    # roundtrip latency (which dominates small timings through the tunnel)
+    lo, hi = 2, 12
+    t_lo, t_hi = timed(lo), timed(hi)
+    dt = max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+    cells = READS * READ_LEN * READ_LEN
+    gcups = cells / dt / 1e9
+    batch_ms = dt * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "batched_sw_10k_reads_150bp",
+                "value": round(gcups, 3),
+                "unit": "GCUPS",
+                "vs_baseline": round(REFERENCE_TARGET_MS / batch_ms, 3),
+                "extra": {
+                    "batch_latency_ms": round(batch_ms, 3),
+                    "reads_per_s": round(READS / dt),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -189,7 +189,9 @@ def kadane_summary(scores: jnp.ndarray, valid: jnp.ndarray) -> KadaneSummary:
         return (cur, best, pref, run), None
 
     L = s.shape[-1]
-    zeros = jnp.zeros(s.shape[:-1], dtype=jnp.int32)
+    # derive the init from the data (not a fresh constant) so that under
+    # shard_map the carry keeps the same varying-axis type as the operand
+    zeros = s[..., 0] * 0
     (cur, best, pref, _run), _ = jax.lax.scan(
         step, (zeros, zeros, zeros, zeros), jnp.moveaxis(s, -1, 0), length=L
     )

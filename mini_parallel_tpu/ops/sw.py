@@ -106,9 +106,12 @@ def sw_score_batch(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
         best = jnp.maximum(best, jnp.max(cand, axis=1))
         return (cand, d1, best), None
 
-    z = jnp.zeros((B, M), jnp.int32)
+    # derive inits from the operand so the carry keeps the same varying-axis
+    # type under shard_map (a fresh constant would be "unvarying" and trip
+    # scan's carry type check)
+    z = a * 0
     (_, _, best), _ = jax.lax.scan(
-        step, (z, z, jnp.zeros((B,), jnp.int32)), jnp.arange(M + N - 1)
+        step, (z, z, a[:, 0] * 0), jnp.arange(M + N - 1)
     )
     return best
 

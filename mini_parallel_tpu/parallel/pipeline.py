@@ -1,0 +1,123 @@
+"""The sharded WGS step: one jitted multi-chip program per batch of reads.
+
+This is the framework's "training step" analogue — the unit the driver
+dry-runs over an N-device mesh. One call consumes a (B, L) read batch sharded
+over the ``data`` axis and produces globally-merged scalars:
+
+- parity alignment score sum (reference --full-wgs accounting),
+- true-SW score sum + global max (mate-pair r1 x r2 alignment),
+- complementarity stats (README.md:15-16: % of pairs not perfectly
+  complementary), and
+- a base-composition histogram,
+
+all merged with psum/pmax over ICI. A separate sequence-parallel entry scores
+one long sequence sharded over the ``seq`` axis via the Kadane monoid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mini_parallel_tpu.ops import encode, kadane, sw
+from mini_parallel_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+from mini_parallel_tpu.parallel import collectives
+
+
+def make_wgs_step(mesh: Mesh, data_axis: str = DATA_AXIS):
+    """Build the jitted sharded step: (reads_a, reads_b, len_a, len_b) -> stats.
+
+    Inputs are (B, L) uint8 + (B,) int32, B divisible by the data-axis size.
+    reads_a must be padded with encode.PAD_A, reads_b with encode.PAD_B.
+    """
+
+    def local_step(reads_a, reads_b, len_a, len_b):
+        parity = kadane.kadane_score_batch(reads_a, reads_b, len_a, len_b)
+        sw_scores = sw.sw_score_batch(reads_a, reads_b)
+
+        # complementarity: r1 vs revcomp(r2); perfectly complementary pairs
+        # align end-to-end with all matches => SW == 2*min(len)
+        rc_b = jnp.where(
+            reads_b == encode.PAD_B, encode.PAD_B, encode.complement_ascii(reads_b)
+        )
+        # reverse only the valid prefix: flip then roll each row by its pad
+        flipped = jnp.flip(rc_b, axis=1)
+        L = reads_b.shape[1]
+        shift = (len_b - L) % jnp.int32(L)
+
+        def roll_row(row, s):
+            return jnp.roll(row, s)
+
+        rc_b = jax.vmap(roll_row)(flipped, shift)
+        comp_scores = sw.sw_score_batch(reads_a, rc_b)
+        minlen = jnp.minimum(len_a, len_b)
+        valid_pair = minlen > 0
+        perfect = (comp_scores == 2 * minlen) & valid_pair
+
+        # base-composition histogram over valid positions of reads_a
+        codes = encode.ascii_to_code(reads_a)
+        pos = jnp.arange(reads_a.shape[1], dtype=jnp.int32)[None, :]
+        vmask = pos < len_a[:, None]
+        hist = jnp.zeros((5,), jnp.int32)
+        one_hot = (codes[..., None] == jnp.arange(5)[None, None, :]) & vmask[..., None]
+        hist = one_hot.sum(axis=(0, 1), dtype=jnp.int32)
+
+        stats = {
+            "parity_score": collectives.merge_scores(parity.sum(), data_axis),
+            "sw_score_sum": collectives.merge_scores(sw_scores.sum(), data_axis),
+            "sw_score_max": collectives.merge_max(sw_scores.max(), data_axis),
+            "pairs": collectives.merge_scores(valid_pair.sum(dtype=jnp.int32), data_axis),
+            "complementary_pairs": collectives.merge_scores(
+                perfect.sum(dtype=jnp.int32), data_axis
+            ),
+            "base_hist": collectives.merge_histogram(hist, data_axis),
+            "bases": collectives.merge_scores(len_a.sum(), data_axis),
+        }
+        return stats
+
+    spec2 = P(data_axis, None)
+    spec1 = P(data_axis)
+    rep = P()
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec2, spec2, spec1, spec1),
+        out_specs={
+            "parity_score": rep, "sw_score_sum": rep, "sw_score_max": rep,
+            "pairs": rep, "complementary_pairs": rep,
+            "base_hist": rep, "bases": rep,
+        },
+    )
+    return jax.jit(sharded)
+
+
+def make_seq_parallel_kadane(mesh: Mesh, seq_axis: str = SEQ_AXIS):
+    """Exact contiguous Kadane over a (B, L) score matrix sharded on L.
+
+    The long-sequence path: L is split into contiguous blocks across the seq
+    axis; each shard summarizes locally and 4 scalars/row cross the wire.
+    """
+
+    def local(scores, valid):
+        return collectives.sequence_parallel_kadane(scores, valid, seq_axis)
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, seq_axis), P(None, seq_axis)),
+        out_specs=P(),
+    )
+    return jax.jit(sharded)
+
+
+def shard_batch(mesh: Mesh, arrays, data_axis: str = DATA_AXIS):
+    """Place host arrays onto the mesh with (data, ...) sharding."""
+    out = []
+    for a in arrays:
+        spec = P(data_axis, *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)
