@@ -32,7 +32,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from mini_parallel_tpu.ops import encode, sw
+    from mini_parallel_tpu.ops import encode
+    from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
 
     rng = np.random.default_rng(0)
     base = np.frombuffer(b"ACGT", np.uint8)
@@ -48,11 +49,11 @@ def main() -> None:
 
     # warm-up / compile (np.asarray forces a real device fetch; on the axon
     # tunnel block_until_ready returns before execution completes)
-    np.asarray(sw.sw_score_batch(a, b))
+    np.asarray(sw_score_batch_best(a, b))
 
     def timed(iters: int) -> float:
         t0 = time.perf_counter()
-        outs = [sw.sw_score_batch(a, b) for _ in range(iters)]
+        outs = [sw_score_batch_best(a, b) for _ in range(iters)]
         np.asarray(outs[-1])  # device executes serially; one fetch drains all
         return time.perf_counter() - t0
 

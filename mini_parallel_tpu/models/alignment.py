@@ -28,6 +28,7 @@ import numpy as np
 
 from mini_parallel_tpu.io import fastq
 from mini_parallel_tpu.ops import encode, kadane, sw
+from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
 from mini_parallel_tpu.utils.config import Config
 
 MIN_SELF_CHUNK_BASES = 1000  # aligner.rs:366-368: skip chunks < 1000 bases
@@ -87,7 +88,7 @@ class AlignmentEngine:
         arr_b, len_b = encode.pad_batch(reads_b, pad_to=pad, pad_value=int(encode.PAD_B))
         a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
         if self.mode == "sw":
-            out = sw.sw_score_batch(a, b)
+            out = sw_score_batch_best(a, b)
         elif self.mode == "contiguous":
             out = kadane.kadane_contiguous_batch(a, b, jnp.asarray(len_a), jnp.asarray(len_b))
         else:

@@ -24,6 +24,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mini_parallel_tpu.ops import encode, kadane, sw
+from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
 from mini_parallel_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
 from mini_parallel_tpu.parallel import collectives
 
@@ -37,7 +38,7 @@ def make_wgs_step(mesh: Mesh, data_axis: str = DATA_AXIS):
 
     def local_step(reads_a, reads_b, len_a, len_b):
         parity = kadane.kadane_score_batch(reads_a, reads_b, len_a, len_b)
-        sw_scores = sw.sw_score_batch(reads_a, reads_b)
+        sw_scores = sw_score_batch_best(reads_a, reads_b)
 
         # complementarity: r1 vs revcomp(r2); perfectly complementary pairs
         # align end-to-end with all matches => SW == 2*min(len)
@@ -53,7 +54,7 @@ def make_wgs_step(mesh: Mesh, data_axis: str = DATA_AXIS):
             return jnp.roll(row, s)
 
         rc_b = jax.vmap(roll_row)(flipped, shift)
-        comp_scores = sw.sw_score_batch(reads_a, rc_b)
+        comp_scores = sw_score_batch_best(reads_a, rc_b)
         minlen = jnp.minimum(len_a, len_b)
         valid_pair = minlen > 0
         perfect = (comp_scores == 2 * minlen) & valid_pair

@@ -1,0 +1,54 @@
+"""Pallas SW kernel vs the pure-JAX scan and the NumPy golden (interpret mode
+on CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mini_parallel_tpu.ops import encode, sw
+from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_pallas
+from tests.conftest import random_dna
+
+
+def _batch(rng, B, max_a=80, max_b=60, pad_a=96, pad_b=64):
+    ra = [random_dna(rng, int(rng.integers(1, max_a))) for _ in range(B)]
+    rb = [random_dna(rng, int(rng.integers(1, max_b))) for _ in range(B)]
+    arr_a, _ = encode.pad_batch(ra, pad_to=pad_a, pad_value=int(encode.PAD_A))
+    arr_b, _ = encode.pad_batch(rb, pad_to=pad_b, pad_value=int(encode.PAD_B))
+    return ra, rb, jnp.asarray(arr_a), jnp.asarray(arr_b)
+
+
+def test_pallas_matches_golden_small(rng):
+    ra, rb, a, b = _batch(rng, 8)
+    got = np.asarray(sw_score_batch_pallas(a, b))
+    for i in range(8):
+        assert got[i] == sw.sw_score_numpy(ra[i], rb[i]), i
+
+
+def test_pallas_matches_jax_scan(rng):
+    ra, rb, a, b = _batch(rng, 32, max_a=150, max_b=150, pad_a=160, pad_b=160)
+    got = np.asarray(sw_score_batch_pallas(a, b))
+    ref = np.asarray(sw.sw_score_batch(a, b))
+    assert (got == ref).all()
+
+
+def test_pallas_identical_strings():
+    arr, _ = encode.pad_batch([b"ACGT" * 20], pad_to=96, pad_value=int(encode.PAD_A))
+    brr, _ = encode.pad_batch([b"ACGT" * 20], pad_to=96, pad_value=int(encode.PAD_B))
+    assert int(sw_score_batch_pallas(jnp.asarray(arr), jnp.asarray(brr))[0]) == 160
+
+
+def test_pallas_batch_padding_lanes(rng):
+    # B not a multiple of the block: padded lanes must not pollute results
+    ra, rb, a, b = _batch(rng, 3)
+    got = np.asarray(sw_score_batch_pallas(a, b))
+    assert got.shape == (3,)
+    for i in range(3):
+        assert got[i] == sw.sw_score_numpy(ra[i], rb[i])
+
+
+def test_pallas_empty_and_disjoint():
+    arr_a, _ = encode.pad_batch([b"", b"AAAA"], pad_to=16, pad_value=int(encode.PAD_A))
+    arr_b, _ = encode.pad_batch([b"ACGT", b"TTTT"], pad_to=16, pad_value=int(encode.PAD_B))
+    got = np.asarray(sw_score_batch_pallas(jnp.asarray(arr_a), jnp.asarray(arr_b)))
+    assert got.tolist() == [0, 0]
