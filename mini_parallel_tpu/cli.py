@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("kadane", "sw", "contiguous"), default=None,
                    help="scoring mode: kadane=reference parity (default), "
                    "sw=true Smith-Waterman, contiguous=exact contiguous Kadane")
+    p.add_argument("--kmer", metavar="FASTQ",
+                   help="count k-mers in a FASTQ(.gz) file (k_mer workload)")
+    p.add_argument("-k", "--kmer-size", type=int, default=21,
+                   help="k for --kmer (default 21)")
+    p.add_argument("--canonical", action="store_true",
+                   help="fold k-mers with their reverse complements")
     p.add_argument("--allow-cpu", action="store_true",
                    help="proceed without an accelerator (reference exits; "
                    "main.rs:76-79)")
@@ -127,6 +133,23 @@ def main(argv: list[str] | None = None, echo=print) -> int:
                 echo(f"[fail] {name}: {e}")
                 ok = False
         return 0 if ok else 1
+
+    if args.kmer:
+        _require_accelerator(args.allow_cpu, echo)
+        from mini_parallel_tpu.models.kmer_model import KmerEngine
+
+        eng = KmerEngine(cfg, k=args.kmer_size, canonical=args.canonical)
+        try:
+            res = eng.count_file(args.kmer, progress=echo)
+        except (OSError, IOError) as e:
+            echo(f"ERROR: {e}")
+            return 1
+        echo(f"Total {res.k}-mers: {res.total_kmers}")
+        echo(f"Distinct {res.k}-mers: {res.distinct_kmers}")
+        echo(f"Reads: {res.total_reads}, time: {res.seconds:.2f} s")
+        for s, c in res.top(10):
+            echo(f"  {s}  {c}")
+        return 0
 
     if args.files:  # main.rs:170-182
         if not (args.seq1 and args.seq2):

@@ -1,0 +1,92 @@
+"""k-mer counting: device path vs pure-Python golden Counter."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mini_parallel_tpu.io import fastq
+from mini_parallel_tpu.models.kmer_model import KmerEngine
+from mini_parallel_tpu.ops import encode, kmer
+from mini_parallel_tpu.utils.config import Config
+from tests.conftest import random_dna
+
+
+def _device_counter(reads, k, canonical=False, pad=64):
+    arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
+    codes = encode.ascii_to_code(jnp.asarray(arr))
+    hi, lo, counts = kmer.unique_counts_batch(
+        codes, jnp.asarray(lens), k=k, canonical=canonical
+    )
+    hi, lo, counts = np.asarray(hi), np.asarray(lo), np.asarray(counts)
+    out = {}
+    kmer.merge_device_counts(out, hi, lo, counts)
+    return {kmer.key_to_string(h, l, k): c for (h, l), c in out.items()}
+
+
+def test_pack_roundtrip_small():
+    reads = [b"ACGTACGTAC"]
+    got = _device_counter(reads, k=4, pad=16)
+    golden = kmer.count_kmers_python(reads, k=4)
+    assert got == dict(golden)
+    assert got["ACGT"] == 2
+
+
+def test_exact_counts_k21_random(rng):
+    reads = [random_dna(rng, int(rng.integers(21, 60))) for _ in range(40)]
+    got = _device_counter(reads, k=21)
+    golden = kmer.count_kmers_python(reads, k=21)
+    assert got == dict(golden)
+    assert sum(got.values()) == sum(len(r) - 20 for r in reads)
+
+
+def test_n_bases_masked(rng):
+    reads = [b"ACGTNACGTACGT", b"NNNNNNNNNNNNN", b"ACGTACGTACGTA"]
+    got = _device_counter(reads, k=5, pad=16)
+    golden = kmer.count_kmers_python(reads, k=5)
+    assert got == dict(golden)
+
+
+def test_short_reads_no_windows():
+    got = _device_counter([b"ACG", b"A"], k=5, pad=16)
+    assert got == {}
+
+
+def test_canonical_folding(rng):
+    reads = [random_dna(rng, 40) for _ in range(10)]
+    got = _device_counter(reads, k=7, canonical=True)
+    golden = kmer.count_kmers_python(reads, k=7, canonical=True)
+    assert got == dict(golden)
+
+
+def test_canonical_counts_strand_neutral():
+    fwd = b"ACGTACG"
+    rc = b"CGTACGT"  # revcomp of ACGTACG
+    got = _device_counter([fwd, rc], k=7, canonical=True, pad=16)
+    assert got == {"ACGTACG": 2}
+
+
+def test_kmer_engine_file(tmp_path, rng):
+    reads = [random_dna(rng, 50) for _ in range(30)]
+    path = str(tmp_path / "lane.fastq.gz")
+    fastq.write_fastq(path, reads)
+    eng = KmerEngine(Config(chunk_size_reads=7, read_pad=64), k=21)
+    res = eng.count_file(path)
+    golden = kmer.count_kmers_python(reads, k=21)
+    assert res.total_kmers == sum(golden.values())
+    assert res.distinct_kmers == len(golden)
+    assert res.total_reads == 30
+    as_str = {kmer.key_to_string(h, l, 21): c for (h, l), c in res.counts.items()}
+    assert as_str == dict(golden)
+    top = res.top(3)
+    assert all(isinstance(s, str) and len(s) == 21 for s, _ in top)
+
+
+def test_key_to_string_roundtrip(rng):
+    reads = [random_dna(rng, 30)]
+    arr, lens = encode.pad_batch(reads, pad_to=32, pad_value=int(encode.PAD_A))
+    codes = encode.ascii_to_code(jnp.asarray(arr))
+    hi, lo, ok = kmer.pack_kmers(codes, jnp.asarray(lens), k=21)
+    hi, lo, ok = np.asarray(hi), np.asarray(lo), np.asarray(ok)
+    for j in range(ok.shape[1]):
+        if ok[0, j]:
+            assert kmer.key_to_string(hi[0, j], lo[0, j], 21) == reads[0][j : j + 21].decode()
