@@ -28,9 +28,24 @@ PAD = 160
 REFERENCE_TARGET_MS = 200.0  # improvements.txt:61 (aspirational, not achieved)
 
 
+def _enable_compile_cache() -> None:
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "MPT_CACHE_DIR", os.path.expanduser("~/.cache/mini_parallel_tpu/jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from mini_parallel_tpu.ops import encode
     from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best

@@ -62,6 +62,19 @@ def iter_read_chunks(
     Mirrors ``process_fastq_file_in_chunks`` (aligner.rs:107-178) as a
     generator instead of a callback, which composes with prefetching.
     """
+    if engine in ("auto", "native"):
+        try:
+            from mini_parallel_tpu.native import fastq_native
+
+            yield from fastq_native.iter_reads_native(path, chunk_size_reads)
+            return
+        except IOError:
+            raise
+        except Exception:
+            if engine == "native":
+                raise
+            # native plane unavailable: fall through to the Python path
+
     chunk: list[bytes] = []
     line_count = 0
     total_reads = 0

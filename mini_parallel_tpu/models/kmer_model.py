@@ -40,14 +40,20 @@ class KmerEngine:
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         self.k = k
         self.canonical = canonical
+        self._store_factory = None
         try:
-            from mini_parallel_tpu.native import kmer_store
+            from mini_parallel_tpu.native import available, kmer_store
 
-            self._store_factory = kmer_store.KmerStore
-        except ImportError:  # native plane not built: Python dict fallback
-            self._store_factory = None
+            if available():
+                self._store_factory = kmer_store.KmerStore
+        except Exception:  # native plane not built: Python dict fallback
+            pass
 
-    def count_reads_batch(self, reads: list[bytes], agg: dict) -> tuple[int, int]:
+    def make_store(self):
+        """Native hash store when built, else a plain dict."""
+        return self._store_factory() if self._store_factory else {}
+
+    def count_reads_batch(self, reads: list[bytes], agg) -> tuple[int, int]:
         """Count one batch on device, merge into ``agg``. Returns
         (n_kmers_in_batch, n_reads)."""
         pad = max(
@@ -60,20 +66,23 @@ class KmerEngine:
             codes, jnp.asarray(lens), k=self.k, canonical=self.canonical
         )
         hi, lo, counts = np.asarray(hi), np.asarray(lo), np.asarray(counts)
-        kmer.merge_device_counts(agg, hi, lo, counts)
+        if isinstance(agg, dict):
+            kmer.merge_device_counts(agg, hi, lo, counts)
+        else:  # native KmerStore: bulk merge in C++
+            agg.merge(hi, lo, counts)
         return int(counts.sum()), len(reads)
 
     def count_file(self, path: str, progress=None) -> KmerResult:
         res = KmerResult(file_path=path, k=self.k, canonical=self.canonical)
         t0 = time.perf_counter()
-        agg: dict = {}
+        agg = self.make_store()
         for chunk in fastq.iter_read_chunks(
             path, self.cfg.chunk_size_reads, progress=progress
         ):
             n_kmers, n_reads = self.count_reads_batch([bytes(r) for r in chunk], agg)
             res.total_kmers += n_kmers
             res.total_reads += n_reads
-        res.counts = agg
+        res.counts = agg if isinstance(agg, dict) else agg.items()
         res.distinct_kmers = len(agg)
         res.seconds = time.perf_counter() - t0
         return res

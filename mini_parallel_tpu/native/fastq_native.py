@@ -1,0 +1,103 @@
+"""ctypes bindings for the native FASTQ decoder (fastq_reader.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Iterator
+
+import numpy as np
+
+from mini_parallel_tpu.native import _ensure_built
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = _ensure_built("libfastq.so")
+    if path is None:
+        raise NativeUnavailable("libfastq.so not built (no C++ toolchain?)")
+    lib = ctypes.CDLL(path)
+    lib.fq_open.restype = ctypes.c_void_p
+    lib.fq_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.fq_next_chunk.restype = ctypes.c_int64
+    lib.fq_next_chunk.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fq_error.restype = ctypes.c_char_p
+    lib.fq_error.argtypes = [ctypes.c_void_p]
+    lib.fq_total_reads.restype = ctypes.c_int64
+    lib.fq_total_reads.argtypes = [ctypes.c_void_p]
+    lib.fq_line_count.restype = ctypes.c_int64
+    lib.fq_line_count.argtypes = [ctypes.c_void_p]
+    lib.fq_close.argtypes = [ctypes.c_void_p]
+    lib.fq_count_lines.restype = ctypes.c_int64
+    lib.fq_count_lines.argtypes = [ctypes.c_char_p]
+    _lib = lib
+    return lib
+
+
+def count_lines_native(path: str) -> int:
+    lib = _load()
+    n = lib.fq_count_lines(path.encode())
+    if n < 0:
+        raise IOError(f"native line count failed for {path}")
+    return int(n)
+
+
+def iter_read_chunks_native(
+    path: str, chunk_size_reads: int, avg_read_len_hint: int = 256
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (bytes, offsets) flat chunks: read i = bytes[offsets[i]:offsets[i+1]].
+
+    The gzip decode + record parse runs in a background C++ thread with one
+    chunk of readahead, overlapping host decode with device compute.
+    """
+    lib = _load()
+    h = lib.fq_open(path.encode(), chunk_size_reads)
+    if not h:
+        raise IOError(f"cannot open {path}")
+    bytes_cap = max(chunk_size_reads * avg_read_len_hint, 1 << 20)
+    try:
+        buf = np.empty(bytes_cap, np.uint8)
+        offs = np.empty(chunk_size_reads + 2, np.int64)
+        need_b = ctypes.c_int64()
+        need_r = ctypes.c_int64()
+        while True:
+            n = lib.fq_next_chunk(
+                h,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), offs.size,
+                ctypes.byref(need_b), ctypes.byref(need_r),
+            )
+            if n == 0:
+                return
+            if n == -1:
+                raise IOError(
+                    f"Error reading {path}: {lib.fq_error(h).decode(errors='replace')}"
+                )
+            if n == -2:  # grow buffers and retry
+                buf = np.empty(max(need_b.value, buf.size * 2), np.uint8)
+                offs = np.empty(max(need_r.value + 2, offs.size * 2), np.int64)
+                continue
+            n = int(n)
+            yield buf[: offs[n]].copy(), offs[: n + 1].copy()
+    finally:
+        lib.fq_close(h)
+
+
+def iter_reads_native(path: str, chunk_size_reads: int) -> Iterator[list[bytes]]:
+    """Chunked read lists (drop-in for io.fastq.iter_read_chunks)."""
+    for flat, offs in iter_read_chunks_native(path, chunk_size_reads):
+        data = flat.tobytes()
+        yield [data[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]

@@ -1,0 +1,275 @@
+// Native FASTQ(.gz) decoder + read batcher.
+//
+// C++ replacement for the reference's host data plane: the Rust streaming
+// reader with its spawned `zcat` child (smith_waterman/src/aligner.rs:107-178)
+// and the flate2-based `linecount` tool (tools/linecount.rs). Decodes gzip
+// in-process with zlib, parses 4-line FASTQ records (sequence = line 2 of
+// each record, aligner.rs:138), and batches reads into caller-provided flat
+// buffers (concatenated bytes + offsets) ready to be padded into device
+// tensors without further Python-side copying.
+//
+// A background decode thread keeps one chunk of readahead so gzip inflation
+// overlaps device compute — the double-buffering the reference attempted and
+// reverted ("MIMD approach ... reverted due to complexity",
+// improvements.txt:21,42).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+
+#include <zlib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr size_t kInflateBuf = 1 << 20;
+
+struct Chunk {
+  std::vector<uint8_t> bytes;    // concatenated read bytes
+  std::vector<int64_t> offsets;  // size n_reads+1; read i = [off[i], off[i+1])
+  bool final_chunk = false;
+  std::string error;
+};
+
+// Streaming line source over a plain or gzip file.
+class LineSource {
+ public:
+  explicit LineSource(const char* path) {
+    gz_ = gzopen(path, "rb");
+    if (gz_ == nullptr) {
+      error_ = std::string("cannot open ") + path;
+    }
+  }
+  ~LineSource() {
+    if (gz_ != nullptr) gzclose(gz_);
+  }
+
+  bool ok() const { return error_.empty(); }
+  const std::string& error() const { return error_; }
+  bool eof() const { return eof_ && pos_ >= buf_len_; }
+
+  // Returns false at EOF or error; line excludes the trailing \n / \r\n.
+  bool next_line(std::string* line) {
+    line->clear();
+    while (true) {
+      if (pos_ >= buf_len_) {
+        if (eof_) return !line->empty();
+        if (!fill()) return !line->empty();
+      }
+      const char* start = buf_.data() + pos_;
+      const char* nl = static_cast<const char*>(
+          memchr(start, '\n', buf_len_ - pos_));
+      if (nl == nullptr) {
+        line->append(start, buf_len_ - pos_);
+        pos_ = buf_len_;
+        continue;
+      }
+      size_t n = static_cast<size_t>(nl - start);
+      line->append(start, n);
+      pos_ += n + 1;
+      if (!line->empty() && line->back() == '\r') line->pop_back();
+      return true;
+    }
+  }
+
+ private:
+  bool fill() {
+    if (buf_.size() < kInflateBuf) buf_.resize(kInflateBuf);
+    int n = gzread(gz_, buf_.data(), static_cast<unsigned>(buf_.size()));
+    if (n < 0) {
+      int errnum = 0;
+      const char* msg = gzerror(gz_, &errnum);
+      error_ = std::string("gzread failed: ") + (msg ? msg : "?");
+      eof_ = true;
+      return false;
+    }
+    if (n == 0) {
+      // gzread returns 0 both at clean EOF and on a TRUNCATED stream; only
+      // gzerror distinguishes them (Z_BUF_ERROR = unexpected end of input)
+      int errnum = 0;
+      const char* msg = gzerror(gz_, &errnum);
+      if (errnum != Z_OK && errnum != Z_STREAM_END) {
+        error_ = std::string("gzip stream error: ") +
+                 (msg && *msg ? msg : "unexpected end of file");
+      }
+      eof_ = true;
+      return false;
+    }
+    buf_len_ = static_cast<size_t>(n);
+    pos_ = 0;
+    return true;
+  }
+
+  gzFile gz_ = nullptr;
+  std::vector<char> buf_;
+  size_t buf_len_ = 0;
+  size_t pos_ = 0;
+  bool eof_ = false;
+  std::string error_;
+};
+
+struct Reader {
+  std::unique_ptr<LineSource> src;
+  int64_t chunk_size_reads = 0;
+  int64_t line_count = 0;
+  int64_t total_reads = 0;
+
+  // readahead
+  std::thread worker;
+  std::mutex mu;
+  std::condition_variable cv_produce, cv_consume;
+  std::deque<std::unique_ptr<Chunk>> queue;
+  bool done = false, stop = false;
+  std::string error;
+
+  static constexpr size_t kMaxQueue = 2;
+
+  void run() {
+    auto chunk = std::make_unique<Chunk>();
+    chunk->offsets.push_back(0);
+    std::string line;
+    while (true) {
+      {
+        std::lock_guard<std::mutex> l(mu);
+        if (stop) return;
+      }
+      if (!src->ok()) {
+        std::lock_guard<std::mutex> l(mu);
+        error = src->error();
+        done = true;
+        cv_consume.notify_all();
+        return;
+      }
+      if (!src->next_line(&line)) {
+        if (!src->error().empty()) {
+          std::lock_guard<std::mutex> l(mu);
+          error = src->error();
+        }
+        break;
+      }
+      ++line_count;
+      if (line_count % 4 == 2) {  // sequence line (aligner.rs:138)
+        chunk->bytes.insert(chunk->bytes.end(), line.begin(), line.end());
+        chunk->offsets.push_back(static_cast<int64_t>(chunk->bytes.size()));
+        ++total_reads;
+        if (static_cast<int64_t>(chunk->offsets.size()) - 1 >=
+            chunk_size_reads) {
+          push(std::move(chunk));
+          chunk = std::make_unique<Chunk>();
+          chunk->offsets.push_back(0);
+        }
+      }
+    }
+    if (chunk->offsets.size() > 1) push(std::move(chunk));
+    std::lock_guard<std::mutex> l(mu);
+    done = true;
+    cv_consume.notify_all();
+  }
+
+  void push(std::unique_ptr<Chunk> c) {
+    std::unique_lock<std::mutex> l(mu);
+    cv_produce.wait(l, [&] { return queue.size() < kMaxQueue || stop; });
+    if (stop) return;
+    queue.push_back(std::move(c));
+    cv_consume.notify_one();
+  }
+
+  std::unique_ptr<Chunk> pop() {
+    std::unique_lock<std::mutex> l(mu);
+    cv_consume.wait(l, [&] { return !queue.empty() || done; });
+    if (queue.empty()) return nullptr;
+    auto c = std::move(queue.front());
+    queue.pop_front();
+    cv_produce.notify_one();
+    return c;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* fq_open(const char* path, int64_t chunk_size_reads) {
+  auto* r = new Reader();
+  r->src = std::make_unique<LineSource>(path);
+  r->chunk_size_reads = chunk_size_reads > 0 ? chunk_size_reads : 1;
+  if (!r->src->ok()) {
+    // keep the handle so fq_error can report; worker marks done immediately
+  }
+  r->worker = std::thread([r] { r->run(); });
+  return r;
+}
+
+// Copies the next chunk into caller buffers.
+// Returns: n_reads (>0), 0 at end-of-file, -1 error (see fq_error),
+// -2 caller buffers too small (then *needed_bytes/*needed_reads are set).
+int64_t fq_next_chunk(void* handle, uint8_t* bytes, int64_t bytes_cap,
+                      int64_t* offsets, int64_t offsets_cap,
+                      int64_t* needed_bytes, int64_t* needed_reads) {
+  auto* r = static_cast<Reader*>(handle);
+  auto c = r->pop();
+  if (c == nullptr) {
+    std::lock_guard<std::mutex> l(r->mu);
+    return r->error.empty() ? 0 : -1;
+  }
+  int64_t n_reads = static_cast<int64_t>(c->offsets.size()) - 1;
+  int64_t n_bytes = static_cast<int64_t>(c->bytes.size());
+  if (needed_bytes) *needed_bytes = n_bytes;
+  if (needed_reads) *needed_reads = n_reads;
+  if (n_bytes > bytes_cap || n_reads + 1 > offsets_cap) {
+    // put it back so the caller can retry with bigger buffers
+    std::lock_guard<std::mutex> l(r->mu);
+    r->queue.push_front(std::move(c));
+    return -2;
+  }
+  memcpy(bytes, c->bytes.data(), static_cast<size_t>(n_bytes));
+  memcpy(offsets, c->offsets.data(),
+         static_cast<size_t>((n_reads + 1) * sizeof(int64_t)));
+  return n_reads;
+}
+
+const char* fq_error(void* handle) {
+  auto* r = static_cast<Reader*>(handle);
+  std::lock_guard<std::mutex> l(r->mu);
+  return r->error.c_str();
+}
+
+int64_t fq_total_reads(void* handle) {
+  return static_cast<Reader*>(handle)->total_reads;
+}
+
+int64_t fq_line_count(void* handle) {
+  return static_cast<Reader*>(handle)->line_count;
+}
+
+void fq_close(void* handle) {
+  auto* r = static_cast<Reader*>(handle);
+  {
+    std::lock_guard<std::mutex> l(r->mu);
+    r->stop = true;
+    r->cv_produce.notify_all();
+  }
+  if (r->worker.joinable()) r->worker.join();
+  delete r;
+}
+
+// Standalone line counter — the `linecount` tool (tools/linecount.rs:6-30).
+int64_t fq_count_lines(const char* path) {
+  LineSource src(path);
+  if (!src.ok()) return -1;
+  std::string line;
+  int64_t n = 0;
+  while (src.next_line(&line)) ++n;
+  if (!src.error().empty()) return -1;
+  return n;
+}
+
+}  // extern "C"

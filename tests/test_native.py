@@ -1,0 +1,103 @@
+"""Native C++ data plane: parity with the Python FASTQ reader + kmer dict."""
+
+import numpy as np
+import pytest
+
+from mini_parallel_tpu.io import fastq
+from tests.conftest import random_dna
+
+native = pytest.importorskip("mini_parallel_tpu.native")
+if not native.available():
+    pytest.skip("native toolchain unavailable", allow_module_level=True)
+
+from mini_parallel_tpu.native import fastq_native, kmer_store  # noqa: E402
+
+
+@pytest.fixture
+def fqgz(tmp_path, rng):
+    reads = [random_dna(rng, int(rng.integers(10, 200))) for _ in range(123)]
+    path = str(tmp_path / "native.fastq.gz")
+    fastq.write_fastq(path, reads)
+    return path, reads
+
+
+def test_native_chunks_match_python(fqgz):
+    path, reads = fqgz
+    py = [r for c in fastq.iter_read_chunks(path, 17) for r in c]
+    nat = [r for c in fastq_native.iter_reads_native(path, 17) for r in c]
+    assert nat == py == reads
+
+
+def test_native_chunk_sizes(fqgz):
+    path, reads = fqgz
+    sizes = [len(c) for c in fastq_native.iter_reads_native(path, 50)]
+    assert sizes == [50, 50, 23]
+
+
+def test_native_flat_offsets(fqgz):
+    path, reads = fqgz
+    seen = []
+    for flat, offs in fastq_native.iter_read_chunks_native(path, 40):
+        data = flat.tobytes()
+        assert offs[0] == 0 and offs[-1] == len(data)
+        seen += [data[offs[i]:offs[i + 1]] for i in range(len(offs) - 1)]
+    assert seen == reads
+
+
+def test_native_plain_fastq(tmp_path, rng):
+    reads = [random_dna(rng, 30) for _ in range(5)]
+    path = str(tmp_path / "plain.fastq")
+    fastq.write_fastq(path, reads)  # zlib gzopen reads plain files too
+    nat = [r for c in fastq_native.iter_reads_native(path, 2) for r in c]
+    assert nat == reads
+
+
+def test_native_count_lines(fqgz):
+    path, reads = fqgz
+    assert fastq_native.count_lines_native(path) == 4 * len(reads)
+
+
+def test_native_missing_file():
+    with pytest.raises(IOError):
+        list(fastq_native.iter_reads_native("/nonexistent.fastq.gz", 10))
+
+
+def test_native_buffer_growth(tmp_path, rng):
+    # force the -2 grow-and-retry path with a tiny hint
+    reads = [random_dna(rng, 5000) for _ in range(10)]
+    path = str(tmp_path / "big.fastq.gz")
+    fastq.write_fastq(path, reads)
+    got = [
+        r
+        for c in fastq_native.iter_read_chunks_native(path, 4, avg_read_len_hint=8)
+        for r in [c[0].tobytes()[c[1][i]:c[1][i + 1]] for i in range(len(c[1]) - 1)]
+    ]
+    assert got == reads
+
+
+def test_kmer_store_merge_and_dump(rng):
+    ks = kmer_store.KmerStore(16)
+    hi = np.array([1, 2, 1, 3], np.int32)
+    lo = np.array([10, 20, 10, 30], np.int32)
+    ct = np.array([2, 5, 3, 0], np.int32)  # count 0 = padding, skipped
+    ks.merge(hi, lo, ct)
+    assert len(ks) == 2
+    assert ks.get(1, 10) == 5 and ks.get(2, 20) == 5 and ks.get(3, 30) == 0
+    assert ks.total() == 10
+    assert ks.items() == {(1, 10): 5, (2, 20): 5}
+
+
+def test_kmer_store_growth(rng):
+    ks = kmer_store.KmerStore(16)
+    n = 10_000
+    hi = rng.integers(0, 2**20, n).astype(np.int32)
+    lo = rng.integers(0, 2**20, n).astype(np.int32)
+    ct = np.ones(n, np.int32)
+    ks.merge(hi, lo, ct)
+    import collections
+
+    golden = collections.Counter(zip(hi.tolist(), lo.tolist()))
+    assert len(ks) == len(golden)
+    assert ks.total() == n
+    items = ks.items()
+    assert items == dict(golden)
