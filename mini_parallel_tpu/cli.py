@@ -57,6 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k for --kmer (default 21)")
     p.add_argument("--canonical", action="store_true",
                    help="fold k-mers with their reverse complements")
+    p.add_argument("--complementarity", action="store_true",
+                   help="direct+complementary mate-pair analysis of -1/-2 "
+                   "lane files (%% non-complementary metric)")
+    p.add_argument("--variant-prep", metavar="FASTQ",
+                   help="map reads to --reference, build pileup, emit "
+                   "candidate variant sites (variant_calling workload)")
+    p.add_argument("--reference", metavar="FASTA",
+                   help="reference FASTA(.gz) for --variant-prep")
+    p.add_argument("--vcf-out", metavar="PATH", default=None,
+                   help="write candidate sites as VCF (with --variant-prep)")
     p.add_argument("--allow-cpu", action="store_true",
                    help="proceed without an accelerator (reference exits; "
                    "main.rs:76-79)")
@@ -133,6 +143,57 @@ def main(argv: list[str] | None = None, echo=print) -> int:
                 echo(f"[fail] {name}: {e}")
                 ok = False
         return 0 if ok else 1
+
+    if args.complementarity:
+        if not (args.seq1 and args.seq2):
+            echo("ERROR: --complementarity requires -1 R1.fastq.gz -2 R2.fastq.gz")
+            return 2
+        _require_accelerator(args.allow_cpu, echo)
+        from mini_parallel_tpu.models.complementarity import ComplementarityEngine
+
+        ceng = ComplementarityEngine(cfg, mode=cfg.mode if args.mode else "sw")
+        try:
+            res = ceng.analyze_lane_pair(args.seq1, args.seq2, progress=echo)
+        except (OSError, IOError) as e:
+            echo(f"ERROR: {e}")
+            return 1
+        echo(f"Pairs: {res.pairs}")
+        echo(f"Direct score sum: {res.direct_score_sum}")
+        echo(f"Complementary score sum: {res.comp_score_sum}")
+        echo(f"Perfectly complementary: {res.perfect_pairs}")
+        echo(f"Non-complementary: {res.pct_non_complementary:.2f} %")
+        echo(f"Time: {res.seconds:.2f} s")
+        return 0
+
+    if args.variant_prep:
+        if not args.reference:
+            echo("ERROR: --variant-prep requires --reference FASTA")
+            return 2
+        _require_accelerator(args.allow_cpu, echo)
+        from mini_parallel_tpu.io import fasta
+        from mini_parallel_tpu.models.variant_prep import (
+            VariantPrepEngine,
+            write_candidates_vcf,
+        )
+
+        try:
+            ref = fasta.read_first_sequence(args.reference)
+            veng = VariantPrepEngine(ref, cfg)
+            res = veng.process_file(args.variant_prep, progress=echo)
+        except (OSError, IOError, ValueError) as e:
+            echo(f"ERROR: {e}")
+            return 1
+        echo(f"Reference length: {res.reference_length}")
+        echo(f"Reads: {res.total_reads}, mapped: {res.mapped_reads} "
+             f"({100*res.mapping_rate:.1f} %)")
+        echo(f"Candidate variant sites: {len(res.candidates)}")
+        for c in res.candidates[:10]:
+            echo(f"  pos {c.pos+1}: {c.ref_base}->{c.alt_base} "
+                 f"depth={c.depth} alt={c.alt_count}")
+        if args.vcf_out:
+            write_candidates_vcf(args.vcf_out, res)
+            echo(f"Candidates written to {args.vcf_out}")
+        return 0
 
     if args.kmer:
         _require_accelerator(args.allow_cpu, echo)

@@ -1,0 +1,110 @@
+"""Direct + complementary lane-pair alignment: % non-complementary metric.
+
+The reference README's stated WGS goal (`README.md:14-16`):
+  "Direct alignment: compare to average reference genome
+   Complementary alignment: find what % of genome is not perfectly
+   complementary (boooo)"
+and BASELINE.json config 4: "Direct + complementary whole-lane alignment:
+% non-complementary metric on SAMPLE_L001_R1/R2". The reference ships no
+implementation; this is the real one.
+
+For each mate pair (r1[i], r2[i]) of an R1/R2 lane pair:
+- direct score  = alignment(r1, r2)           (mode: sw or parity kadane)
+- comp score    = SW(r1, revcomp(r2))
+- the pair is "perfectly complementary" iff comp score == 2 * min(len) —
+  i.e. r1 aligns end-to-end against the reverse complement of r2 with all
+  matches (the expected geometry of proper FR mate pairs).
+
+%% non-complementary = 1 - perfect_pairs / total_pairs.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from mini_parallel_tpu.io import fastq
+from mini_parallel_tpu.ops import encode, kadane
+from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
+from mini_parallel_tpu.utils.config import Config
+
+
+@dataclass
+class ComplementarityResult:
+    file1: str
+    file2: str
+    pairs: int = 0
+    direct_score_sum: int = 0
+    comp_score_sum: int = 0
+    perfect_pairs: int = 0
+    seconds: float = 0.0
+
+    @property
+    def pct_non_complementary(self) -> float:
+        if self.pairs == 0:
+            return 0.0
+        return 100.0 * (1.0 - self.perfect_pairs / self.pairs)
+
+
+def _revcomp_batch(reads: list[bytes]) -> list[bytes]:
+    table = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+    return [r.translate(table)[::-1] for r in reads]
+
+
+class ComplementarityEngine:
+    def __init__(self, cfg: Config | None = None, mode: str = "sw"):
+        self.cfg = cfg or Config(chunk_size_reads=10_000)
+        self.mode = mode
+
+    def score_pairs_batch(self, r1: list[bytes], r2: list[bytes]):
+        """(direct_scores, comp_scores, perfect_mask) for one mate batch."""
+        pad = -(-max(
+            self.cfg.read_pad,
+            max((len(r) for r in r1), default=1),
+            max((len(r) for r in r2), default=1),
+        ) // 8) * 8
+        arr1, len1 = encode.pad_batch(r1, pad_to=pad, pad_value=int(encode.PAD_A))
+        arr2, len2 = encode.pad_batch(r2, pad_to=pad, pad_value=int(encode.PAD_B))
+        rc2, _ = encode.pad_batch(
+            _revcomp_batch(r2), pad_to=pad, pad_value=int(encode.PAD_B)
+        )
+        a, b, rc = jnp.asarray(arr1), jnp.asarray(arr2), jnp.asarray(rc2)
+        if self.mode == "sw":
+            direct = sw_score_batch_best(a, b)
+        else:
+            direct = kadane.kadane_score_batch(
+                a, b, jnp.asarray(len1), jnp.asarray(len2)
+            )
+        comp = sw_score_batch_best(a, rc)
+        minlen = np.minimum(len1, len2)
+        comp_np = np.asarray(comp)
+        perfect = (comp_np == 2 * minlen) & (minlen > 0)
+        return np.asarray(direct), comp_np, perfect
+
+    def analyze_lane_pair(self, file1: str, file2: str, progress=None
+                          ) -> ComplementarityResult:
+        res = ComplementarityResult(file1=file1, file2=file2)
+        t0 = time.perf_counter()
+        it1 = fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads)
+        it2 = fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads)
+        for c1, c2 in zip(it1, it2):
+            n = min(len(c1), len(c2))
+            if n == 0:
+                continue
+            direct, comp, perfect = self.score_pairs_batch(
+                [bytes(r) for r in c1[:n]], [bytes(r) for r in c2[:n]]
+            )
+            res.pairs += n
+            res.direct_score_sum += int(direct.sum())
+            res.comp_score_sum += int(comp.sum())
+            res.perfect_pairs += int(perfect.sum())
+            if progress:
+                progress(
+                    f"  {res.pairs} pairs, {res.pct_non_complementary:.2f}% "
+                    f"non-complementary so far"
+                )
+        res.seconds = time.perf_counter() - t0
+        return res

@@ -1,0 +1,264 @@
+"""Variant-call prep: seed mapping, device pileup, candidate extraction.
+
+The real implementation of the reference's empty ``variant_calling/`` stage
+(`variant_calling/vc.txt:1` = "filler"; `README.md:2` promises "variant
+calling (with DeepVariant)"). DeepVariant consumes *pileups around candidate
+sites* — so the prep stage's job is: map reads to a reference, build the
+pileup, and emit candidate variant sites. That's what this module does,
+TPU-first:
+
+- **seed mapping**: each read is anchored by looking up its first clean
+  seed k-mer (k=15 -> 30-bit keys that fit int32 lanes) in a sorted index of
+  the reference's k-mers; the lookup is a device-side ``searchsorted`` over
+  the sorted key array — O(log G) per read, fully vectorized. Forward-strand
+  and reverse-complement seeds are both tried (RC reads are flipped before
+  pileup).
+- **pileup**: mapped reads scatter their base codes into a (G, 5) count
+  matrix via ``segment_sum`` on flattened (position * 5 + code) bins — the
+  XLA-friendly scatter-add.
+- **candidates**: sites with depth >= min_depth whose non-reference allele
+  fraction >= threshold, extracted on host as VCF-like records.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_parallel_tpu.io import fastq
+from mini_parallel_tpu.ops import encode
+from mini_parallel_tpu.utils.config import Config
+
+SEED_K = 15  # 2*15 = 30 bits: seed keys fit non-negative int32
+
+
+@dataclass
+class Candidate:
+    pos: int  # 0-based reference position
+    ref_base: str
+    alt_base: str
+    depth: int
+    alt_count: int
+
+    @property
+    def alt_fraction(self) -> float:
+        return self.alt_count / self.depth if self.depth else 0.0
+
+
+@dataclass
+class VariantPrepResult:
+    reference_length: int
+    total_reads: int = 0
+    mapped_reads: int = 0
+    candidates: list[Candidate] = field(default_factory=list)
+    pileup: np.ndarray | None = None  # (G, 5) counts, A C G T N
+    seconds: float = 0.0
+
+    @property
+    def mapping_rate(self) -> float:
+        return self.mapped_reads / self.total_reads if self.total_reads else 0.0
+
+
+def _pack_seeds(codes: jnp.ndarray, k: int = SEED_K) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(keys, valid) for every k-window of a (B, L) code batch (int32 keys)."""
+    B, L = codes.shape
+    W = L - k + 1
+    c = codes.astype(jnp.int32)
+    key = jnp.zeros((B, W), jnp.int32)
+    ok = jnp.ones((B, W), bool)
+    for i in range(k):
+        ci = jax.lax.dynamic_slice_in_dim(c, i, W, axis=1)
+        ok = ok & (ci <= 3)
+        key = key * 4 + jnp.where(ci <= 3, ci, 0)
+    return key, ok
+
+
+class ReferenceIndex:
+    """Sorted seed-k-mer index of a reference sequence (device arrays)."""
+
+    def __init__(self, reference: bytes, k: int = SEED_K):
+        self.k = k
+        self.reference = reference.upper()
+        arr, lens = encode.pad_batch([self.reference], pad_to=len(self.reference))
+        codes = encode.ascii_to_code(jnp.asarray(arr))
+        keys, ok = _pack_seeds(codes, k)
+        keys_np = np.asarray(keys[0])
+        ok_np = np.asarray(ok[0])
+        pos = np.nonzero(ok_np)[0].astype(np.int32)
+        keys_np = keys_np[ok_np]
+        order = np.argsort(keys_np, kind="stable")
+        # keep the FIRST reference occurrence of each key (unique anchors
+        # would be better for repeats; fine for prep purposes)
+        self.sorted_keys = jnp.asarray(keys_np[order])
+        self.sorted_pos = jnp.asarray(pos[order])
+        self.ref_codes = np.asarray(encode.ascii_to_code(
+            jnp.asarray(np.frombuffer(self.reference, np.uint8))
+        ))
+
+    def __len__(self) -> int:
+        return int(self.sorted_keys.shape[0])
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _map_reads(
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    sorted_keys: jnp.ndarray,
+    sorted_pos: jnp.ndarray,
+    k: int = SEED_K,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Anchor each read: (ref_start, mapped) via its first valid seed.
+
+    Tries the forward seed of the read's first clean window; the caller
+    handles reverse-complement by passing RC'd codes in a second call.
+    """
+    keys, ok = _pack_seeds(codes, k)
+    B, W = keys.shape
+    # first valid window per read
+    first = jnp.argmax(ok, axis=1)
+    has = jnp.any(ok, axis=1)
+    key0 = jnp.take_along_axis(keys, first[:, None], axis=1)[:, 0]
+    idx = jnp.searchsorted(sorted_keys, key0)
+    idx = jnp.clip(idx, 0, sorted_keys.shape[0] - 1)
+    hit = has & (sorted_keys[idx] == key0)
+    ref_start = sorted_pos[idx] - first  # seed at read offset `first`
+    hit = hit & (ref_start >= 0)
+    return jnp.where(hit, ref_start, -1), hit
+
+
+@partial(jax.jit, static_argnames=("G",))
+def _pileup_batch(
+    codes: jnp.ndarray, lengths: jnp.ndarray, starts: jnp.ndarray,
+    mapped: jnp.ndarray, G: int,
+) -> jnp.ndarray:
+    """Scatter-add mapped reads into a (G, 5) base-count pileup."""
+    B, L = codes.shape
+    pos = starts[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = (
+        mapped[:, None]
+        & (jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None])
+        & (pos >= 0)
+        & (pos < G)
+        & (codes <= 3)
+    )
+    bins = jnp.where(valid, pos * 5 + codes.astype(jnp.int32), G * 5)
+    counts = jax.ops.segment_sum(
+        jnp.ones(B * L, jnp.int32), bins.reshape(-1), num_segments=G * 5 + 1
+    )
+    return counts[: G * 5].reshape(G, 5)
+
+
+class VariantPrepEngine:
+    def __init__(
+        self,
+        reference: bytes,
+        cfg: Config | None = None,
+        min_depth: int = 2,
+        alt_fraction: float = 0.2,
+    ):
+        self.cfg = cfg or Config(chunk_size_reads=10_000)
+        self.index = ReferenceIndex(reference)
+        self.min_depth = min_depth
+        self.alt_fraction = alt_fraction
+
+    def process_reads_batch(self, reads: list[bytes], pileup_acc: jnp.ndarray
+                            ) -> tuple[jnp.ndarray, int]:
+        pad = -(-max(self.cfg.read_pad, SEED_K + 1,
+                     max((len(r) for r in reads), default=1)) // 8) * 8
+        arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
+        codes = encode.ascii_to_code(jnp.asarray(arr))
+        lens_j = jnp.asarray(lens)
+        G = len(self.index.ref_codes)
+
+        starts, mapped = _map_reads(
+            codes, lens_j, self.index.sorted_keys, self.index.sorted_pos
+        )
+        # reverse-complement attempt for unmapped reads
+        rc_reads = [r.translate(_RC_TABLE)[::-1] for r in reads]
+        rc_arr, rc_lens = encode.pad_batch(
+            rc_reads, pad_to=pad, pad_value=int(encode.PAD_A)
+        )
+        rc_codes = encode.ascii_to_code(jnp.asarray(rc_arr))
+        rc_starts, rc_mapped = _map_reads(
+            rc_codes, jnp.asarray(rc_lens), self.index.sorted_keys,
+            self.index.sorted_pos,
+        )
+        use_rc = (~mapped) & rc_mapped
+        final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
+        final_starts = jnp.where(use_rc, rc_starts, starts)
+        final_mapped = mapped | rc_mapped
+
+        pileup_acc = pileup_acc + _pileup_batch(
+            final_codes, lens_j, final_starts, final_mapped, G
+        )
+        return pileup_acc, int(np.asarray(final_mapped).sum())
+
+    def process_file(self, path: str, progress=None) -> VariantPrepResult:
+        t0 = time.perf_counter()
+        G = len(self.index.ref_codes)
+        pileup = jnp.zeros((G, 5), jnp.int32)
+        res = VariantPrepResult(reference_length=G)
+        for chunk in fastq.iter_read_chunks(path, self.cfg.chunk_size_reads):
+            reads = [bytes(r) for r in chunk]
+            pileup, n_mapped = self.process_reads_batch(reads, pileup)
+            res.total_reads += len(reads)
+            res.mapped_reads += n_mapped
+            if progress:
+                progress(f"  {res.total_reads} reads, {res.mapped_reads} mapped")
+        res.pileup = np.asarray(pileup)
+        res.candidates = self._extract_candidates(res.pileup)
+        res.seconds = time.perf_counter() - t0
+        return res
+
+    def _extract_candidates(self, pileup: np.ndarray) -> list[Candidate]:
+        bases = "ACGTN"
+        ref = self.index.ref_codes
+        G = len(ref)
+        depth = pileup[:, :4].sum(axis=1)
+        out: list[Candidate] = []
+        ref_safe = np.minimum(ref[:G], 4)
+        ref_counts = np.where(
+            ref_safe < 4, pileup[np.arange(G), ref_safe], 0
+        )
+        alt_counts = depth - ref_counts
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(depth > 0, alt_counts / np.maximum(depth, 1), 0.0)
+        sites = np.nonzero(
+            (depth >= self.min_depth) & (frac >= self.alt_fraction) & (ref_safe < 4)
+        )[0]
+        for pos in sites.tolist():
+            counts = pileup[pos, :4].copy()
+            counts[ref_safe[pos]] = -1  # exclude ref from alt argmax
+            alt = int(np.argmax(counts))
+            out.append(
+                Candidate(
+                    pos=pos,
+                    ref_base=bases[ref_safe[pos]],
+                    alt_base=bases[alt],
+                    depth=int(depth[pos]),
+                    alt_count=int(pileup[pos, alt]),
+                )
+            )
+        return out
+
+
+_RC_TABLE = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+
+
+def write_candidates_vcf(path: str, res: VariantPrepResult,
+                         contig: str = "ref") -> None:
+    """Minimal VCF-like output for the DeepVariant hand-off."""
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={contig},length={res.reference_length}>\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for c in res.candidates:
+            f.write(
+                f"{contig}\t{c.pos + 1}\t.\t{c.ref_base}\t{c.alt_base}\t.\t.\t"
+                f"DP={c.depth};AC={c.alt_count};AF={c.alt_fraction:.3f}\n"
+            )

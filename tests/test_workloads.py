@@ -1,0 +1,146 @@
+"""Complementarity + variant-prep workloads on synthetic data with known truth."""
+
+import numpy as np
+import pytest
+
+from mini_parallel_tpu.io import fasta, fastq
+from mini_parallel_tpu.models.complementarity import ComplementarityEngine
+from mini_parallel_tpu.models.variant_prep import (
+    SEED_K,
+    VariantPrepEngine,
+    write_candidates_vcf,
+)
+from mini_parallel_tpu.utils.config import Config
+from tests.conftest import random_dna
+
+RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def revcomp(s: bytes) -> bytes:
+    return s.translate(RC)[::-1]
+
+
+@pytest.fixture
+def cfg():
+    return Config(chunk_size_reads=16, read_pad=64)
+
+
+# ---------------------------------------------------------------- complement
+
+def test_complementarity_known_fractions(tmp_path, rng, cfg):
+    # 12 perfect mate pairs + 4 broken ones -> 25% non-complementary
+    r1 = [random_dna(rng, 40) for _ in range(16)]
+    r2 = [revcomp(r) for r in r1]
+    for i in range(12, 16):  # corrupt r2 mates
+        r2[i] = random_dna(rng, 40)
+    f1, f2 = str(tmp_path / "R1.fastq.gz"), str(tmp_path / "R2.fastq.gz")
+    fastq.write_fastq(f1, r1)
+    fastq.write_fastq(f2, r2)
+    eng = ComplementarityEngine(cfg, mode="sw")
+    res = eng.analyze_lane_pair(f1, f2)
+    assert res.pairs == 16
+    assert res.perfect_pairs == 12
+    assert res.pct_non_complementary == pytest.approx(25.0)
+    # direct SW of r1 vs revcomp-mate == self alignment == 2*len for perfect
+    assert res.comp_score_sum >= 12 * 80
+
+
+def test_complementarity_kadane_mode(tmp_path, rng, cfg):
+    r1 = [random_dna(rng, 30) for _ in range(8)]
+    r2 = [revcomp(r) for r in r1]
+    f1, f2 = str(tmp_path / "a.fastq.gz"), str(tmp_path / "b.fastq.gz")
+    fastq.write_fastq(f1, r1)
+    fastq.write_fastq(f2, r2)
+    res = ComplementarityEngine(cfg, mode="kadane").analyze_lane_pair(f1, f2)
+    assert res.pairs == 8 and res.perfect_pairs == 8
+    assert res.pct_non_complementary == 0.0
+
+
+# ---------------------------------------------------------------- fasta io
+
+def test_fasta_roundtrip(tmp_path):
+    recs = {"chr1": b"ACGT" * 50, "chr2": b"TTTTGGGG"}
+    path = str(tmp_path / "ref.fasta.gz")
+    fasta.write_fasta(path, recs)
+    assert fasta.read_fasta(path) == recs
+    assert fasta.read_first_sequence(path) == recs["chr1"]
+
+
+# ------------------------------------------------------------- variant prep
+
+@pytest.fixture
+def ref_and_reads(rng):
+    ref = random_dna(rng, 2000)
+    reads = []
+    # 30 clean reads tiled over the reference
+    for i in range(30):
+        start = int(rng.integers(0, 2000 - 100))
+        reads.append((start, ref[start : start + 100]))
+    return ref, reads
+
+
+def test_variant_prep_clean_reads_no_candidates(tmp_path, rng, cfg, ref_and_reads):
+    ref, reads = ref_and_reads
+    path = str(tmp_path / "reads.fastq.gz")
+    fastq.write_fastq(path, [r for _, r in reads])
+    eng = VariantPrepEngine(ref, cfg, min_depth=2, alt_fraction=0.2)
+    res = eng.process_file(path)
+    assert res.total_reads == 30
+    assert res.mapping_rate == 1.0
+    assert res.candidates == []
+    # pileup counts exactly match read coverage
+    cov = np.zeros(2000, int)
+    for start, r in reads:
+        cov[start : start + len(r)] += 1
+    assert (res.pileup[:, :4].sum(axis=1) == cov).all()
+
+
+def test_variant_prep_detects_snp(tmp_path, rng, cfg, ref_and_reads):
+    ref, _ = ref_and_reads
+    pos = 1000
+    ref_base = ref[pos : pos + 1]
+    alt = b"A" if ref_base != b"A" else b"C"
+    reads = []
+    for i in range(20):
+        start = pos - 50 + (i % 7)  # overlap the SNP from several offsets
+        r = bytearray(ref[start : start + 100])
+        r[pos - start] = alt[0]
+        reads.append(bytes(r))
+    path = str(tmp_path / "snp.fastq.gz")
+    fastq.write_fastq(path, reads)
+    eng = VariantPrepEngine(ref, cfg, min_depth=3, alt_fraction=0.5)
+    res = eng.process_file(path)
+    assert res.mapping_rate == 1.0
+    hits = [c for c in res.candidates if c.pos == pos]
+    assert len(hits) == 1
+    c = hits[0]
+    assert c.ref_base == ref_base.decode() and c.alt_base == alt.decode()
+    assert c.depth == 20 and c.alt_count == 20
+
+    vcf = str(tmp_path / "out.vcf")
+    write_candidates_vcf(vcf, res)
+    text = open(vcf).read()
+    assert f"ref\t{pos+1}\t.\t{ref_base.decode()}\t{alt.decode()}" in text
+
+
+def test_variant_prep_reverse_complement_reads(tmp_path, rng, cfg, ref_and_reads):
+    ref, _ = ref_and_reads
+    reads = [revcomp(ref[i * 60 : i * 60 + 100]) for i in range(10)]
+    path = str(tmp_path / "rc.fastq.gz")
+    fastq.write_fastq(path, reads)
+    eng = VariantPrepEngine(ref, cfg)
+    res = eng.process_file(path)
+    assert res.mapping_rate == 1.0
+    assert res.candidates == []  # RC reads must not fake variants
+
+
+def test_variant_prep_unmappable_reads(tmp_path, rng, cfg, ref_and_reads):
+    ref, _ = ref_and_reads
+    junk = [random_dna(rng, 80) for _ in range(5)]
+    path = str(tmp_path / "junk.fastq.gz")
+    fastq.write_fastq(path, junk)
+    eng = VariantPrepEngine(ref, cfg)
+    res = eng.process_file(path)
+    # random 80-mers are overwhelmingly absent from a 2kb reference
+    assert res.mapped_reads <= 1
+    assert res.pileup[:, :4].sum() <= 100
