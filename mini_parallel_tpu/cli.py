@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="proceed without an accelerator (reference exits; "
                    "main.rs:76-79)")
     p.add_argument("--env", default=".env", help="path to .env config file")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the run into DIR "
+                   "(view with TensorBoard/XProf)")
     return p
 
 
@@ -84,25 +87,22 @@ def _require_accelerator(allow_cpu: bool, echo=print) -> None:
         sys.exit(1)  # GPU-mandatory behavior, main.rs:76-79,160-163
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compile cache: a fresh CLI process reuses compiled
-    programs instead of paying the (remote) compile again — the TPU analogue
-    of NOT recompiling the kernel per launch (the reference recompiled its
-    OpenCL program on every chunk, aligner.rs:504-508, its top bottleneck)."""
-    import jax
-
-    cache_dir = os.environ.get(
-        "MPT_CACHE_DIR", os.path.expanduser("~/.cache/mini_parallel_tpu/jax")
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-
 def main(argv: list[str] | None = None, echo=print) -> int:
     args = build_parser().parse_args(argv)
     config_mod.load_dotenv(args.env)  # main.rs:50
-    _enable_compile_cache()
+    # persistent compile cache: the TPU analogue of NOT rebuilding the kernel
+    # per launch (the reference recompiled its OpenCL program on every chunk,
+    # aligner.rs:504-508 — its top measured bottleneck)
+    from mini_parallel_tpu.device import enable_compile_cache
+
+    enable_compile_cache()
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        import atexit
+
+        atexit.register(jax.profiler.stop_trace)
 
     env = dict(os.environ)
     if args.chunk_size is not None:
@@ -121,11 +121,22 @@ def main(argv: list[str] | None = None, echo=print) -> int:
 
     if args.full_wgs:  # main.rs:72-124
         _require_accelerator(args.allow_cpu, echo)
-        from mini_parallel_tpu.models.wgs import process_full_wgs_dataset
         from mini_parallel_tpu.utils.perf_logger import system_monitors
 
+        distributed_run = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
         with system_monitors():
-            results = process_full_wgs_dataset(engine, cfg, echo=echo)
+            if distributed_run:
+                from mini_parallel_tpu.parallel.distributed import (
+                    process_full_wgs_distributed,
+                )
+
+                results, merged = process_full_wgs_distributed(engine, cfg,
+                                                               echo=echo)
+                echo(f"Global totals: {merged}")
+            else:
+                from mini_parallel_tpu.models.wgs import process_full_wgs_dataset
+
+                results = process_full_wgs_dataset(engine, cfg, echo=echo)
         echo(f"Processed {len(results)} files")
         return 0
 
