@@ -117,7 +117,12 @@ def main(argv: list[str] | None = None, echo=print) -> int:
 
     from mini_parallel_tpu.models.alignment import AlignmentEngine
 
-    engine = AlignmentEngine(cfg)
+    mesh = None
+    if cfg.mesh_shape:  # MPT_MESH_SHAPE: shard batches over local chips
+        from mini_parallel_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh_shape, axis_names=("data",) * len(cfg.mesh_shape))
+    engine = AlignmentEngine(cfg, mesh=mesh)
 
     if args.full_wgs:  # main.rs:72-124
         _require_accelerator(args.allow_cpu, echo)

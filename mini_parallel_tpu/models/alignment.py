@@ -68,11 +68,82 @@ class AlignmentEngine:
     (parallel/pipeline.py); this class is the single-controller core.
     """
 
-    def __init__(self, cfg: Config | None = None, mode: str | None = None):
+    def __init__(self, cfg: Config | None = None, mode: str | None = None,
+                 mesh=None):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         self.mode = mode or self.cfg.mode
         if self.mode not in ("kadane", "sw", "contiguous"):
             raise ValueError(f"unknown mode {self.mode!r}")
+        # optional local device mesh: read batches are sharded data-parallel
+        # across chips with psum'd score sums (chips of ONE host; cross-host
+        # scaling is file-level, parallel/distributed.py)
+        self.mesh = mesh
+        self._sharded_fns: dict = {}
+
+    def _sharded_scorer(self, kind: str):
+        """Cache one jitted shard_map scorer per (kind) for self.mesh."""
+        key = (kind, self.mode)
+        if key in self._sharded_fns:
+            return self._sharded_fns[key]
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
+
+        axis = self.mesh.axis_names[0]
+
+        def local(a, b, la, lb):
+            if kind == "sw":
+                scores = sw_score_batch_best(a, b)
+            elif kind == "contiguous":
+                scores = kadane.kadane_contiguous_batch(a, b, la, lb)
+            else:
+                scores = kadane.kadane_score_batch(a, b, la, lb)
+            return jax.lax.psum(scores.sum(), axis)
+
+        fn = jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+                out_specs=P(),
+            )
+        )
+        self._sharded_fns[key] = fn
+        return fn
+
+    def _score_sharded_sum(self, kind: str, arr_a, arr_b, len_a, len_b) -> int:
+        """Shard a padded batch over the mesh and return the psum'd score sum.
+
+        Rows are padded to a multiple of the mesh size with zero-length pad
+        entries (min-length masking makes them score 0 in kadane modes; in
+        sw mode PAD_A-vs-PAD_B rows score 0 by the sentinel contract).
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self.mesh.devices.size
+        B = arr_a.shape[0]
+        Bp = -(-B // n) * n
+        if Bp != B:
+            arr_a = np.concatenate(
+                [arr_a, np.full((Bp - B, arr_a.shape[1]), encode.PAD_A, np.uint8)]
+            )
+            arr_b = np.concatenate(
+                [arr_b, np.full((Bp - B, arr_b.shape[1]), encode.PAD_B, np.uint8)]
+            )
+            len_a = np.concatenate([len_a, np.zeros(Bp - B, np.int32)])
+            len_b = np.concatenate([len_b, np.zeros(Bp - B, np.int32)])
+        axis = self.mesh.axis_names[0]
+        put = lambda x, spec: jax.device_put(x, NamedSharding(self.mesh, spec))
+        out = self._sharded_scorer(kind)(
+            put(jnp.asarray(arr_a), P(axis, None)),
+            put(jnp.asarray(arr_b), P(axis, None)),
+            put(jnp.asarray(len_a), P(axis)),
+            put(jnp.asarray(len_b), P(axis)),
+        )
+        return int(out)
 
     # ------------------------------------------------------------------
     # Core batched primitives
@@ -163,8 +234,16 @@ class AlignmentEngine:
         def flush():
             if not pending:
                 return
-            scores = self._score_concat_self(pending)
-            res.score += int(scores.sum())
+            if self.mesh is not None:
+                pad = _bucket(max(len(c) for c in pending))
+                arr, lens = encode.pad_batch(
+                    pending, pad_to=pad, pad_value=int(encode.PAD_A)
+                )
+                kind = "contiguous" if self.mode == "contiguous" else "kadane"
+                res.score += self._score_sharded_sum(kind, arr, arr, lens, lens)
+            else:
+                scores = self._score_concat_self(pending)
+                res.score += int(scores.sum())
             pending.clear()
 
         for chunk in fastq.iter_read_chunks(
@@ -175,8 +254,19 @@ class AlignmentEngine:
             if self.mode == "sw":
                 reads = [bytes(r) for r in chunk]
                 res.total_bases += sum(len(r) for r in reads)
-                scores = self.score_read_batch(reads, reads)
-                res.score += int(scores.sum())
+                if self.mesh is not None:
+                    pad = _bucket(max((len(r) for r in reads), default=1),
+                                  floor=self.cfg.read_pad)
+                    arr_a, la = encode.pad_batch(
+                        reads, pad_to=pad, pad_value=int(encode.PAD_A)
+                    )
+                    arr_b, lb = encode.pad_batch(
+                        reads, pad_to=pad, pad_value=int(encode.PAD_B)
+                    )
+                    res.score += self._score_sharded_sum("sw", arr_a, arr_b, la, lb)
+                else:
+                    scores = self.score_read_batch(reads, reads)
+                    res.score += int(scores.sum())
             else:
                 concat = b"".join(chunk)
                 res.total_bases += len(concat)
