@@ -24,7 +24,7 @@ import numpy as np
 
 READS = 10_000
 READ_LEN = 150
-PAD = 160
+PAD = 152  # 150bp rounded to the sublane tile (less wavefront padding than 160)
 REFERENCE_TARGET_MS = 200.0  # improvements.txt:61 (aspirational, not achieved)
 
 

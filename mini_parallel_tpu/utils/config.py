@@ -15,8 +15,8 @@ The reference's config tiers (`README.md:23-33`, `main.rs:50`,
   (README.md:32); same here.
 
 New (TPU-specific) knobs, all optional with safe defaults:
-- ``MPT_READ_PAD`` — static read-length bucket (default 160; Illumina reads
-  are <=151bp, and 160 keeps jit caches warm),
+- ``MPT_READ_PAD`` — static read-length bucket (default 152; Illumina reads
+  are <=151bp, and 152 = the f32 sublane tile multiple keeps padding minimal),
 - ``MPT_BATCH_PAD`` — batch bucket rounding (default 1024, a lane multiple),
 - ``MPT_MESH_SHAPE`` — e.g. "8" or "4x2" for (data, seq) axes,
 - ``MPT_MODE`` — "kadane" (reference parity, default) or "sw" (true DP).
@@ -58,7 +58,7 @@ class Config:
     reads_per_lane: int = 2  # aligner.rs:192-195
     chunk_size_reads: int = 0  # mandatory, aligner.rs:8-15
     use_pinned_memory: bool = False  # aligner.rs:466-469 (accepted, no-op)
-    read_pad: int = 160
+    read_pad: int = 152
     batch_pad: int = 1024
     mesh_shape: tuple[int, ...] = field(default_factory=tuple)
     mode: str = "kadane"  # "kadane" parity | "sw" true DP
@@ -110,7 +110,7 @@ def get_config(env: dict | None = None, require_chunk_size: bool = True) -> Conf
         reads_per_lane=_int(env, "WGS_READS_PER_LANE", 2),
         chunk_size_reads=chunk,
         use_pinned_memory=str(env.get("USE_PINNED_MEMORY", "false")).lower() == "true",
-        read_pad=_int(env, "MPT_READ_PAD", 160),
+        read_pad=_int(env, "MPT_READ_PAD", 152),
         batch_pad=_int(env, "MPT_BATCH_PAD", 1024),
         mesh_shape=mesh,
         mode=env.get("MPT_MODE", "kadane"),
