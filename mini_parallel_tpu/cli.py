@@ -48,9 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="smoke-test WGS file reading (first lane pair)")
     p.add_argument("--full-wgs", action="store_true",
                    help="process the full WGS dataset with checkpoint/resume")
-    p.add_argument("--mode", choices=("kadane", "sw", "contiguous"), default=None,
+    p.add_argument("--mode", choices=("kadane", "sw", "sw-affine", "contiguous"), default=None,
                    help="scoring mode: kadane=reference parity (default), "
-                   "sw=true Smith-Waterman, contiguous=exact contiguous Kadane")
+                   "sw=true Smith-Waterman, sw-affine=affine gaps (Gotoh), "
+                   "contiguous=exact contiguous Kadane")
     p.add_argument("--kmer", metavar="FASTQ",
                    help="count k-mers in a FASTQ(.gz) file (k_mer workload)")
     p.add_argument("-k", "--kmer-size", type=int, default=21,

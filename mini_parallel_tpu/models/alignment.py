@@ -28,7 +28,10 @@ import numpy as np
 
 from mini_parallel_tpu.io import fastq
 from mini_parallel_tpu.ops import encode, kadane, sw
-from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
+from mini_parallel_tpu.ops.sw_pallas import (
+    sw_affine_batch_pallas,
+    sw_score_batch_best,
+)
 from mini_parallel_tpu.utils.config import Config
 
 MIN_SELF_CHUNK_BASES = 1000  # aligner.rs:366-368: skip chunks < 1000 bases
@@ -72,7 +75,7 @@ class AlignmentEngine:
                  mesh=None):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         self.mode = mode or self.cfg.mode
-        if self.mode not in ("kadane", "sw", "contiguous"):
+        if self.mode not in ("kadane", "sw", "sw-affine", "contiguous"):
             raise ValueError(f"unknown mode {self.mode!r}")
         # optional local device mesh: read batches are sharded data-parallel
         # across chips with psum'd score sums (chips of ONE host; cross-host
@@ -89,13 +92,13 @@ class AlignmentEngine:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
-
         axis = self.mesh.axis_names[0]
 
         def local(a, b, la, lb):
             if kind == "sw":
                 scores = sw_score_batch_best(a, b)
+            elif kind == "sw-affine":
+                scores = self._affine(a, b)
             elif kind == "contiguous":
                 scores = kadane.kadane_contiguous_batch(a, b, la, lb)
             else:
@@ -160,11 +163,25 @@ class AlignmentEngine:
         a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
         if self.mode == "sw":
             out = sw_score_batch_best(a, b)
+        elif self.mode == "sw-affine":
+            out = self._affine(a, b)
         elif self.mode == "contiguous":
             out = kadane.kadane_contiguous_batch(a, b, jnp.asarray(len_a), jnp.asarray(len_b))
         else:
             out = kadane.kadane_score_batch(a, b, jnp.asarray(len_a), jnp.asarray(len_b))
         return np.asarray(out)
+
+    def _affine(self, a, b):
+        """Affine-gap scorer honoring cfg gap params (Pallas on TPU)."""
+        import jax
+
+        if jax.default_backend() == "tpu":
+            return sw_affine_batch_pallas(
+                a, b, gap_open=self.cfg.gap_open, gap_extend=self.cfg.gap_extend
+            )
+        return sw.sw_affine_batch(
+            a, b, gap_open=self.cfg.gap_open, gap_extend=self.cfg.gap_extend
+        )
 
     def _score_concat_self(self, concats: list[bytes]) -> np.ndarray:
         """Parity path: score chunk-concats against themselves (one device call).
@@ -204,6 +221,12 @@ class AlignmentEngine:
         """Direct two-string mode (main.rs:183-191)."""
         if self.mode == "sw":
             return sw.sw_score_pair(s1, s2)
+        if self.mode == "sw-affine":
+            from mini_parallel_tpu.ops.encode import PAD_A, PAD_B, pad_batch
+
+            arr_a, _ = pad_batch([s1], pad_value=int(PAD_A))
+            arr_b, _ = pad_batch([s2], pad_value=int(PAD_B))
+            return int(self._affine(jnp.asarray(arr_a), jnp.asarray(arr_b))[0])
         if isinstance(s1, str):
             s1 = s1.encode("ascii")
         if isinstance(s2, str):
@@ -251,7 +274,7 @@ class AlignmentEngine:
         ):
             res.total_reads += len(chunk)
             res.chunks += 1
-            if self.mode == "sw":
+            if self.mode in ("sw", "sw-affine"):
                 reads = [bytes(r) for r in chunk]
                 res.total_bases += sum(len(r) for r in reads)
                 if self.mesh is not None:
@@ -263,7 +286,8 @@ class AlignmentEngine:
                     arr_b, lb = encode.pad_batch(
                         reads, pad_to=pad, pad_value=int(encode.PAD_B)
                     )
-                    res.score += self._score_sharded_sum("sw", arr_a, arr_b, la, lb)
+                    res.score += self._score_sharded_sum(self.mode, arr_a,
+                                                         arr_b, la, lb)
                 else:
                     scores = self.score_read_batch(reads, reads)
                     res.score += int(scores.sum())
@@ -295,7 +319,7 @@ class AlignmentEngine:
         bases1 = fastq.count_bases(file1, self.cfg.chunk_size_reads)
         bases2 = fastq.count_bases(file2, self.cfg.chunk_size_reads)
         total = 0
-        if self.mode == "sw":
+        if self.mode in ("sw", "sw-affine"):
             it1 = fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads)
             it2 = fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads)
             for c1, c2 in zip(it1, it2):

@@ -123,3 +123,84 @@ def sw_score_pair(a: str | bytes, b: str | bytes) -> int:
     arr_a, _ = pad_batch([a], pad_value=int(PAD_A))
     arr_b, _ = pad_batch([b], pad_value=int(PAD_B))
     return int(sw_score_batch(jnp.asarray(arr_a), jnp.asarray(arr_b))[0])
+
+
+# ---------------------------------------------------------------------------
+# Affine-gap local alignment (Gotoh). A gap of length L costs
+# gap_open + L * gap_extend; with gap_open=0, gap_extend=GAP_PENALTY this
+# reduces exactly to the linear-gap DP above. The reference has no affine
+# mode — this is a capability extension expected of a complete alignment
+# framework (and the scoring model real aligners default to).
+# ---------------------------------------------------------------------------
+
+GAP_OPEN = -2
+GAP_EXTEND = -1
+
+
+def sw_affine_numpy(a, b, match=MATCH_SCORE, mismatch=MISMATCH_PENALTY,
+                    gap_open=GAP_OPEN, gap_extend=GAP_EXTEND) -> int:
+    """Golden Gotoh DP (host-only, tests)."""
+    if isinstance(a, str):
+        a = a.encode("ascii")
+    if isinstance(b, str):
+        b = b.encode("ascii")
+    a = np.frombuffer(bytes(a), dtype=np.uint8)
+    b = np.frombuffer(bytes(b), dtype=np.uint8)
+    m, n = len(a), len(b)
+    NEG = -(10**9)
+    H = np.zeros((m + 1, n + 1), dtype=np.int64)
+    E = np.full((m + 1, n + 1), NEG, dtype=np.int64)  # gap in a (along j)
+    F = np.full((m + 1, n + 1), NEG, dtype=np.int64)  # gap in b (along i)
+    best = 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            E[i, j] = max(E[i, j - 1], H[i, j - 1] + gap_open) + gap_extend
+            F[i, j] = max(F[i - 1, j], H[i - 1, j] + gap_open) + gap_extend
+            s = match if a[i - 1] == b[j - 1] else mismatch
+            H[i, j] = max(0, H[i - 1, j - 1] + s, E[i, j], F[i, j])
+            best = max(best, H[i, j])
+    return int(best)
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
+def sw_affine_batch(seq_a: jnp.ndarray, seq_b: jnp.ndarray,
+                    gap_open: int = GAP_OPEN,
+                    gap_extend: int = GAP_EXTEND) -> jnp.ndarray:
+    """Batched affine-gap SW via anti-diagonal scan (same layout contract as
+    sw_score_batch). Carries H_{d-1}, H_{d-2}, E_{d-1}, F_{d-1}."""
+    B, M = seq_a.shape
+    N = seq_b.shape[1]
+    a = seq_a.astype(jnp.int32)
+    NEG = jnp.int32(-(2**24))  # large-negative that can't overflow when added
+    bp = jnp.concatenate(
+        [
+            jnp.full((B, M - 1), PAD_B, dtype=jnp.int32),
+            seq_b.astype(jnp.int32),
+            jnp.full((B, M), PAD_B, dtype=jnp.int32),
+        ],
+        axis=1,
+    )
+
+    def shift_down(x, fill):
+        return jnp.concatenate(
+            [jnp.full((B, 1), fill, jnp.int32), x[:, :-1]], axis=1
+        )
+
+    def step(carry, d):
+        h1, h2, e1, f1, best = carry
+        w = jax.lax.dynamic_slice_in_dim(bp, d, M, axis=1)[:, ::-1]
+        s = jnp.where(a == w, MATCH_SCORE, MISMATCH_PENALTY)
+        e = jnp.maximum(e1, h1 + gap_open) + gap_extend
+        f = jnp.maximum(shift_down(f1, NEG), shift_down(h1, 0) + gap_open) + gap_extend
+        h = jnp.maximum(jnp.maximum(shift_down(h2, 0) + s, 0), jnp.maximum(e, f))
+        best = jnp.maximum(best, jnp.max(h, axis=1))
+        return (h, h1, e, f, best), None
+
+    # operand-derived inits keep the carry's varying-axis type under shard_map
+    z = a * 0
+    neg = z + NEG
+    (_, _, _, _, best), _ = jax.lax.scan(
+        step, (z, z, neg, neg, a[:, 0] * 0),
+        jnp.arange(M + N - 1),
+    )
+    return best

@@ -130,3 +130,94 @@ def sw_score_batch_best(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
     from mini_parallel_tpu.ops.sw import sw_score_batch
 
     return sw_score_batch(seq_a, seq_b)
+
+
+# ---------------------------------------------------------------------------
+# Affine-gap (Gotoh) wavefront kernel: same layout as _sw_kernel plus E/F
+# gap-state diagonals in scratch.
+# ---------------------------------------------------------------------------
+
+from mini_parallel_tpu.ops.sw import GAP_EXTEND, GAP_OPEN  # noqa: E402
+
+_NEG = -(2**24)  # large-negative init that cannot overflow int32 when added
+
+
+def _sw_affine_kernel_factory(gap_open: int, gap_extend: int):
+    def kernel(a_ref, b_ref, out_ref, w, h1, h2, e1, f1, best):
+        M, B = a_ref.shape
+        N = b_ref.shape[0]
+        a = a_ref[:]
+        zeros = jnp.zeros((M, B), jnp.int32)
+        zrow = jnp.zeros((1, B), jnp.int32)
+        nrow = jnp.full((1, B), _NEG, jnp.int32)
+        w[:] = jnp.full((M, B), int(PAD_B), jnp.int32)
+        h1[:] = zeros
+        h2[:] = zeros
+        e1[:] = jnp.full((M, B), _NEG, jnp.int32)
+        f1[:] = jnp.full((M, B), _NEG, jnp.int32)
+        best[:] = zeros
+
+        def step(d, _):
+            idx = jnp.minimum(d, N - 1)
+            new_row = jnp.where(d < N, b_ref[pl.ds(idx, 1), :], int(PAD_B))
+            wv = jnp.concatenate([new_row, w[:][:-1]], axis=0)
+            w[:] = wv
+            s = jnp.where(a == wv, MATCH_SCORE, MISMATCH_PENALTY)
+            h1v = h1[:]
+            e = jnp.maximum(e1[:], h1v + gap_open) + gap_extend
+            f = (
+                jnp.maximum(
+                    jnp.concatenate([nrow, f1[:][:-1]], axis=0),
+                    jnp.concatenate([zrow, h1v[:-1]], axis=0) + gap_open,
+                )
+                + gap_extend
+            )
+            diag = jnp.concatenate([zrow, h2[:][:-1]], axis=0) + s
+            h = jnp.maximum(jnp.maximum(diag, 0), jnp.maximum(e, f))
+            best[:] = jnp.maximum(best[:], h)
+            h2[:] = h1v
+            h1[:] = h
+            e1[:] = e
+            f1[:] = f
+            return ()
+
+        jax.lax.fori_loop(0, M + N - 1, step, ())
+        out_ref[:] = jnp.max(best[:], axis=0, keepdims=True)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend", "interpret"))
+def sw_affine_batch_pallas(
+    seq_a: jnp.ndarray,
+    seq_b: jnp.ndarray,
+    gap_open: int = GAP_OPEN,
+    gap_extend: int = GAP_EXTEND,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Batched affine-gap SW via the Pallas wavefront kernel."""
+    B, M = seq_a.shape
+    N = seq_b.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Bp = -(-B // B_BLK) * B_BLK
+    Mp = -(-M // 8) * 8
+    Np = -(-N // 8) * 8
+    at = jnp.full((Mp, Bp), int(PAD_A), jnp.int32)
+    at = at.at[:M, :B].set(seq_a.astype(jnp.int32).T)
+    bt = jnp.full((Np, Bp), int(PAD_B), jnp.int32)
+    bt = bt.at[:N, :B].set(seq_b.astype(jnp.int32).T)
+
+    out = pl.pallas_call(
+        _sw_affine_kernel_factory(gap_open, gap_extend),
+        grid=(Bp // B_BLK,),
+        in_specs=[
+            pl.BlockSpec((Mp, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((Mp, B_BLK), jnp.int32) for _ in range(6)],
+        interpret=interpret,
+    )(at, bt)
+    return out[0, :B]

@@ -61,7 +61,9 @@ class Config:
     read_pad: int = 152
     batch_pad: int = 1024
     mesh_shape: tuple[int, ...] = field(default_factory=tuple)
-    mode: str = "kadane"  # "kadane" parity | "sw" true DP
+    mode: str = "kadane"  # "kadane" parity | "sw" | "sw-affine" | "contiguous"
+    gap_open: int = -2  # affine mode: first gap char costs open + extend
+    gap_extend: int = -1
 
     @property
     def total_files(self) -> int:
@@ -114,4 +116,6 @@ def get_config(env: dict | None = None, require_chunk_size: bool = True) -> Conf
         batch_pad=_int(env, "MPT_BATCH_PAD", 1024),
         mesh_shape=mesh,
         mode=env.get("MPT_MODE", "kadane"),
+        gap_open=_int(env, "MPT_GAP_OPEN", -2),
+        gap_extend=_int(env, "MPT_GAP_EXTEND", -1),
     )
