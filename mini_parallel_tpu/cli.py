@@ -130,7 +130,7 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         from mini_parallel_tpu.utils.perf_logger import system_monitors
 
         distributed_run = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
-        with system_monitors():
+        with system_monitors() as mon:
             if distributed_run:
                 from mini_parallel_tpu.parallel.distributed import (
                     process_full_wgs_distributed,
@@ -143,6 +143,12 @@ def main(argv: list[str] | None = None, echo=print) -> int:
                 from mini_parallel_tpu.models.wgs import process_full_wgs_dataset
 
                 results = process_full_wgs_dataset(engine, cfg, echo=echo)
+        from mini_parallel_tpu.utils.perf_logger import summarize_monitor_logs
+
+        if mon.run_dir:
+            summary = summarize_monitor_logs(mon.run_dir)
+            if summary:
+                echo(f"Monitor summary ({mon.run_dir}): {summary}")
         echo(f"Processed {len(results)} files")
         return 0
 

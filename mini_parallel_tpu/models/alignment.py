@@ -116,7 +116,8 @@ class AlignmentEngine:
         self._sharded_fns[key] = fn
         return fn
 
-    def _score_sharded_sum(self, kind: str, arr_a, arr_b, len_a, len_b) -> int:
+    def _score_sharded_sum(self, kind: str, arr_a, arr_b, len_a, len_b,
+                           defer: bool = False):
         """Shard a padded batch over the mesh and return the psum'd score sum.
 
         Rows are padded to a multiple of the mesh size with zero-length pad
@@ -146,7 +147,7 @@ class AlignmentEngine:
             put(jnp.asarray(len_a), P(axis)),
             put(jnp.asarray(len_b), P(axis)),
         )
-        return int(out)
+        return out if defer else int(out)
 
     # ------------------------------------------------------------------
     # Core batched primitives
@@ -253,20 +254,38 @@ class AlignmentEngine:
         res = FileResult(file_path=path)
         t0 = time.perf_counter()
         pending: list[bytes] = []
+        # device-side score accumulation: each flush contributes one device
+        # scalar; nothing blocks until the single drain at file end, so host
+        # decode overlaps device compute (the reference synced per chunk,
+        # aligner.rs:527 — its utilization killer)
+        deferred: list = []
 
         def flush():
             if not pending:
                 return
+            # pad the *batch* to a fixed row count too: variable last-batch
+            # shapes would each trigger a fresh XLA compile
+            while len(pending) < device_batch_chunks:
+                pending.append(b"")
+            pad = _bucket(max(len(c) for c in pending))
+            arr, lens = encode.pad_batch(
+                pending, pad_to=pad, pad_value=int(encode.PAD_A)
+            )
+            kind = "contiguous" if self.mode == "contiguous" else "kadane"
             if self.mesh is not None:
-                pad = _bucket(max(len(c) for c in pending))
-                arr, lens = encode.pad_batch(
-                    pending, pad_to=pad, pad_value=int(encode.PAD_A)
+                deferred.append(
+                    self._score_sharded_sum(kind, arr, arr, lens, lens,
+                                            defer=True)
                 )
-                kind = "contiguous" if self.mode == "contiguous" else "kadane"
-                res.score += self._score_sharded_sum(kind, arr, arr, lens, lens)
             else:
-                scores = self._score_concat_self(pending)
-                res.score += int(scores.sum())
+                a = jnp.asarray(arr)
+                ln = jnp.asarray(lens)
+                fn = (
+                    kadane.kadane_contiguous_batch
+                    if kind == "contiguous"
+                    else kadane.kadane_score_batch
+                )
+                deferred.append(fn(a, a, ln, ln).sum())
             pending.clear()
 
         for chunk in fastq.iter_read_chunks(
@@ -277,20 +296,25 @@ class AlignmentEngine:
             if self.mode in ("sw", "sw-affine"):
                 reads = [bytes(r) for r in chunk]
                 res.total_bases += sum(len(r) for r in reads)
+                pad = _bucket(max((len(r) for r in reads), default=1),
+                              floor=self.cfg.read_pad)
+                arr_a, la = encode.pad_batch(
+                    reads, pad_to=pad, pad_value=int(encode.PAD_A)
+                )
+                arr_b, lb = encode.pad_batch(
+                    reads, pad_to=pad, pad_value=int(encode.PAD_B)
+                )
                 if self.mesh is not None:
-                    pad = _bucket(max((len(r) for r in reads), default=1),
-                                  floor=self.cfg.read_pad)
-                    arr_a, la = encode.pad_batch(
-                        reads, pad_to=pad, pad_value=int(encode.PAD_A)
+                    deferred.append(
+                        self._score_sharded_sum(self.mode, arr_a, arr_b, la, lb,
+                                                defer=True)
                     )
-                    arr_b, lb = encode.pad_batch(
-                        reads, pad_to=pad, pad_value=int(encode.PAD_B)
-                    )
-                    res.score += self._score_sharded_sum(self.mode, arr_a,
-                                                         arr_b, la, lb)
                 else:
-                    scores = self.score_read_batch(reads, reads)
-                    res.score += int(scores.sum())
+                    a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
+                    if self.mode == "sw":
+                        deferred.append(sw_score_batch_best(a, b).sum())
+                    else:
+                        deferred.append(self._affine(a, b).sum())
             else:
                 concat = b"".join(chunk)
                 res.total_bases += len(concat)
@@ -303,6 +327,8 @@ class AlignmentEngine:
             if on_chunk is not None:
                 on_chunk(res)
         flush()
+        # single drain: forces all queued device work and fetches the sums
+        res.score += sum(int(np.asarray(s)) for s in deferred)
         res.seconds = time.perf_counter() - t0
         return res
 

@@ -132,3 +132,86 @@ def system_monitors(log_base: str = "logs"):
         if prev is not None:
             with contextlib.suppress(ValueError):
                 signal.signal(signal.SIGINT, prev)
+
+
+def summarize_monitor_logs(run_dir: str) -> dict:
+    """Post-run summary parsed from the monitor logs — the analogue of the
+    reference's log parsers (benchmark.rs:249-414), with real numbers only
+    (fields are absent when a monitor didn't run, never invented)."""
+    import os
+
+    out: dict = {}
+
+    def _floats(parts, idx):
+        try:
+            return float(parts[idx])
+        except (ValueError, IndexError):
+            return None
+
+    # vmstat: max context switches/s (cs column), min free memory
+    path = os.path.join(run_dir, "vmstat.log")
+    if os.path.exists(path):
+        cs_max, free_min = None, None
+        with open(path) as f:
+            header_idx = {}
+            for line in f:
+                parts = line.split()
+                if "cs" in parts and "free" in parts:
+                    header_idx = {name: i for i, name in enumerate(parts)}
+                    continue
+                if not header_idx or not parts or not parts[0].isdigit():
+                    continue
+                cs = _floats(parts, header_idx.get("cs", -1))
+                fr = _floats(parts, header_idx.get("free", -1))
+                if cs is not None:
+                    cs_max = cs if cs_max is None else max(cs_max, cs)
+                if fr is not None:
+                    free_min = fr if free_min is None else min(free_min, fr)
+        if cs_max is not None:
+            out["max_context_switches_per_s"] = cs_max
+        if free_min is not None:
+            out["min_free_memory_kb"] = free_min
+
+    # iostat -dx: peak read throughput (rkB/s column)
+    path = os.path.join(run_dir, "iostat.log")
+    if os.path.exists(path):
+        peak = None
+        with open(path) as f:
+            col = None
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] == "Device":
+                    for i, name in enumerate(parts):
+                        if name.startswith("rkB/s") or name == "rkB/s":
+                            col = i
+                    continue
+                if col is None or not parts or parts[0] == "Device":
+                    continue
+                v = _floats(parts, col)
+                if v is not None:
+                    peak = v if peak is None else max(peak, v)
+        if peak is not None:
+            out["peak_disk_read_kb_per_s"] = peak
+
+    # device_memory.jsonl: peak HBM in use
+    path = os.path.join(run_dir, "device_memory.jsonl")
+    if os.path.exists(path):
+        import json as _json
+
+        peak = None
+        with open(path) as f:
+            for line in f:
+                try:
+                    row = _json.loads(line)
+                except _json.JSONDecodeError:
+                    continue
+                for key, val in row.items():
+                    if key == "t" or not isinstance(val, dict):
+                        continue
+                    v = val.get("peak_bytes_in_use") or val.get("bytes_in_use")
+                    if v:
+                        peak = v if peak is None else max(peak, v)
+        if peak is not None:
+            out["peak_device_bytes_in_use"] = int(peak)
+
+    return out

@@ -1,0 +1,51 @@
+import json
+import os
+import time
+
+from mini_parallel_tpu.utils.perf_logger import (
+    SystemMonitors,
+    summarize_monitor_logs,
+    system_monitors,
+)
+
+
+def test_monitors_start_stop(tmp_path):
+    with system_monitors(log_base=str(tmp_path / "logs")) as mon:
+        assert mon.run_dir is not None
+        time.sleep(1.2)  # let the device sampler tick once
+    assert os.path.exists(os.path.join(mon.run_dir, "device_memory.jsonl"))
+    # monitors are stopped (no leaked child processes)
+    assert mon._procs == {}
+
+
+def test_run_dirs_increment(tmp_path):
+    base = str(tmp_path / "logs")
+    m1 = SystemMonitors(log_base=base)
+    d1 = m1.start()
+    m1.stop()
+    m2 = SystemMonitors(log_base=base)
+    d2 = m2.start()
+    m2.stop()
+    assert d1.endswith("run_1") and d2.endswith("run_2")
+
+
+def test_summarize_monitor_logs(tmp_path):
+    d = str(tmp_path)
+    (tmp_path / "vmstat.log").write_text(
+        "procs memory\n"
+        " r  b   swpd   free   buff  cache si so bi bo in cs us sy id wa st\n"
+        " 1  0      0 800000 10000 20000  0  0  5 10 200 345 1 1 98 0 0\n"
+        " 2  0      0 700000 10000 20000  0  0  5 10 300 999 2 1 97 0 0\n"
+    )
+    (tmp_path / "device_memory.jsonl").write_text(
+        json.dumps({"t": 1, "0": {"bytes_in_use": 100, "peak_bytes_in_use": 5000}})
+        + "\n"
+    )
+    out = summarize_monitor_logs(d)
+    assert out["max_context_switches_per_s"] == 999.0
+    assert out["min_free_memory_kb"] == 700000.0
+    assert out["peak_device_bytes_in_use"] == 5000
+
+
+def test_summarize_empty_dir(tmp_path):
+    assert summarize_monitor_logs(str(tmp_path)) == {}
