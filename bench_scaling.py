@@ -1,0 +1,111 @@
+"""Scaling benchmark: reads/s at increasing mesh sizes.
+
+BASELINE.json measures at "1 chip, 1 host, N>=2 hosts" with a >=80% linear
+scaling target. This harness measures the sharded WGS step at every mesh
+size available and reports per-size throughput + scaling efficiency.
+
+On this dev machine only ONE physical TPU chip is attached, so multi-chip
+numbers here come from the virtual CPU mesh (functional, NOT performance-
+representative — labeled as such in the output). On a real slice, run as-is:
+it uses whatever jax.devices() provides per process, and on multiple hosts
+each process reports its local shard throughput.
+
+Usage: python bench_scaling.py [--reads 100000] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=65536)
+    ap.add_argument("--len", type=int, default=150, dest="read_len")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force an 8-device virtual CPU mesh")
+    args = ap.parse_args()
+
+    import os
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from mini_parallel_tpu.device import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.ops import encode
+    from mini_parallel_tpu.parallel import mesh as mesh_mod
+    from mini_parallel_tpu.parallel import pipeline
+
+    n_dev = jax.device_count()
+    rng = np.random.default_rng(0)
+    base = np.frombuffer(b"ACGT", np.uint8)
+    pad = -(-args.read_len // 8) * 8
+    arr_a = np.full((args.reads, pad), encode.PAD_A, np.uint8)
+    arr_b = np.full((args.reads, pad), encode.PAD_B, np.uint8)
+    arr_a[:, : args.read_len] = rng.choice(base, size=(args.reads, args.read_len))
+    arr_b[:, : args.read_len] = rng.choice(base, size=(args.reads, args.read_len))
+    lens = np.full(args.reads, args.read_len, np.int32)
+
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    rows = []
+    for size in sizes:
+        mesh = mesh_mod.make_mesh((size,), ("data",),
+                                  devices=jax.devices()[:size])
+        step = pipeline.make_wgs_step(mesh)
+        B = (args.reads // size) * size
+        a, b, la, lb = pipeline.shard_batch(
+            mesh,
+            (jnp.asarray(arr_a[:B]), jnp.asarray(arr_b[:B]),
+             jnp.asarray(lens[:B]), jnp.asarray(lens[:B])),
+        )
+        jax.device_get(step(a, b, la, lb))  # warm-up/compile
+
+        def timed(iters: int) -> float:
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = step(a, b, la, lb)
+            jax.device_get(out)
+            return time.perf_counter() - t0
+
+        lo, hi = 1, 5
+        dt = max((timed(hi) - timed(lo)) / (hi - lo), 1e-9)
+        rows.append({"devices": size, "reads_per_s": B / dt,
+                     "batch_ms": dt * 1e3})
+
+    base_rate = rows[0]["reads_per_s"]
+    for r in rows:
+        r["scaling_efficiency"] = r["reads_per_s"] / (base_rate * r["devices"])
+    print(
+        json.dumps(
+            {
+                "metric": "wgs_step_scaling",
+                "platform": jax.devices()[0].platform,
+                "performance_representative": jax.devices()[0].platform == "tpu",
+                "reads": args.reads,
+                "rows": [
+                    {k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in r.items()}
+                    for r in rows
+                ],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,7 @@ class AlignmentEngine:
             shard_map(
                 local,
                 mesh=self.mesh,
+                check_vma=False,  # Pallas out_shape has no varying-axis info
                 in_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
                 out_specs=P(),
             )

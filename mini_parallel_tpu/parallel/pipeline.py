@@ -83,9 +83,12 @@ def make_wgs_step(mesh: Mesh, data_axis: str = DATA_AXIS):
     spec2 = P(data_axis, None)
     spec1 = P(data_axis)
     rep = P()
+    # check_vma=False: the Pallas kernel's out_shape carries no varying-axis
+    # metadata, which the vma checker (rightly) refuses to guess
     sharded = shard_map(
         local_step,
         mesh=mesh,
+        check_vma=False,
         in_specs=(spec2, spec2, spec1, spec1),
         out_specs={
             "parity_score": rep, "sw_score_sum": rep, "sw_score_max": rep,
