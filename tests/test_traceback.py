@@ -1,0 +1,86 @@
+"""SW traceback/CIGAR: batched device path vs golden, plus re-scoring checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mini_parallel_tpu.ops import encode, sw
+from mini_parallel_tpu.ops.sw_traceback import (
+    Alignment,
+    sw_align_batch,
+    sw_align_numpy,
+)
+from tests.conftest import random_dna
+
+
+def rescore(aln: Alignment, a: bytes, b: bytes) -> int:
+    """Recompute the score implied by the CIGAR path — validates any
+    tie-broken variant, not just the golden's choice."""
+    qi, ji = aln.query_start, aln.ref_start
+    score = 0
+    for count, op in aln.cigar_ops():
+        for _ in range(count):
+            if op == "M":
+                score += 2 if a[qi] == b[ji] else -1
+                qi += 1
+                ji += 1
+            elif op == "I":
+                score += -2
+                qi += 1
+            else:
+                score += -2
+                ji += 1
+    assert qi == aln.query_end and ji == aln.ref_end
+    return score
+
+
+def _batchify(ra, rb, pad=64):
+    A, _ = encode.pad_batch(ra, pad_to=pad, pad_value=int(encode.PAD_A))
+    B, _ = encode.pad_batch(rb, pad_to=pad, pad_value=int(encode.PAD_B))
+    return jnp.asarray(A), jnp.asarray(B)
+
+
+def test_golden_simple_match():
+    aln = sw_align_numpy("ACGT", "ACGT")
+    assert aln.score == 8 and aln.cigar == "4M"
+    assert (aln.query_start, aln.query_end) == (0, 4)
+
+
+def test_golden_gap():
+    # AAAATTTCCCC vs AAAACCCC: linear gap -2 each; best path 8M? golden DP
+    aln = sw_align_numpy("AAAATTTCCCC", "AAAACCCC")
+    assert aln.score == sw.sw_score_numpy("AAAATTTCCCC", "AAAACCCC")
+    assert rescore(aln, b"AAAATTTCCCC", b"AAAACCCC") == aln.score
+
+
+def test_batch_scores_and_cigars_match_golden(rng):
+    ra = [random_dna(rng, int(rng.integers(5, 60))) for _ in range(20)]
+    rb = [random_dna(rng, int(rng.integers(5, 60))) for _ in range(20)]
+    A, B = _batchify(ra, rb)
+    alns = sw_align_batch(A, B)
+    for k, aln in enumerate(alns):
+        gold = sw_align_numpy(ra[k], rb[k])
+        assert aln.score == gold.score, k
+        # identical priority order => identical endpoints and CIGAR
+        assert aln.cigar == gold.cigar, k
+        assert (aln.query_start, aln.query_end) == (gold.query_start, gold.query_end)
+        assert (aln.ref_start, aln.ref_end) == (gold.ref_start, gold.ref_end)
+        if aln.score > 0:
+            assert rescore(aln, ra[k], rb[k]) == aln.score
+
+
+def test_batch_with_indel_structure(rng):
+    # reads derived from a template with an insertion: CIGAR must contain I/D
+    t = random_dna(rng, 80)
+    q = t[:40] + b"GGGG" + t[40:]  # 4-base insertion in the query
+    A, B = _batchify([q], [t], pad=96)
+    aln = sw_align_batch(A, B)[0]
+    assert aln.score == sw.sw_score_numpy(q, t)
+    assert "I" in aln.cigar
+    assert rescore(aln, q, t) == aln.score
+
+
+def test_no_alignment():
+    A, B = _batchify([b"AAAA"], [b"TTTT"], pad=8)
+    aln = sw_align_batch(A, B)[0]
+    assert aln.score == 0 and aln.cigar == ""
