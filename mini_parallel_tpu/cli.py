@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference FASTA(.gz) for --variant-prep")
     p.add_argument("--vcf-out", metavar="PATH", default=None,
                    help="write candidate sites as VCF (with --variant-prep)")
+    p.add_argument("--gapped", action="store_true",
+                   help="CIGAR-based gapped pileup for --variant-prep "
+                   "(indel-tolerant; slower)")
     p.add_argument("--allow-cpu", action="store_true",
                    help="proceed without an accelerator (reference exits; "
                    "main.rs:76-79)")
@@ -201,7 +204,7 @@ def main(argv: list[str] | None = None, echo=print) -> int:
 
         try:
             ref = fasta.read_first_sequence(args.reference)
-            veng = VariantPrepEngine(ref, cfg)
+            veng = VariantPrepEngine(ref, cfg, gapped=args.gapped)
             res = veng.process_file(args.variant_prep, progress=echo)
         except (OSError, IOError, ValueError) as e:
             echo(f"ERROR: {e}")

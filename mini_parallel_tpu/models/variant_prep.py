@@ -153,18 +153,95 @@ def _pileup_batch(
     return counts[: G * 5].reshape(G, 5)
 
 
+@partial(jax.jit, static_argnames=("G",))
+def _pileup_positions(
+    codes: jnp.ndarray, positions: jnp.ndarray, G: int
+) -> jnp.ndarray:
+    """Pileup with explicit per-base reference positions (gapped mode).
+
+    positions[b, l] is the reference coordinate of query base l (or -1 for
+    unaligned/inserted/soft-clipped bases)."""
+    B, L = codes.shape
+    valid = (positions >= 0) & (positions < G) & (codes <= 3)
+    bins = jnp.where(valid, positions * 5 + codes.astype(jnp.int32), G * 5)
+    counts = jax.ops.segment_sum(
+        jnp.ones(B * L, jnp.int32), bins.reshape(-1), num_segments=G * 5 + 1
+    )
+    return counts[: G * 5].reshape(G, 5)
+
+
 class VariantPrepEngine:
+    """Variant-call prep with ungapped (fast) or gapped (CIGAR) pileup.
+
+    gapped=True runs a full batched Smith-Waterman with traceback of each
+    mapped read against its anchored reference window, so reads containing
+    indels still pile up their downstream bases at the correct reference
+    coordinates (an ungapped anchor shifts everything after the indel,
+    smearing real SNPs and faking mismatches).
+    """
+
     def __init__(
         self,
         reference: bytes,
         cfg: Config | None = None,
         min_depth: int = 2,
         alt_fraction: float = 0.2,
+        gapped: bool = False,
+        window_margin: int = 16,
     ):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         self.index = ReferenceIndex(reference)
         self.min_depth = min_depth
         self.alt_fraction = alt_fraction
+        self.gapped = gapped
+        self.window_margin = window_margin
+
+    def _gapped_positions(
+        self, codes_np: np.ndarray, lens: np.ndarray, starts: np.ndarray,
+        mapped: np.ndarray,
+    ) -> np.ndarray:
+        """Per-base reference positions via windowed SW + CIGAR traceback."""
+        from mini_parallel_tpu.ops.sw_traceback import sw_align_batch
+
+        B, L = codes_np.shape
+        ref = self.index.ref_codes
+        G = len(ref)
+        margin = self.window_margin
+        W = L + 2 * margin
+        # gather each read's anchored reference window (host: cheap slices)
+        win_starts = np.clip(starts - margin, 0, max(G - W, 0))
+        windows = np.full((B, W), int(encode.PAD_B), np.uint8)
+        ref_ascii = np.frombuffer(self.index.reference, np.uint8)
+        for b in range(B):
+            if mapped[b]:
+                ws = int(win_starts[b])
+                seg = ref_ascii[ws : ws + W]
+                windows[b, : len(seg)] = seg
+        # query as ASCII with PAD_A pads (decode codes back via table)
+        q_ascii = np.full((B, L), int(encode.PAD_A), np.uint8)
+        base_ascii = np.frombuffer(b"ACGTN", np.uint8)
+        for b in range(B):
+            n = int(lens[b])
+            q_ascii[b, :n] = base_ascii[np.minimum(codes_np[b, :n], 4)]
+        alns = sw_align_batch(jnp.asarray(q_ascii), jnp.asarray(windows))
+        positions = np.full((B, L), -1, np.int32)
+        for b, aln in enumerate(alns):
+            if not mapped[b] or aln.score <= 0:
+                continue
+            qi = aln.query_start
+            rj = int(win_starts[b]) + aln.ref_start
+            for count, op in aln.cigar_ops():
+                if op == "M":
+                    positions[b, qi : qi + count] = np.arange(
+                        rj, rj + count, dtype=np.int32
+                    )
+                    qi += count
+                    rj += count
+                elif op == "I":
+                    qi += count
+                else:  # D
+                    rj += count
+        return positions
 
     def process_reads_batch(self, reads: list[bytes], pileup_acc: jnp.ndarray
                             ) -> tuple[jnp.ndarray, int]:
@@ -193,9 +270,20 @@ class VariantPrepEngine:
         final_starts = jnp.where(use_rc, rc_starts, starts)
         final_mapped = mapped | rc_mapped
 
-        pileup_acc = pileup_acc + _pileup_batch(
-            final_codes, lens_j, final_starts, final_mapped, G
-        )
+        if self.gapped:
+            codes_np = np.asarray(final_codes)
+            lens_np = np.where(np.asarray(use_rc), np.asarray(rc_lens), lens)
+            positions = self._gapped_positions(
+                codes_np, lens_np, np.asarray(final_starts),
+                np.asarray(final_mapped),
+            )
+            pileup_acc = pileup_acc + _pileup_positions(
+                final_codes, jnp.asarray(positions), G
+            )
+        else:
+            pileup_acc = pileup_acc + _pileup_batch(
+                final_codes, lens_j, final_starts, final_mapped, G
+            )
         return pileup_acc, int(np.asarray(final_mapped).sum())
 
     def process_file(self, path: str, progress=None) -> VariantPrepResult:

@@ -144,3 +144,49 @@ def test_variant_prep_unmappable_reads(tmp_path, rng, cfg, ref_and_reads):
     # random 80-mers are overwhelmingly absent from a 2kb reference
     assert res.mapped_reads <= 1
     assert res.pileup[:, :4].sum() <= 100
+
+
+def test_variant_prep_gapped_handles_indel_reads(tmp_path, rng, cfg, ref_and_reads):
+    # Reads carry a 2-base DELETION before a real SNP. Ungapped anchoring
+    # shifts all post-indel bases, smearing the SNP; gapped (CIGAR) pileup
+    # must still call it at the exact position.
+    ref, _ = ref_and_reads
+    snp_pos = 1200
+    ref_base = ref[snp_pos : snp_pos + 1]
+    alt = b"A" if ref_base != b"A" else b"C"
+    reads = []
+    for i in range(15):
+        start = snp_pos - 60 + (i % 5)
+        seg = bytearray(ref[start : start + 110])
+        seg[snp_pos - start] = alt[0]
+        del seg[30:32]  # 2-base deletion upstream of the SNP
+        reads.append(bytes(seg))
+    path = str(tmp_path / "indel.fastq.gz")
+    fastq.write_fastq(path, reads)
+
+    gapped = VariantPrepEngine(ref, cfg, min_depth=5, alt_fraction=0.6, gapped=True)
+    res = gapped.process_file(path)
+    assert res.mapping_rate == 1.0
+    hits = [c for c in res.candidates if c.pos == snp_pos]
+    assert len(hits) == 1
+    assert hits[0].alt_base == alt.decode() and hits[0].depth == 15
+
+    # the ungapped engine must NOT find it at the right position (the reads'
+    # post-deletion bases land 2 positions off) — demonstrating why gapped
+    # pileup exists
+    ungapped = VariantPrepEngine(ref, cfg, min_depth=5, alt_fraction=0.6)
+    res_u = ungapped.process_file(path)
+    assert not any(c.pos == snp_pos and c.alt_base == alt.decode()
+                   and c.depth >= 15 for c in res_u.candidates)
+
+
+def test_variant_prep_gapped_clean_reads_identical_to_ungapped(
+    tmp_path, rng, cfg, ref_and_reads
+):
+    ref, reads = ref_and_reads
+    path = str(tmp_path / "clean2.fastq.gz")
+    fastq.write_fastq(path, [r for _, r in reads])
+    a = VariantPrepEngine(ref, cfg, gapped=False).process_file(path)
+    b = VariantPrepEngine(ref, cfg, gapped=True).process_file(path)
+    assert (a.pileup == b.pileup).all()
+    assert a.candidates == b.candidates == []
