@@ -37,6 +37,33 @@ from mini_parallel_tpu.utils.config import Config
 MIN_SELF_CHUNK_BASES = 1000  # aligner.rs:366-368: skip chunks < 1000 bases
 
 
+class SequenceTooLarge(ValueError):
+    """Mirror of the reference's launch guard (aligner.rs:445-455)."""
+
+
+def check_device_budget(batch_bytes: int) -> None:
+    """Refuse launches that would overrun the HBM budget.
+
+    Reference behavior: cap a launch at available_memory/3 and error with a
+    descriptive message (aligner.rs:436-456, system_info.rs:236-243). When
+    the runtime can't report HBM (e.g. the axon tunnel), the guard is a
+    no-op — XLA's own allocator still fails loudly.
+    """
+    from mini_parallel_tpu.utils.system_info import get_system_info
+
+    info = get_system_info()
+    budget = info.available_device_memory_bytes()
+    if budget is None:
+        return
+    limit = budget // 3  # 3x overhead rule, aligner.rs:440
+    if batch_bytes > limit:
+        raise SequenceTooLarge(
+            f"Batch too large ({batch_bytes} bytes), max allowed: {limit} "
+            f"bytes ({limit // (1024*1024)} MB). Device budget: "
+            f"{budget // (1024*1024)} MB"
+        )
+
+
 def _bucket(n: int, floor: int = 1 << 10) -> int:
     """Round up to a power of two (bounded recompile count across chunk sizes)."""
     b = floor
@@ -160,6 +187,7 @@ class AlignmentEngine:
                 max((len(r) for r in reads_b), default=1)),
             floor=self.cfg.read_pad,
         )
+        check_device_budget(2 * len(reads_a) * pad)
         arr_a, len_a = encode.pad_batch(reads_a, pad_to=pad, pad_value=int(encode.PAD_A))
         arr_b, len_b = encode.pad_batch(reads_b, pad_to=pad, pad_value=int(encode.PAD_B))
         a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
@@ -269,6 +297,7 @@ class AlignmentEngine:
             while len(pending) < device_batch_chunks:
                 pending.append(b"")
             pad = _bucket(max(len(c) for c in pending))
+            check_device_budget(len(pending) * pad)
             arr, lens = encode.pad_batch(
                 pending, pad_to=pad, pad_value=int(encode.PAD_A)
             )

@@ -183,3 +183,25 @@ def test_cli_no_args_prints_help(capsys):
     from mini_parallel_tpu.cli import main
 
     assert main([]) == 2
+
+
+def test_device_memory_guard(monkeypatch):
+    # mirror of aligner.rs:436-456: oversized launches error descriptively
+    from mini_parallel_tpu.models import alignment
+    from mini_parallel_tpu.utils import system_info
+
+    info = system_info.SystemInfo(hbm_bytes_limit=3 * 1024 * 1024)  # tiny HBM
+    monkeypatch.setattr(alignment, "check_device_budget",
+                        alignment.check_device_budget)  # keep real fn
+    monkeypatch.setattr(
+        "mini_parallel_tpu.utils.system_info.get_system_info", lambda: info
+    )
+    with pytest.raises(alignment.SequenceTooLarge, match="Batch too large"):
+        alignment.check_device_budget(10 * 1024 * 1024)
+    alignment.check_device_budget(100)  # under budget: fine
+    # unknown HBM: guard is a no-op
+    info2 = system_info.SystemInfo(hbm_bytes_limit=None)
+    monkeypatch.setattr(
+        "mini_parallel_tpu.utils.system_info.get_system_info", lambda: info2
+    )
+    alignment.check_device_budget(1 << 40)
