@@ -13,17 +13,25 @@ inter-sequence SIMD):
   one-row insert at the top + shift down one sublane (a static concatenate,
   which Mosaic lowers better than a masked circular roll) — instead of a
   per-step gather;
-- two previous diagonals live in VMEM scratch; the per-cell max accumulates
-  in a (M, B) tile and reduces once at the end, so the inner loop is pure
-  elementwise VPU work with no reductions;
+- the previous diagonal is stored BOTH as-is (d1) and pre-shifted one sublane
+  down (d1s): d1s written this step is exactly shift(d2) needed next step, so
+  each step pays 2 shifts (window + d1) instead of 3;
+- the per-cell max accumulates in a (M, B) tile and reduces once at the end,
+  so the inner loop is pure elementwise VPU work with no reductions;
 - the up/left gap candidates share one shift: max(D1[i-1], D1[i]) + GAP is
   valid because H >= 0 everywhere (the i=0 boundary reduces to D1[0]);
-- grid over read blocks of B_BLK lanes; each block's DP runs M+N-1 fori_loop
-  steps entirely in VMEM.
+- grid over read blocks of B_BLK=128 lanes (one vreg wide — measured ~2x
+  faster than 512 on v5e, better VMEM/vreg locality), UNROLL=4 diagonal
+  steps per fori_loop iteration; each block's DP runs ceil((M+N-1)/UNROLL)
+  loop steps entirely in VMEM. Overshoot diagonals (d >= M+N-1) are harmless:
+  the window is all PAD_B there, so candidates only shrink.
 
-Measured on TPU v5e (10k reads x 150bp, int32): ~63 GCUPS vs ~11 GCUPS for
-the pure-JAX scan (ops/sw.py). int16 variants currently fail to lower in
-Mosaic (sublane roll/compare on i16), else they would double vreg packing.
+Measured on TPU v5e (10k reads x 150bp, int32): ~160 GCUPS vs ~11 GCUPS for
+the pure-JAX scan (ops/sw.py) — the progression was 63 (naive wavefront,
+B_BLK=512) -> 79 (pre-shifted diagonal) -> 127 (B_BLK=128) -> 160 (unroll 4).
+int16 state would double vreg packing but does not lower in this Mosaic
+(i1 mask relayout to (16,128) packing fails; vector arith.maxsi on i16 is
+not legalized) — revisit on newer toolchains.
 
 Scoring: match +2 / mismatch -1 / gap -2, local alignment (floor 0), exactly
 ops/sw.py's semantics; validated against it (and the NumPy golden) in tests.
@@ -41,10 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 from mini_parallel_tpu.ops.encode import PAD_A, PAD_B
 from mini_parallel_tpu.ops.sw import GAP_PENALTY, MATCH_SCORE, MISMATCH_PENALTY
 
-B_BLK = 512  # reads per kernel block (lane axis; 512 beat 1024/2048 on v5e)
+B_BLK = 128  # reads per kernel block (one vreg of lanes; beat 256/512 on v5e)
+UNROLL = 4  # diagonal steps per fori_loop iteration (4 beat 2/8/16 on v5e)
 
 
-def _sw_kernel(a_ref, b_ref, out_ref, w, d1, d2, best):
+def _sw_kernel(a_ref, b_ref, out_ref, w, d1, d1s, best):
     M, B = a_ref.shape
     N = b_ref.shape[0]
     a = a_ref[:]
@@ -52,31 +61,32 @@ def _sw_kernel(a_ref, b_ref, out_ref, w, d1, d2, best):
     zrow = jnp.zeros((1, B), jnp.int32)
     w[:] = jnp.full((M, B), int(PAD_B), jnp.int32)
     d1[:] = zeros
-    d2[:] = zeros
+    d1s[:] = zeros
     best[:] = zeros
 
-    def step(d, _):
+    def one_diag(d, wv_prev, d1v, d1sv, bestv):
         # advance the b-window: w[i] = b[d - i]
         idx = jnp.minimum(d, N - 1)
         new_row = jnp.where(d < N, b_ref[pl.ds(idx, 1), :], int(PAD_B))
-        wv = jnp.concatenate([new_row, w[:][:-1]], axis=0)
-        w[:] = wv
-
+        wv = jnp.concatenate([new_row, wv_prev[:-1]], axis=0)
         s = jnp.where(a == wv, MATCH_SCORE, MISMATCH_PENALTY)
-        d1v = d1[:]
-        diag = jnp.concatenate([zrow, d2[:][:-1]], axis=0) + s
+        # d1sv is shift(previous d1) == shift(d2 of this step)
+        diag = d1sv + s
+        sh = jnp.concatenate([zrow, d1v[:-1]], axis=0)
         # up/left share one shift; valid since H >= 0 makes the i=0 case D1[0]
-        ud = (
-            jnp.maximum(jnp.concatenate([zrow, d1v[:-1]], axis=0), d1v)
-            + GAP_PENALTY
-        )
+        ud = jnp.maximum(sh, d1v) + GAP_PENALTY
         cand = jnp.maximum(jnp.maximum(diag, ud), zeros)
-        best[:] = jnp.maximum(best[:], cand)
-        d2[:] = d1v
-        d1[:] = cand
+        return wv, cand, sh, jnp.maximum(bestv, cand)
+
+    def step(k, _):
+        d = UNROLL * k
+        st = (w[:], d1[:], d1s[:], best[:])
+        for u in range(UNROLL):
+            st = one_diag(d + u, *st)
+        w[:], d1[:], d1s[:], best[:] = st
         return ()
 
-    jax.lax.fori_loop(0, M + N - 1, step, ())
+    jax.lax.fori_loop(0, -(-(M + N - 1) // UNROLL), step, ())
     out_ref[:] = jnp.max(best[:], axis=0, keepdims=True)
 
 
@@ -143,7 +153,9 @@ _NEG = -(2**24)  # large-negative init that cannot overflow int32 when added
 
 
 def _sw_affine_kernel_factory(gap_open: int, gap_extend: int):
-    def kernel(a_ref, b_ref, out_ref, w, h1, h2, e1, f1, best):
+    def kernel(a_ref, b_ref, out_ref, w, h1, h1s, e1, f1, best):
+        # h1s holds shift(previous h1), i.e. exactly shift(h2) needed for the
+        # diagonal term this step — same pre-shift trick as _sw_kernel.
         M, B = a_ref.shape
         N = b_ref.shape[0]
         a = a_ref[:]
@@ -152,36 +164,37 @@ def _sw_affine_kernel_factory(gap_open: int, gap_extend: int):
         nrow = jnp.full((1, B), _NEG, jnp.int32)
         w[:] = jnp.full((M, B), int(PAD_B), jnp.int32)
         h1[:] = zeros
-        h2[:] = zeros
+        h1s[:] = zeros
         e1[:] = jnp.full((M, B), _NEG, jnp.int32)
         f1[:] = jnp.full((M, B), _NEG, jnp.int32)
         best[:] = zeros
 
-        def step(d, _):
+        def one_diag(d, wv_prev, h1v, h1sv, ev, fv, bestv):
             idx = jnp.minimum(d, N - 1)
             new_row = jnp.where(d < N, b_ref[pl.ds(idx, 1), :], int(PAD_B))
-            wv = jnp.concatenate([new_row, w[:][:-1]], axis=0)
-            w[:] = wv
+            wv = jnp.concatenate([new_row, wv_prev[:-1]], axis=0)
             s = jnp.where(a == wv, MATCH_SCORE, MISMATCH_PENALTY)
-            h1v = h1[:]
-            e = jnp.maximum(e1[:], h1v + gap_open) + gap_extend
+            sh = jnp.concatenate([zrow, h1v[:-1]], axis=0)
+            e = jnp.maximum(ev, h1v + gap_open) + gap_extend
             f = (
                 jnp.maximum(
-                    jnp.concatenate([nrow, f1[:][:-1]], axis=0),
-                    jnp.concatenate([zrow, h1v[:-1]], axis=0) + gap_open,
+                    jnp.concatenate([nrow, fv[:-1]], axis=0), sh + gap_open
                 )
                 + gap_extend
             )
-            diag = jnp.concatenate([zrow, h2[:][:-1]], axis=0) + s
+            diag = h1sv + s
             h = jnp.maximum(jnp.maximum(diag, 0), jnp.maximum(e, f))
-            best[:] = jnp.maximum(best[:], h)
-            h2[:] = h1v
-            h1[:] = h
-            e1[:] = e
-            f1[:] = f
+            return wv, h, sh, e, f, jnp.maximum(bestv, h)
+
+        def step(k, _):
+            d = UNROLL * k
+            st = (w[:], h1[:], h1s[:], e1[:], f1[:], best[:])
+            for u in range(UNROLL):
+                st = one_diag(d + u, *st)
+            w[:], h1[:], h1s[:], e1[:], f1[:], best[:] = st
             return ()
 
-        jax.lax.fori_loop(0, M + N - 1, step, ())
+        jax.lax.fori_loop(0, -(-(M + N - 1) // UNROLL), step, ())
         out_ref[:] = jnp.max(best[:], axis=0, keepdims=True)
 
     return kernel
