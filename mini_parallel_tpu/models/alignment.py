@@ -28,6 +28,7 @@ import numpy as np
 
 from mini_parallel_tpu.io import fastq
 from mini_parallel_tpu.ops import encode, kadane, sw
+from mini_parallel_tpu.ops import packed as packedmod
 from mini_parallel_tpu.ops.sw_pallas import (
     sw_affine_batch_pallas,
     sw_score_batch_best,
@@ -109,6 +110,105 @@ class AlignmentEngine:
         # scaling is file-level, parallel/distributed.py)
         self.mesh = mesh
         self._sharded_fns: dict = {}
+        self._packed_fns: dict = {}
+
+    # ------------------------------------------------------------------
+    # 2-bit packed transfer path (ops/packed.py): 4x fewer H2D wire bytes,
+    # bit-exact (exceptions restore non-ACGT bytes, pads refill from lens)
+    # ------------------------------------------------------------------
+    def _local_scores(self, kind: str, a, b, la, lb):
+        """Per-pair device scores for already-unpacked operands."""
+        if kind == "sw":
+            return sw_score_batch_best(a, b)
+        if kind == "sw-affine":
+            return self._affine(a, b)
+        if kind == "contiguous":
+            return kadane.kadane_contiguous_batch(a, b, la, lb)
+        return kadane.kadane_score_batch(a, b, la, lb)
+
+    def _packed_fn(self, kind: str, shape: str):
+        """Cached jitted scorer over packed inputs.
+
+        shape="self": one packed batch scored against itself (sum scalar).
+        shape="pair": two packed batches, per-pair scores (B,).
+        """
+        key = (kind, shape)
+        if key in self._packed_fns:
+            return self._packed_fns[key]
+        import jax
+
+        two_sided = kind in ("sw", "sw-affine")
+
+        def self_fn(pk, ec, ev, ln):
+            a = packedmod.unpack_device(pk, ec, ev, ln, int(encode.PAD_A))
+            b = (
+                packedmod.unpack_device(pk, ec, ev, ln, int(encode.PAD_B))
+                if two_sided
+                else a
+            )
+            return self._local_scores(kind, a, b, ln, ln).sum()
+
+        def pair_fn(pka, eca, eva, lna, pkb, ecb, evb, lnb):
+            a = packedmod.unpack_device(pka, eca, eva, lna, int(encode.PAD_A))
+            b = packedmod.unpack_device(pkb, ecb, evb, lnb, int(encode.PAD_B))
+            return self._local_scores(kind, a, b, lna, lnb)
+
+        fn = jax.jit(self_fn if shape == "self" else pair_fn)
+        self._packed_fns[key] = fn
+        return fn
+
+    def _packed_sharded_fn(self, kind: str):
+        """Cached jitted shard_map scorer over packed inputs (self-shape)."""
+        key = (kind, "sharded")
+        if key in self._packed_fns:
+            return self._packed_fns[key]
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        two_sided = kind in ("sw", "sw-affine")
+
+        def local(pk, ec, ev, ln):
+            a = packedmod.unpack_device(pk, ec, ev, ln, int(encode.PAD_A))
+            b = (
+                packedmod.unpack_device(pk, ec, ev, ln, int(encode.PAD_B))
+                if two_sided
+                else a
+            )
+            scores = self._local_scores(kind, a, b, ln, ln)
+            return jax.lax.psum(scores.sum(), axis)
+
+        fn = jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                check_vma=False,  # Pallas out_shape has no varying-axis info
+                in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+                out_specs=P(),
+            )
+        )
+        self._packed_fns[key] = fn
+        return fn
+
+    def _packed_self_sum(self, kind: str, arr: np.ndarray, lens: np.ndarray):
+        """Pack a self-alignment batch and queue its device score sum."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pb = packedmod.pack_batch(arr, lens)
+        if self.mesh is None:
+            return self._packed_fn(kind, "self")(*packedmod.device_args(pb))
+        n = self.mesh.devices.size
+        pb = packedmod.pad_rows(pb, -(-pb.batch // n) * n)
+        axis = self.mesh.axis_names[0]
+        put = lambda x, nd: jax.device_put(
+            x, NamedSharding(self.mesh, P(axis, *([None] * (nd - 1))))
+        )
+        args = packedmod.device_args(pb)
+        return self._packed_sharded_fn(kind)(
+            put(args[0], 2), put(args[1], 2), put(args[2], 2), put(args[3], 1)
+        )
 
     def _sharded_scorer(self, kind: str):
         """Cache one jitted shard_map scorer per (kind) for self.mesh."""
@@ -190,6 +290,13 @@ class AlignmentEngine:
         check_device_budget(2 * len(reads_a) * pad)
         arr_a, len_a = encode.pad_batch(reads_a, pad_to=pad, pad_value=int(encode.PAD_A))
         arr_b, len_b = encode.pad_batch(reads_b, pad_to=pad, pad_value=int(encode.PAD_B))
+        if self.cfg.packed_transfer and pad % 4 == 0:
+            pa = packedmod.pack_batch(arr_a, len_a)
+            pb = packedmod.pack_batch(arr_b, len_b)
+            out = self._packed_fn(self.mode, "pair")(
+                *packedmod.device_args(pa), *packedmod.device_args(pb)
+            )
+            return np.asarray(out)
         a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
         if self.mode == "sw":
             out = sw_score_batch_best(a, b)
@@ -302,7 +409,9 @@ class AlignmentEngine:
                 pending, pad_to=pad, pad_value=int(encode.PAD_A)
             )
             kind = "contiguous" if self.mode == "contiguous" else "kadane"
-            if self.mesh is not None:
+            if self.cfg.packed_transfer and pad % 4 == 0:
+                deferred.append(self._packed_self_sum(kind, arr, lens))
+            elif self.mesh is not None:
                 deferred.append(
                     self._score_sharded_sum(kind, arr, arr, lens, lens,
                                             defer=True)
@@ -328,6 +437,14 @@ class AlignmentEngine:
                 res.total_bases += sum(len(r) for r in reads)
                 pad = _bucket(max((len(r) for r in reads), default=1),
                               floor=self.cfg.read_pad)
+                if self.cfg.packed_transfer and pad % 4 == 0:
+                    arr_a, la = encode.pad_batch(
+                        reads, pad_to=pad, pad_value=int(encode.PAD_A)
+                    )
+                    deferred.append(self._packed_self_sum(self.mode, arr_a, la))
+                    if on_chunk is not None:
+                        on_chunk(res)
+                    continue
                 arr_a, la = encode.pad_batch(
                     reads, pad_to=pad, pad_value=int(encode.PAD_A)
                 )

@@ -15,7 +15,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 
 def _ensure_built(lib: str) -> str | None:
     path = os.path.join(_DIR, lib)
-    srcs = [os.path.join(_DIR, s) for s in ("fastq_reader.cpp", "kmer_store.cpp")]
+    srcs = [os.path.join(_DIR, s) for s in
+            ("fastq_reader.cpp", "kmer_store.cpp", "pack2bit.cpp")]
     if os.path.exists(path) and all(
         os.path.getmtime(path) >= os.path.getmtime(s) for s in srcs if os.path.exists(s)
     ):

@@ -24,9 +24,56 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mini_parallel_tpu.ops import encode, kadane, sw
+from mini_parallel_tpu.ops import packed as packedmod
 from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
 from mini_parallel_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
 from mini_parallel_tpu.parallel import collectives
+
+
+def _local_wgs_step(reads_a, reads_b, len_a, len_b, data_axis):
+    parity = kadane.kadane_score_batch(reads_a, reads_b, len_a, len_b)
+    sw_scores = sw_score_batch_best(reads_a, reads_b)
+
+    # complementarity: r1 vs revcomp(r2); perfectly complementary pairs
+    # align end-to-end with all matches => SW == 2*min(len)
+    rc_b = jnp.where(
+        reads_b == encode.PAD_B, encode.PAD_B, encode.complement_ascii(reads_b)
+    )
+    # reverse only the valid prefix: flip then roll each row by its pad
+    flipped = jnp.flip(rc_b, axis=1)
+    L = reads_b.shape[1]
+    shift = (len_b - L) % jnp.int32(L)
+
+    def roll_row(row, s):
+        return jnp.roll(row, s)
+
+    rc_b = jax.vmap(roll_row)(flipped, shift)
+    comp_scores = sw_score_batch_best(reads_a, rc_b)
+    minlen = jnp.minimum(len_a, len_b)
+    valid_pair = minlen > 0
+    perfect = (comp_scores == 2 * minlen) & valid_pair
+
+    # base-composition histogram over valid positions of reads_a
+    codes = encode.ascii_to_code(reads_a)
+    pos = jnp.arange(reads_a.shape[1], dtype=jnp.int32)[None, :]
+    vmask = pos < len_a[:, None]
+    hist = jnp.zeros((5,), jnp.int32)
+    one_hot = (codes[..., None] == jnp.arange(5)[None, None, :]) & vmask[..., None]
+    hist = one_hot.sum(axis=(0, 1), dtype=jnp.int32)
+
+    stats = {
+        "parity_score": collectives.merge_scores(parity.sum(), data_axis),
+        "sw_score_sum": collectives.merge_scores(sw_scores.sum(), data_axis),
+        "sw_score_max": collectives.merge_max(sw_scores.max(), data_axis),
+        "pairs": collectives.merge_scores(valid_pair.sum(dtype=jnp.int32), data_axis),
+        "complementary_pairs": collectives.merge_scores(
+            perfect.sum(dtype=jnp.int32), data_axis
+        ),
+        "base_hist": collectives.merge_histogram(hist, data_axis),
+        "bases": collectives.merge_scores(len_a.sum(), data_axis),
+    }
+    return stats
+
 
 
 def make_wgs_step(mesh: Mesh, data_axis: str = DATA_AXIS):
@@ -37,48 +84,7 @@ def make_wgs_step(mesh: Mesh, data_axis: str = DATA_AXIS):
     """
 
     def local_step(reads_a, reads_b, len_a, len_b):
-        parity = kadane.kadane_score_batch(reads_a, reads_b, len_a, len_b)
-        sw_scores = sw_score_batch_best(reads_a, reads_b)
-
-        # complementarity: r1 vs revcomp(r2); perfectly complementary pairs
-        # align end-to-end with all matches => SW == 2*min(len)
-        rc_b = jnp.where(
-            reads_b == encode.PAD_B, encode.PAD_B, encode.complement_ascii(reads_b)
-        )
-        # reverse only the valid prefix: flip then roll each row by its pad
-        flipped = jnp.flip(rc_b, axis=1)
-        L = reads_b.shape[1]
-        shift = (len_b - L) % jnp.int32(L)
-
-        def roll_row(row, s):
-            return jnp.roll(row, s)
-
-        rc_b = jax.vmap(roll_row)(flipped, shift)
-        comp_scores = sw_score_batch_best(reads_a, rc_b)
-        minlen = jnp.minimum(len_a, len_b)
-        valid_pair = minlen > 0
-        perfect = (comp_scores == 2 * minlen) & valid_pair
-
-        # base-composition histogram over valid positions of reads_a
-        codes = encode.ascii_to_code(reads_a)
-        pos = jnp.arange(reads_a.shape[1], dtype=jnp.int32)[None, :]
-        vmask = pos < len_a[:, None]
-        hist = jnp.zeros((5,), jnp.int32)
-        one_hot = (codes[..., None] == jnp.arange(5)[None, None, :]) & vmask[..., None]
-        hist = one_hot.sum(axis=(0, 1), dtype=jnp.int32)
-
-        stats = {
-            "parity_score": collectives.merge_scores(parity.sum(), data_axis),
-            "sw_score_sum": collectives.merge_scores(sw_scores.sum(), data_axis),
-            "sw_score_max": collectives.merge_max(sw_scores.max(), data_axis),
-            "pairs": collectives.merge_scores(valid_pair.sum(dtype=jnp.int32), data_axis),
-            "complementary_pairs": collectives.merge_scores(
-                perfect.sum(dtype=jnp.int32), data_axis
-            ),
-            "base_hist": collectives.merge_histogram(hist, data_axis),
-            "bases": collectives.merge_scores(len_a.sum(), data_axis),
-        }
-        return stats
+        return _local_wgs_step(reads_a, reads_b, len_a, len_b, data_axis)
 
     spec2 = P(data_axis, None)
     spec1 = P(data_axis)
@@ -90,6 +96,37 @@ def make_wgs_step(mesh: Mesh, data_axis: str = DATA_AXIS):
         mesh=mesh,
         check_vma=False,
         in_specs=(spec2, spec2, spec1, spec1),
+        out_specs={
+            "parity_score": rep, "sw_score_sum": rep, "sw_score_max": rep,
+            "pairs": rep, "complementary_pairs": rep,
+            "base_hist": rep, "bases": rep,
+        },
+    )
+    return jax.jit(sharded)
+
+
+def make_wgs_step_packed(mesh: Mesh, data_axis: str = DATA_AXIS):
+    """The sharded WGS step over 2-bit packed inputs (ops/packed.py).
+
+    Same stats as make_wgs_step, but each operand crosses the host->device
+    wire as (packed, exc_col, exc_val, lengths) — 4x fewer bytes — and is
+    unpacked per-shard on the VPU, where XLA fuses the unpack into the
+    consumers. Call as step(*device_args(pa), *device_args(pb)).
+    """
+
+    def local_step(pk_a, ec_a, ev_a, ln_a, pk_b, ec_b, ev_b, ln_b):
+        reads_a = packedmod.unpack_device(pk_a, ec_a, ev_a, ln_a, int(encode.PAD_A))
+        reads_b = packedmod.unpack_device(pk_b, ec_b, ev_b, ln_b, int(encode.PAD_B))
+        return _local_wgs_step(reads_a, reads_b, ln_a, ln_b, data_axis)
+
+    spec2 = P(data_axis, None)
+    spec1 = P(data_axis)
+    rep = P()
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(spec2, spec2, spec2, spec1) * 2,
         out_specs={
             "parity_score": rep, "sw_score_sum": rep, "sw_score_max": rep,
             "pairs": rep, "complementary_pairs": rep,

@@ -64,6 +64,10 @@ class Config:
     mode: str = "kadane"  # "kadane" parity | "sw" | "sw-affine" | "contiguous"
     gap_open: int = -2  # affine mode: first gap char costs open + extend
     gap_extend: int = -1
+    # 2-bit packed host->device transfer (ops/packed.py): 4x fewer wire
+    # bytes, bit-exact via per-row exception lists. Off = raw uint8 ASCII
+    # (the reference's representation, aligner.rs:478-499).
+    packed_transfer: bool = True
 
     @property
     def total_files(self) -> int:
@@ -118,4 +122,6 @@ def get_config(env: dict | None = None, require_chunk_size: bool = True) -> Conf
         mode=env.get("MPT_MODE", "kadane"),
         gap_open=_int(env, "MPT_GAP_OPEN", -2),
         gap_extend=_int(env, "MPT_GAP_EXTEND", -1),
+        packed_transfer=str(env.get("MPT_PACKED_TRANSFER", "true")).lower()
+        != "false",
     )
