@@ -3,6 +3,15 @@
 The real implementation of the reference's empty ``k_mer/`` workload
 (`k_mer/kmer.txt:1`), per BASELINE.json config 3: "k-mer counting (k=21) over
 one FASTQ lane with exact count parity".
+
+Transfer discipline (the pipeline is wire-bound, not compute-bound):
+- host->device: reads ship 2-bit packed (ops/packed.py), 4x fewer bytes;
+- device->host: unique keys are compacted to the front of the sorted output
+  (ops/kmer.py), so only the [0, n_unique) prefix is fetched — bucketed to a
+  power of two to keep the fetch-program cache warm;
+- the cross-batch aggregate lives in the native C++ hash store
+  (native/kmer_store.cpp) and is surfaced as NumPy arrays, never a 10M+
+  entry Python dict.
 """
 
 from __future__ import annotations
@@ -15,6 +24,7 @@ import numpy as np
 
 from mini_parallel_tpu.io import fastq
 from mini_parallel_tpu.ops import encode, kmer
+from mini_parallel_tpu.ops import packed as packedmod
 from mini_parallel_tpu.utils.config import Config
 
 
@@ -27,11 +37,32 @@ class KmerResult:
     distinct_kmers: int = 0
     total_reads: int = 0
     seconds: float = 0.0
-    counts: dict = field(default_factory=dict)  # (hi, lo) -> count
+    # (hi, lo, count) int32/int32/uint64 NumPy arrays of the distinct k-mers
+    arrays: tuple = ()
+
+    @property
+    def counts(self) -> dict:
+        """(hi, lo) -> count dict. O(distinct): use .arrays for large runs."""
+        hi, lo, ct = self.arrays
+        return {
+            (int(hi[i]), int(lo[i])): int(ct[i]) for i in range(hi.size)
+        }
 
     def top(self, n: int = 10) -> list[tuple[str, int]]:
-        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
-        return [(kmer.key_to_string(h, l, self.k), c) for (h, l), c in items]
+        hi, lo, ct = self.arrays
+        order = np.lexsort((lo, hi, -ct.astype(np.int64)))[:n]
+        return [
+            (kmer.key_to_string(int(hi[i]), int(lo[i]), self.k), int(ct[i]))
+            for i in order
+        ]
+
+
+def _fetch_bucket(n: int, cap: int) -> int:
+    """Power-of-two fetch size >= n (bounds the fetch-slice compile count)."""
+    b = 1 << 10
+    while b < n:
+        b <<= 1
+    return min(b, cap)
 
 
 class KmerEngine:
@@ -51,7 +82,11 @@ class KmerEngine:
 
     def make_store(self):
         """Native hash store when built, else a plain dict."""
-        return self._store_factory() if self._store_factory else {}
+        if self._store_factory:
+            # start at 4M slots: saves ~8 early full-table rehashes on
+            # WGS-scale runs (the table doubles toward 10^7+ distinct keys)
+            return self._store_factory(initial_capacity=1 << 22)
+        return {}
 
     def count_reads_batch(self, reads: list[bytes], agg) -> tuple[int, int]:
         """Count one batch on device, merge into ``agg``. Returns
@@ -61,11 +96,22 @@ class KmerEngine:
         )
         pad = -(-pad // 8) * 8
         arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
-        codes = encode.ascii_to_code(jnp.asarray(arr))
-        hi, lo, counts = kmer.unique_counts_batch(
-            codes, jnp.asarray(lens), k=self.k, canonical=self.canonical
-        )
-        hi, lo, counts = np.asarray(hi), np.asarray(lo), np.asarray(counts)
+        if self.cfg.packed_transfer and pad % 4 == 0:
+            pb = packedmod.pack_batch(arr, lens)
+            hi, lo, counts, nu = kmer.unique_counts_packed(
+                *packedmod.device_args(pb), k=self.k, canonical=self.canonical
+            )
+        else:
+            codes = encode.ascii_to_code(jnp.asarray(arr))
+            hi, lo, counts, nu = kmer.unique_counts_batch(
+                codes, jnp.asarray(lens), k=self.k, canonical=self.canonical
+            )
+        # fetch only the unique prefix (keys are compacted to the front)
+        nu = int(nu)
+        m = _fetch_bucket(nu, hi.shape[0])
+        hi = np.asarray(hi[:m])[:nu]
+        lo = np.asarray(lo[:m])[:nu]
+        counts = np.asarray(counts[:m])[:nu]
         if isinstance(agg, dict):
             kmer.merge_device_counts(agg, hi, lo, counts)
         else:  # native KmerStore: bulk merge in C++
@@ -82,7 +128,13 @@ class KmerEngine:
             n_kmers, n_reads = self.count_reads_batch([bytes(r) for r in chunk], agg)
             res.total_kmers += n_kmers
             res.total_reads += n_reads
-        res.counts = agg if isinstance(agg, dict) else agg.items()
+        if isinstance(agg, dict):
+            hi = np.fromiter((k[0] for k in agg), np.int32, len(agg))
+            lo = np.fromiter((k[1] for k in agg), np.int32, len(agg))
+            ct = np.fromiter(agg.values(), np.uint64, len(agg))
+            res.arrays = (hi, lo, ct)
+        else:
+            res.arrays = agg.items_arrays()
         res.distinct_kmers = len(agg)
         res.seconds = time.perf_counter() - t0
         return res

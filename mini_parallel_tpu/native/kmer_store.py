@@ -76,6 +76,23 @@ class KmerStore:
     def get(self, hi: int, lo: int) -> int:
         return int(self._lib.ks_get(self._h, hi, lo))
 
+    def items_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Dump the store as (hi, lo, counts) NumPy arrays (no Python dict:
+        a 26M-entry dict costs minutes; this is one C++ pass)."""
+        n = len(self)
+        hi = np.empty(n, np.int32)
+        lo = np.empty(n, np.int32)
+        ct = np.empty(n, np.uint64)
+        w = self._lib.ks_dump(
+            self._h,
+            hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ct.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            n,
+        )
+        w = int(w)
+        return hi[:w], lo[:w], ct[:w]
+
     def items(self) -> dict:
         n = len(self)
         hi = np.empty(n, np.int32)

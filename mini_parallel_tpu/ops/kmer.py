@@ -95,12 +95,13 @@ def _revcomp_key(c: jnp.ndarray, k: int, W: int) -> tuple[jnp.ndarray, jnp.ndarr
 def unique_counts_batch(
     codes: jnp.ndarray, lengths: jnp.ndarray, k: int = DEFAULT_K,
     canonical: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Device-exact k-mer counting for one read batch.
 
-    Returns (keys_hi, keys_lo, counts), flat arrays of length B*W, sorted by
-    key, with runs collapsed: position p holds a unique key and its count iff
-    counts[p] > 0 (invalid/duplicate slots have counts == 0).
+    Returns (keys_hi, keys_lo, counts, n_unique): flat arrays of length B*W,
+    sorted by key with runs collapsed — all unique keys live in positions
+    [0, n_unique), so callers need only fetch that prefix off-device —
+    plus the scalar unique count.
     """
     hi, lo, ok = pack_kmers(codes, lengths, k, canonical)
     n = hi.size
@@ -124,7 +125,26 @@ def unique_counts_batch(
     key_lo = key_lo.at[idx].set(jnp.where(is_start, lo_s, _SENTINEL))
     n_unique = jnp.sum(is_start.astype(jnp.int32))
     counts = counts * (jnp.arange(n) < n_unique)
-    return key_hi, key_lo, counts
+    return key_hi, key_lo, counts, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
+def unique_counts_packed(
+    packed: jnp.ndarray, exc_col: jnp.ndarray, exc_val: jnp.ndarray,
+    lengths: jnp.ndarray, k: int = DEFAULT_K, canonical: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """unique_counts_batch over a 2-bit packed wire batch (ops/packed.py).
+
+    Reads cross host->device at 4 bases/byte; the unpack fuses into the
+    window packing, so this is strictly cheaper than shipping ASCII.
+    """
+    from mini_parallel_tpu.ops import packed as packedmod
+
+    ascii_ = packedmod.unpack_device(
+        packed, exc_col, exc_val, lengths, int(encode.PAD_A)
+    )
+    codes = encode.ascii_to_code(ascii_)
+    return unique_counts_batch(codes, lengths, k=k, canonical=canonical)
 
 
 def key_to_string(hi: int, lo: int, k: int = DEFAULT_K) -> str:

@@ -14,10 +14,13 @@ from tests.conftest import random_dna
 def _device_counter(reads, k, canonical=False, pad=64):
     arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
     codes = encode.ascii_to_code(jnp.asarray(arr))
-    hi, lo, counts = kmer.unique_counts_batch(
+    hi, lo, counts, nu = kmer.unique_counts_batch(
         codes, jnp.asarray(lens), k=k, canonical=canonical
     )
     hi, lo, counts = np.asarray(hi), np.asarray(lo), np.asarray(counts)
+    assert int(nu) == int((counts > 0).sum())
+    # unique keys must be compacted to the front (the prefix-fetch contract)
+    assert (counts[int(nu):] == 0).all()
     out = {}
     kmer.merge_device_counts(out, hi, lo, counts)
     return {kmer.key_to_string(h, l, k): c for (h, l), c in out.items()}
@@ -90,3 +93,16 @@ def test_key_to_string_roundtrip(rng):
     for j in range(ok.shape[1]):
         if ok[0, j]:
             assert kmer.key_to_string(hi[0, j], lo[0, j], 21) == reads[0][j : j + 21].decode()
+
+
+def test_kmer_engine_packed_matches_unpacked(tmp_path, rng):
+    reads = [random_dna(rng, 40) for _ in range(25)]
+    reads[3] = reads[3][:10] + b"N" + reads[3][11:]  # N -> exception path
+    path = str(tmp_path / "lane.fastq.gz")
+    fastq.write_fastq(path, reads)
+    on = KmerEngine(Config(chunk_size_reads=9, read_pad=48, packed_transfer=True), k=21)
+    off = KmerEngine(Config(chunk_size_reads=9, read_pad=48, packed_transfer=False), k=21)
+    r_on, r_off = on.count_file(path), off.count_file(path)
+    assert r_on.total_kmers == r_off.total_kmers
+    assert r_on.distinct_kmers == r_off.distinct_kmers
+    assert r_on.counts == r_off.counts
