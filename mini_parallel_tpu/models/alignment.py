@@ -474,8 +474,12 @@ class AlignmentEngine:
             if on_chunk is not None:
                 on_chunk(res)
         flush()
-        # single drain: forces all queued device work and fetches the sums
-        res.score += sum(int(np.asarray(s)) for s in deferred)
+        # single drain: forces all queued device work and fetches every
+        # batch's sum in one device_get (per-scalar np.asarray would pay a
+        # host<->device round trip each)
+        import jax
+
+        res.score += sum(int(s) for s in jax.device_get(deferred))
         res.seconds = time.perf_counter() - t0
         return res
 

@@ -26,8 +26,13 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
+import jax
+
 from mini_parallel_tpu.io import fastq
 from mini_parallel_tpu.ops import encode, kadane
+from mini_parallel_tpu.ops import packed as packedmod
 from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
 from mini_parallel_tpu.utils.config import Config
 
@@ -54,35 +59,70 @@ def _revcomp_batch(reads: list[bytes]) -> list[bytes]:
     return [r.translate(table)[::-1] for r in reads]
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _pair_scores(a, b, len1, len2, mode: str):
+    """(direct, comp, perfect) per pair; revcomp computed on-device."""
+    if mode == "sw":
+        direct = sw_score_batch_best(a, b)
+    else:
+        direct = kadane.kadane_score_batch(a, b, len1, len2)
+    rc = encode.revcomp_padded(b, len2, int(encode.PAD_B))
+    comp = sw_score_batch_best(a, rc)
+    minlen = jnp.minimum(len1, len2)
+    perfect = (comp == 2 * minlen) & (minlen > 0)
+    return direct, comp, perfect
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _pair_stats_packed(pk1, ec1, ev1, ln1, pk2, ec2, ev2, ln2, mode: str):
+    """Scalar batch stats over 2-bit packed operands: only 3 ints return to
+    the host per batch instead of three (B,) arrays."""
+    a = packedmod.unpack_device(pk1, ec1, ev1, ln1, int(encode.PAD_A))
+    b = packedmod.unpack_device(pk2, ec2, ev2, ln2, int(encode.PAD_B))
+    direct, comp, perfect = _pair_scores(a, b, ln1, ln2, mode)
+    return (direct.sum(), comp.sum(), perfect.sum(dtype=jnp.int32))
+
+
 class ComplementarityEngine:
     def __init__(self, cfg: Config | None = None, mode: str = "sw"):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         self.mode = mode
 
-    def score_pairs_batch(self, r1: list[bytes], r2: list[bytes]):
-        """(direct_scores, comp_scores, perfect_mask) for one mate batch."""
-        pad = -(-max(
+    def _pad_for(self, r1: list[bytes], r2: list[bytes]) -> int:
+        return -(-max(
             self.cfg.read_pad,
             max((len(r) for r in r1), default=1),
             max((len(r) for r in r2), default=1),
         ) // 8) * 8
+
+    def score_pairs_batch(self, r1: list[bytes], r2: list[bytes]):
+        """(direct_scores, comp_scores, perfect_mask) for one mate batch."""
+        pad = self._pad_for(r1, r2)
         arr1, len1 = encode.pad_batch(r1, pad_to=pad, pad_value=int(encode.PAD_A))
         arr2, len2 = encode.pad_batch(r2, pad_to=pad, pad_value=int(encode.PAD_B))
-        rc2, _ = encode.pad_batch(
-            _revcomp_batch(r2), pad_to=pad, pad_value=int(encode.PAD_B)
+        direct, comp, perfect = _pair_scores(
+            jnp.asarray(arr1), jnp.asarray(arr2),
+            jnp.asarray(len1), jnp.asarray(len2), self.mode,
         )
-        a, b, rc = jnp.asarray(arr1), jnp.asarray(arr2), jnp.asarray(rc2)
-        if self.mode == "sw":
-            direct = sw_score_batch_best(a, b)
-        else:
-            direct = kadane.kadane_score_batch(
-                a, b, jnp.asarray(len1), jnp.asarray(len2)
+        return np.asarray(direct), np.asarray(comp), np.asarray(perfect)
+
+    def _batch_stats(self, r1: list[bytes], r2: list[bytes]):
+        """Deferred device scalars (direct_sum, comp_sum, perfect_count)."""
+        pad = self._pad_for(r1, r2)
+        arr1, len1 = encode.pad_batch(r1, pad_to=pad, pad_value=int(encode.PAD_A))
+        arr2, len2 = encode.pad_batch(r2, pad_to=pad, pad_value=int(encode.PAD_B))
+        if self.cfg.packed_transfer and pad % 4 == 0:
+            p1 = packedmod.pack_batch(arr1, len1)
+            p2 = packedmod.pack_batch(arr2, len2)
+            return _pair_stats_packed(
+                *packedmod.device_args(p1), *packedmod.device_args(p2),
+                mode=self.mode,
             )
-        comp = sw_score_batch_best(a, rc)
-        minlen = np.minimum(len1, len2)
-        comp_np = np.asarray(comp)
-        perfect = (comp_np == 2 * minlen) & (minlen > 0)
-        return np.asarray(direct), comp_np, perfect
+        direct, comp, perfect = _pair_scores(
+            jnp.asarray(arr1), jnp.asarray(arr2),
+            jnp.asarray(len1), jnp.asarray(len2), self.mode,
+        )
+        return direct.sum(), comp.sum(), perfect.sum(dtype=jnp.int32)
 
     def analyze_lane_pair(self, file1: str, file2: str, progress=None
                           ) -> ComplementarityResult:
@@ -90,21 +130,24 @@ class ComplementarityEngine:
         t0 = time.perf_counter()
         it1 = fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads)
         it2 = fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads)
+        deferred: list = []  # (n, direct_sum, comp_sum, perfect) device scalars
         for c1, c2 in zip(it1, it2):
             n = min(len(c1), len(c2))
             if n == 0:
                 continue
-            direct, comp, perfect = self.score_pairs_batch(
+            stats = self._batch_stats(
                 [bytes(r) for r in c1[:n]], [bytes(r) for r in c2[:n]]
             )
+            deferred.append((n, stats))
             res.pairs += n
-            res.direct_score_sum += int(direct.sum())
-            res.comp_score_sum += int(comp.sum())
-            res.perfect_pairs += int(perfect.sum())
             if progress:
-                progress(
-                    f"  {res.pairs} pairs, {res.pct_non_complementary:.2f}% "
-                    f"non-complementary so far"
-                )
+                progress(f"  {res.pairs} pairs queued")
+        # single drain: host decode overlapped the queued device work above;
+        # one device_get fetches every batch's 3 scalars together (per-scalar
+        # np.asarray would pay a host<->device round trip each)
+        for _n, (d, c, p) in jax.device_get(deferred):
+            res.direct_score_sum += int(d)
+            res.comp_score_sum += int(c)
+            res.perfect_pairs += int(p)
         res.seconds = time.perf_counter() - t0
         return res

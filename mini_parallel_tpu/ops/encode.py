@@ -98,3 +98,21 @@ def complement_code(codes: jnp.ndarray) -> jnp.ndarray:
 def reverse_complement_ascii(ascii_u8: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Reverse-complement along ``axis`` (pads travel to the front)."""
     return jnp.flip(complement_ascii(ascii_u8), axis=axis)
+
+
+def revcomp_padded(reads: jnp.ndarray, lengths: jnp.ndarray,
+                   pad_value: int) -> jnp.ndarray:
+    """Reverse-complement each row's valid prefix of a padded (B, L) batch.
+
+    Pads stay pads and stay at the END of each row: complement the valid
+    bytes, flip the whole row, then roll each row left by its pad width.
+    Equivalent to host-side ``r.translate(comp)[::-1]`` re-padded.
+    """
+    import jax
+
+    rc = jnp.where(reads == jnp.uint8(pad_value), jnp.uint8(pad_value),
+                   complement_ascii(reads))
+    flipped = jnp.flip(rc, axis=1)
+    L = reads.shape[1]
+    shift = (lengths.astype(jnp.int32) - L) % jnp.int32(L)
+    return jax.vmap(jnp.roll)(flipped, shift)

@@ -36,18 +36,7 @@ def _local_wgs_step(reads_a, reads_b, len_a, len_b, data_axis):
 
     # complementarity: r1 vs revcomp(r2); perfectly complementary pairs
     # align end-to-end with all matches => SW == 2*min(len)
-    rc_b = jnp.where(
-        reads_b == encode.PAD_B, encode.PAD_B, encode.complement_ascii(reads_b)
-    )
-    # reverse only the valid prefix: flip then roll each row by its pad
-    flipped = jnp.flip(rc_b, axis=1)
-    L = reads_b.shape[1]
-    shift = (len_b - L) % jnp.int32(L)
-
-    def roll_row(row, s):
-        return jnp.roll(row, s)
-
-    rc_b = jax.vmap(roll_row)(flipped, shift)
+    rc_b = encode.revcomp_padded(reads_b, len_b, int(encode.PAD_B))
     comp_scores = sw_score_batch_best(reads_a, rc_b)
     minlen = jnp.minimum(len_a, len_b)
     valid_pair = minlen > 0
