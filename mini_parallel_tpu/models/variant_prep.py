@@ -153,6 +153,40 @@ def _pileup_batch(
     return counts[: G * 5].reshape(G, 5)
 
 
+def _revcomp_codes(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse-complement each row's valid prefix in code space (pads stay
+    at the end; N and pad codes map to themselves)."""
+    comp = encode.complement_code(codes)
+    flipped = jnp.flip(comp, axis=1)
+    L = codes.shape[1]
+    shift = (lengths.astype(jnp.int32) - L) % jnp.int32(L)
+    return jax.vmap(jnp.roll)(flipped, shift)
+
+
+@partial(jax.jit, static_argnames=("G", "k"))
+def _ungapped_batch_step(
+    pk, ec, ev, lens, sorted_keys, sorted_pos, pileup_acc, G: int, k: int = SEED_K
+):
+    """One fused device step for the ungapped path: unpack 2-bit reads, map
+    forward and reverse-complement seeds, scatter the pileup, and return
+    (new_pileup, mapped_count) — no host round trips inside the batch loop."""
+    from mini_parallel_tpu.ops import packed as packedmod
+
+    ascii_ = packedmod.unpack_device(pk, ec, ev, lens, int(encode.PAD_A))
+    codes = encode.ascii_to_code(ascii_)
+    starts, mapped = _map_reads(codes, lens, sorted_keys, sorted_pos, k)
+    rc_codes = _revcomp_codes(codes, lens)
+    rc_starts, rc_mapped = _map_reads(rc_codes, lens, sorted_keys, sorted_pos, k)
+    use_rc = (~mapped) & rc_mapped
+    final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
+    final_starts = jnp.where(use_rc, rc_starts, starts)
+    final_mapped = mapped | rc_mapped
+    new_acc = pileup_acc + _pileup_batch(
+        final_codes, lens, final_starts, final_mapped, G
+    )
+    return new_acc, final_mapped.sum(dtype=jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("G",))
 def _pileup_positions(
     codes: jnp.ndarray, positions: jnp.ndarray, G: int
@@ -244,13 +278,23 @@ class VariantPrepEngine:
         return positions
 
     def process_reads_batch(self, reads: list[bytes], pileup_acc: jnp.ndarray
-                            ) -> tuple[jnp.ndarray, int]:
+                            ) -> tuple[jnp.ndarray, int | jnp.ndarray]:
+        """One batch. Ungapped+packed: fully fused on device — the returned
+        mapped-count is a DEFERRED device scalar (drain with device_get)."""
         pad = -(-max(self.cfg.read_pad, SEED_K + 1,
                      max((len(r) for r in reads), default=1)) // 8) * 8
         arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
+        G = len(self.index.ref_codes)
+        if not self.gapped and self.cfg.packed_transfer and pad % 4 == 0:
+            from mini_parallel_tpu.ops import packed as packedmod
+
+            pb = packedmod.pack_batch(arr, lens)
+            return _ungapped_batch_step(
+                *packedmod.device_args(pb), self.index.sorted_keys,
+                self.index.sorted_pos, pileup_acc, G,
+            )
         codes = encode.ascii_to_code(jnp.asarray(arr))
         lens_j = jnp.asarray(lens)
-        G = len(self.index.ref_codes)
 
         starts, mapped = _map_reads(
             codes, lens_j, self.index.sorted_keys, self.index.sorted_pos
@@ -291,13 +335,18 @@ class VariantPrepEngine:
         G = len(self.index.ref_codes)
         pileup = jnp.zeros((G, 5), jnp.int32)
         res = VariantPrepResult(reference_length=G)
+        deferred: list = []  # device scalars from the fused ungapped path
         for chunk in fastq.iter_read_chunks(path, self.cfg.chunk_size_reads):
             reads = [bytes(r) for r in chunk]
             pileup, n_mapped = self.process_reads_batch(reads, pileup)
             res.total_reads += len(reads)
-            res.mapped_reads += n_mapped
+            if isinstance(n_mapped, int):
+                res.mapped_reads += n_mapped
+            else:
+                deferred.append(n_mapped)
             if progress:
                 progress(f"  {res.total_reads} reads, {res.mapped_reads} mapped")
+        res.mapped_reads += sum(int(v) for v in jax.device_get(deferred))
         res.pileup = np.asarray(pileup)
         res.candidates = self._extract_candidates(res.pileup)
         res.seconds = time.perf_counter() - t0

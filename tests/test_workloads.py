@@ -190,3 +190,20 @@ def test_variant_prep_gapped_clean_reads_identical_to_ungapped(
     b = VariantPrepEngine(ref, cfg, gapped=True).process_file(path)
     assert (a.pileup == b.pileup).all()
     assert a.candidates == b.candidates == []
+
+
+def test_variant_prep_packed_matches_unpacked(tmp_path, rng, ref_and_reads):
+    """The fused packed ungapped step must reproduce the unpacked pileup."""
+    ref, reads = ref_and_reads
+    path = str(tmp_path / "vp.fastq.gz")
+    fastq.write_fastq(path, reads)
+    on = VariantPrepEngine(
+        ref, Config(chunk_size_reads=16, read_pad=64, packed_transfer=True))
+    off = VariantPrepEngine(
+        ref, Config(chunk_size_reads=16, read_pad=64, packed_transfer=False))
+    r_on, r_off = on.process_file(path), off.process_file(path)
+    assert r_on.mapped_reads == r_off.mapped_reads
+    np.testing.assert_array_equal(r_on.pileup, r_off.pileup)
+    assert [(c.pos, c.alt_base) for c in r_on.candidates] == [
+        (c.pos, c.alt_base) for c in r_off.candidates
+    ]
