@@ -99,6 +99,8 @@ class ReferenceIndex:
         self.ref_codes = np.asarray(encode.ascii_to_code(
             jnp.asarray(np.frombuffer(self.reference, np.uint8))
         ))
+        # device-resident ASCII reference for the fused gapped pileup step
+        self.ref_ascii_dev = jnp.asarray(np.frombuffer(self.reference, np.uint8))
 
     def __len__(self) -> int:
         return int(self.sorted_keys.shape[0])
@@ -185,6 +187,65 @@ def _ungapped_batch_step(
         final_codes, lens, final_starts, final_mapped, G
     )
     return new_acc, final_mapped.sum(dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("G", "W", "margin", "k"))
+def _gapped_batch_step(
+    pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
+    G: int, W: int, margin: int, k: int = SEED_K,
+):
+    """Fused gapped step: packed unpack + fwd/rc seed mapping + on-device
+    traceback pileup. One dispatch per batch, scalars-only return."""
+    from mini_parallel_tpu.ops import packed as packedmod
+
+    ascii_ = packedmod.unpack_device(pk, ec, ev, lens, int(encode.PAD_A))
+    codes = encode.ascii_to_code(ascii_)
+    starts, mapped = _map_reads(codes, lens, sorted_keys, sorted_pos, k)
+    rc_codes = _revcomp_codes(codes, lens)
+    rc_starts, rc_mapped = _map_reads(rc_codes, lens, sorted_keys, sorted_pos, k)
+    use_rc = (~mapped) & rc_mapped
+    final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
+    final_starts = jnp.where(use_rc, rc_starts, starts)
+    final_mapped = mapped | rc_mapped
+    return _gapped_pileup_step(
+        final_codes, lens, final_starts, final_mapped, ref_ascii, pileup_acc,
+        G, W, margin,
+    )
+
+
+@partial(jax.jit, static_argnames=("G", "W", "margin"))
+def _gapped_pileup_step(
+    codes: jnp.ndarray, lens: jnp.ndarray, starts: jnp.ndarray,
+    mapped: jnp.ndarray, ref_ascii: jnp.ndarray, pileup_acc: jnp.ndarray,
+    G: int, W: int, margin: int,
+):
+    """Gapped pileup entirely on device: gather each mapped read's anchored
+    reference window, run the batched SW traceback for per-base reference
+    positions (ops/sw_traceback.py:sw_positions_batch), and scatter the
+    pileup. Replaces a per-read host loop that fetched the full moves tensor
+    and applied CIGARs in Python."""
+    from mini_parallel_tpu.ops.sw_traceback import sw_positions_batch
+
+    B, L = codes.shape
+    win_starts = jnp.clip(starts - margin, 0, max(G - W, 0))
+    widx = win_starts[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    windows = jnp.where(
+        widx < G, ref_ascii[jnp.clip(widx, 0, G - 1)], jnp.uint8(encode.PAD_B)
+    )
+    base_ascii = jnp.asarray(np.frombuffer(b"ACGTN", np.uint8))
+    pos_l = jnp.arange(L, dtype=jnp.int32)[None, :]
+    q_ascii = jnp.where(
+        (pos_l < lens[:, None]) & mapped[:, None],
+        base_ascii[jnp.minimum(codes, 4)],
+        jnp.uint8(encode.PAD_A),
+    )
+    score, positions = sw_positions_batch(q_ascii, windows)
+    ok = mapped & (score > 0)
+    positions = jnp.where(
+        ok[:, None] & (positions >= 0), positions + win_starts[:, None], -1
+    )
+    new_acc = pileup_acc + _pileup_positions(codes, positions, G)
+    return new_acc, mapped.sum(dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("G",))
@@ -285,10 +346,17 @@ class VariantPrepEngine:
                      max((len(r) for r in reads), default=1)) // 8) * 8
         arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
         G = len(self.index.ref_codes)
-        if not self.gapped and self.cfg.packed_transfer and pad % 4 == 0:
+        if self.cfg.packed_transfer and pad % 4 == 0:
             from mini_parallel_tpu.ops import packed as packedmod
 
             pb = packedmod.pack_batch(arr, lens)
+            if self.gapped:
+                return _gapped_batch_step(
+                    *packedmod.device_args(pb), self.index.sorted_keys,
+                    self.index.sorted_pos, self.index.ref_ascii_dev,
+                    pileup_acc, G, pad + 2 * self.window_margin,
+                    self.window_margin,
+                )
             return _ungapped_batch_step(
                 *packedmod.device_args(pb), self.index.sorted_keys,
                 self.index.sorted_pos, pileup_acc, G,

@@ -224,3 +224,47 @@ def sw_align_batch(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> list[Alignment]:
     return traceback_host(
         np.asarray(best), np.asarray(bd), np.asarray(bi), np.asarray(moves)
     )
+
+
+@jax.jit
+def sw_positions_batch(
+    seq_a: jnp.ndarray, seq_b: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully on-device traceback: per-base reference positions.
+
+    Returns (score (B,), positions (B, M) int32) where positions[b, i] is the
+    0-based index in seq_b that query base i aligns to under the best local
+    alignment (M ops only), or -1 for unaligned/inserted/clipped bases —
+    exactly what a pileup consumes. The (D, B, M) moves tensor stays in HBM;
+    the walk is a lax.scan whose steps gather one move per read and scatter
+    one position per read, so only (B,) + (B, M) scalars ever reach the host
+    (the Python-walk path fetches the whole moves tensor: ~150x more D2H).
+
+    Same move codes and tie-breaking as traceback_host, so positions match
+    the host CIGAR application bit-for-bit (tested).
+    """
+    best, bd, bi, moves = sw_moves_batch(seq_a, seq_b)
+    B, M = seq_a.shape
+    N = seq_b.shape[1]
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    def step(carry, _):
+        qi, ji, done, pos = carry
+        d = qi + ji
+        qc = jnp.clip(qi, 0, M - 1)
+        dc = jnp.clip(d, 0, M + N - 2)
+        mv = moves[dc, rows, qc]
+        act = jnp.where(done | (qi < 0) | (ji < 0), STOP, mv.astype(jnp.int32))
+        is_diag = act == DIAG
+        pos = pos.at[rows, qc].set(
+            jnp.where(is_diag, ji, pos[rows, qc])
+        )
+        qi = qi - is_diag.astype(jnp.int32) - (act == UP).astype(jnp.int32)
+        ji = ji - is_diag.astype(jnp.int32) - (act == LEFT).astype(jnp.int32)
+        done = done | (act == STOP)
+        return (qi, ji, done, pos), None
+
+    pos0 = jnp.full((B, M), -1, jnp.int32)
+    carry0 = (bi, bd - bi, best <= 0, pos0)
+    (_, _, _, pos), _ = jax.lax.scan(step, carry0, None, length=M + N - 1)
+    return best, pos

@@ -89,3 +89,44 @@ def test_no_alignment():
     A, B = _batchify([b"AAAA"], [b"TTTT"], pad=8)
     aln = sw_align_batch(A, B)[0]
     assert aln.score == 0 and aln.cigar == ""
+
+
+def test_sw_positions_batch_matches_host_walk(rng):
+    """Device traceback positions == host CIGAR application, incl. indels."""
+    from mini_parallel_tpu.ops.sw_traceback import (
+        sw_align_batch, sw_positions_batch)
+
+    reads_a, reads_b = [], []
+    for i in range(12):
+        b = random_dna(rng, 60)
+        a = bytearray(b[5:55])
+        if i % 3 == 0:
+            del a[20:23]  # deletion in query -> I/D structure
+        if i % 3 == 1:
+            a[10:10] = b"GGG"  # insertion
+        if i % 4 == 0:
+            a[5] = ord("T") if a[5] != ord("T") else ord("A")  # SNP
+        reads_a.append(bytes(a))
+        reads_b.append(b)
+    arr_a, len_a = encode.pad_batch(reads_a, pad_to=64, pad_value=int(encode.PAD_A))
+    arr_b, len_b = encode.pad_batch(reads_b, pad_to=64, pad_value=int(encode.PAD_B))
+    a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
+
+    score, pos = sw_positions_batch(a, b)
+    score, pos = np.asarray(score), np.asarray(pos)
+    alns = sw_align_batch(a, b)
+    for k, aln in enumerate(alns):
+        want = np.full(64, -1, np.int32)
+        if aln.score > 0:
+            qi, rj = aln.query_start, aln.ref_start
+            for count, op in aln.cigar_ops():
+                if op == "M":
+                    want[qi : qi + count] = np.arange(rj, rj + count)
+                    qi += count
+                    rj += count
+                elif op == "I":
+                    qi += count
+                else:
+                    rj += count
+        assert score[k] == aln.score
+        np.testing.assert_array_equal(pos[k], want, err_msg=f"read {k}")

@@ -207,3 +207,25 @@ def test_variant_prep_packed_matches_unpacked(tmp_path, rng, ref_and_reads):
     assert [(c.pos, c.alt_base) for c in r_on.candidates] == [
         (c.pos, c.alt_base) for c in r_off.candidates
     ]
+
+
+def test_variant_prep_gapped_packed_matches_host(tmp_path, rng, ref_and_reads):
+    """Fused on-device gapped pileup == host CIGAR-walk gapped pileup."""
+    ref, reads = ref_and_reads
+    gappy = []
+    for i, (_start, r) in enumerate(reads):
+        r = bytearray(r)
+        if i % 3 == 0 and len(r) > 30:
+            del r[15:17]  # 2bp deletion
+        gappy.append(bytes(r))
+    path = str(tmp_path / "gappy.fastq.gz")
+    fastq.write_fastq(path, gappy)
+    on = VariantPrepEngine(
+        ref, Config(chunk_size_reads=16, read_pad=64, packed_transfer=True),
+        gapped=True)
+    off = VariantPrepEngine(
+        ref, Config(chunk_size_reads=16, read_pad=64, packed_transfer=False),
+        gapped=True)
+    r_on, r_off = on.process_file(path), off.process_file(path)
+    assert r_on.mapped_reads == r_off.mapped_reads
+    np.testing.assert_array_equal(r_on.pileup, r_off.pileup)
