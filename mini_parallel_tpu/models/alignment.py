@@ -337,6 +337,49 @@ class AlignmentEngine:
             out = kadane.kadane_score_batch(a, a, ln, ln)
         return np.asarray(out)
 
+    def _pair_batch_fn(self, kind: str):
+        """Cached jitted scorer: one packed chunk1 vs a packed batch of
+        chunk2 concats (chunk1 broadcast on device, transferred once)."""
+        key = (kind, "pairbatch")
+        if key in self._packed_fns:
+            return self._packed_fns[key]
+        import jax
+
+        def fn(pk1, ec1, ev1, ln1, pk2, ec2, ev2, ln2):
+            a1 = packedmod.unpack_device(pk1, ec1, ev1, ln1, int(encode.PAD_A))
+            b = packedmod.unpack_device(pk2, ec2, ev2, ln2, int(encode.PAD_B))
+            a = jnp.broadcast_to(a1, b.shape)
+            la = jnp.broadcast_to(ln1, ln2.shape)
+            f = (
+                kadane.kadane_contiguous_batch
+                if kind == "contiguous"
+                else kadane.kadane_score_batch
+            )
+            return f(a, b, la, ln2).sum()
+
+        self._packed_fns[key] = jax.jit(fn)
+        return self._packed_fns[key]
+
+    def _score_concat_pair_group(self, concat1: bytes, concats2: list[bytes],
+                                 group: int = 8):
+        """Deferred score sum of chunk1 vs a group of chunk2 concats in ONE
+        device call (chunk1 broadcast on device; empty pad concats score 0
+        by min-length masking). Replaces one dispatch per (chunk1, chunk2)
+        pair — the reference's launch-per-pair pattern (aligner.rs:390-398)
+        with its O(C1*C2) overhead."""
+        while len(concats2) < group:
+            concats2.append(b"")
+        pad = _bucket(max(len(concat1), max(len(c) for c in concats2), 1))
+        arr1, l1 = encode.pad_batch([concat1], pad_to=pad, pad_value=int(encode.PAD_A))
+        arr2, l2 = encode.pad_batch(concats2, pad_to=pad, pad_value=int(encode.PAD_B))
+        check_device_budget((1 + len(concats2)) * pad)
+        p1 = packedmod.pack_batch(arr1, l1)
+        p2 = packedmod.pack_batch(arr2, l2)
+        kind = "contiguous" if self.mode == "contiguous" else "kadane"
+        return self._pair_batch_fn(kind)(
+            *packedmod.device_args(p1), *packedmod.device_args(p2)
+        )
+
     def _score_concat_pair(self, concat1: bytes, concat2: bytes) -> int:
         """Parity path for pair mode: gpu_align(chunk1.concat, chunk2.concat)
         (aligner.rs:392-394)."""
@@ -503,6 +546,25 @@ class AlignmentEngine:
                 n = min(len(c1), len(c2))
                 if n:
                     total += int(self.score_read_batch(c1[:n], c2[:n]).sum())
+        elif self.cfg.packed_transfer:
+            # same cross-product semantics, but chunk2s scored in groups of
+            # 8 per device call with a single deferred drain
+            import jax
+
+            deferred = []
+            for c1 in fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads):
+                concat1 = b"".join(c1)
+                group: list[bytes] = []
+                for c2 in fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads):
+                    group.append(b"".join(c2))
+                    if len(group) == 8:
+                        deferred.append(
+                            self._score_concat_pair_group(concat1, group)
+                        )
+                        group = []
+                if group:
+                    deferred.append(self._score_concat_pair_group(concat1, group))
+            total += sum(int(s) for s in jax.device_get(deferred))
         else:
             for c1 in fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads):
                 concat1 = b"".join(c1)

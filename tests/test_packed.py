@@ -185,3 +185,24 @@ def test_native_packer_matches_numpy():
     np.testing.assert_array_equal(nat.exc_col, ref.exc_col)
     np.testing.assert_array_equal(nat.exc_val, ref.exc_val)
     np.testing.assert_array_equal(nat.lengths, ref.lengths)
+
+
+def test_pair_mode_grouped_matches_per_pair(tmp_path):
+    """Grouped packed pair-mode kadane == the reference per-pair dispatch."""
+    import gzip
+
+    rng = np.random.default_rng(12)
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    for name, n in (("p1", 23), ("p2", 17)):
+        recs = []
+        for i in range(n):
+            seq = rng.choice(alphabet, size=80).tobytes().decode()
+            recs.append(f"@r{i}\n{seq}\n+\n{'I'*80}\n")
+        (tmp_path / f"{name}.fastq.gz").write_bytes(
+            gzip.compress("".join(recs).encode())
+        )
+    f1, f2 = str(tmp_path / "p1.fastq.gz"), str(tmp_path / "p2.fastq.gz")
+    for mode in ("kadane", "contiguous"):
+        on = AlignmentEngine(Config(chunk_size_reads=5, packed_transfer=True), mode=mode)
+        off = AlignmentEngine(Config(chunk_size_reads=5, packed_transfer=False), mode=mode)
+        assert on.pair_align_files(f1, f2).score == off.pair_align_files(f1, f2).score
