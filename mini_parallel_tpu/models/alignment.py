@@ -280,8 +280,12 @@ class AlignmentEngine:
     # ------------------------------------------------------------------
     # Core batched primitives
     # ------------------------------------------------------------------
-    def score_read_batch(self, reads_a: list[bytes], reads_b: list[bytes]) -> np.ndarray:
-        """Per-pair scores for two read lists (same length), via one device call."""
+    def score_read_batch(self, reads_a: list[bytes], reads_b: list[bytes],
+                         defer: bool = False):
+        """Per-pair scores for two read lists (same length), one device call.
+
+        defer=True returns the device array without forcing a fetch (callers
+        drain many batches with one jax.device_get)."""
         pad = _bucket(
             max(max((len(r) for r in reads_a), default=1),
                 max((len(r) for r in reads_b), default=1)),
@@ -296,7 +300,7 @@ class AlignmentEngine:
             out = self._packed_fn(self.mode, "pair")(
                 *packedmod.device_args(pa), *packedmod.device_args(pb)
             )
-            return np.asarray(out)
+            return out if defer else np.asarray(out)
         a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
         if self.mode == "sw":
             out = sw_score_batch_best(a, b)
@@ -306,7 +310,7 @@ class AlignmentEngine:
             out = kadane.kadane_contiguous_batch(a, b, jnp.asarray(len_a), jnp.asarray(len_b))
         else:
             out = kadane.kadane_score_batch(a, b, jnp.asarray(len_a), jnp.asarray(len_b))
-        return np.asarray(out)
+        return out if defer else np.asarray(out)
 
     def _affine(self, a, b):
         """Affine-gap scorer honoring cfg gap params (Pallas on TPU)."""
@@ -540,12 +544,18 @@ class AlignmentEngine:
         bases2 = fastq.count_bases(file2, self.cfg.chunk_size_reads)
         total = 0
         if self.mode in ("sw", "sw-affine"):
+            import jax
+
             it1 = fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads)
             it2 = fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads)
+            deferred = []
             for c1, c2 in zip(it1, it2):
                 n = min(len(c1), len(c2))
                 if n:
-                    total += int(self.score_read_batch(c1[:n], c2[:n]).sum())
+                    deferred.append(
+                        self.score_read_batch(c1[:n], c2[:n], defer=True).sum()
+                    )
+            total += sum(int(s) for s in jax.device_get(deferred))
         elif self.cfg.packed_transfer:
             # same cross-product semantics, but chunk2s scored in groups of
             # 8 per device call with a single deferred drain
