@@ -1,0 +1,72 @@
+"""Benchmark tracker: run numbering, measured-only fields, legacy aggregate.
+
+Mirrors the reference lifecycle (benchmark.rs:423-450) and asserts the two
+deliberate defect fixes: disk-scanned run numbers (vs the drifting in-memory
+counter, benchmark.rs:429-436) and no hardcoded utilization placeholders
+(benchmark.rs:159-163)."""
+
+import json
+import os
+
+from mini_parallel_tpu.utils.bench_tracker import (
+    BenchmarkTracker,
+    next_run_number,
+)
+
+
+def test_run_numbers_scanned_from_disk(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    d = str(tmp_path / "benchmark_results")
+    assert next_run_number(d) == 1
+    t1 = BenchmarkTracker("wgs", 100, device="cpu", results_dir=d)
+    t1.update(1, 10, 1000, 2)
+    t1.finish()
+    assert next_run_number(d) == 2
+    # a second tracker (fresh "process") continues the numbering
+    t2 = BenchmarkTracker("wgs", 100, device="cpu", results_dir=d)
+    assert t2.result.run_number == 2
+    t2.finish()
+    assert sorted(os.listdir(d)) == [
+        "run_1_benchmark_results.json",
+        "run_2_benchmark_results.json",
+    ]
+
+
+def test_result_fields_measured_or_null(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    d = str(tmp_path / "benchmark_results")
+    t = BenchmarkTracker("full_wgs", 500, device="TPU v5e", mode="sw",
+                         results_dir=d)
+    t.update(2, 200, 30000, 7)
+    res = t.finish(host_info={"banner": "x"})
+    payload = json.load(open(os.path.join(d, "run_1_benchmark_results.json")))
+    assert payload["total_reads"] == 200
+    assert payload["throughput_reads_per_second"] > 0
+    # no device time recorded -> null, never an invented placeholder
+    assert payload["device_seconds"] is None
+    assert payload["device_duty_cycle"] is None
+    assert res.total_score == 7
+    assert payload["mode"] == "sw"
+
+
+def test_device_duty_cycle_when_measured(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    t = BenchmarkTracker("wgs", 10, results_dir=str(tmp_path / "r"))
+    t.update(1, 1, 1, 0)
+    t.add_device_seconds(0.001)
+    res = t.finish()
+    assert res.device_seconds == 0.001
+    assert 0 < res.device_duty_cycle <= 1.0
+
+
+def test_legacy_aggregate_appends(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    d = str(tmp_path / "r")
+    for _ in range(2):
+        t = BenchmarkTracker("wgs", 10, results_dir=d)
+        t.update(1, 1, 1, 0)
+        t.finish()
+    history = json.load(open(tmp_path / "benchmark_results.json"))
+    assert isinstance(history, list) and len(history) == 2
+    assert history[0]["run_number"] == 1
+    assert history[1]["run_number"] == 2
