@@ -7,8 +7,10 @@ over the ``data`` axis and produces globally-merged scalars:
 - parity alignment score sum (reference --full-wgs accounting),
 - true-SW score sum + global max (mate-pair r1 x r2 alignment),
 - complementarity stats (README.md:15-16: % of pairs not perfectly
-  complementary), and
-- a base-composition histogram,
+  complementary),
+- a base-composition histogram, and
+- a bucketed k=21-mer histogram (the all-reduce-merged k-mer summary from
+  the north star; exact counts live in models/kmer_model.py),
 
 all merged with psum/pmax over ICI. A separate sequence-parallel entry scores
 one long sequence sharded over the ``seq`` axis via the Kadane monoid.
@@ -28,6 +30,30 @@ from mini_parallel_tpu.ops import packed as packedmod
 from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_best
 from mini_parallel_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
 from mini_parallel_tpu.parallel import collectives
+
+
+KMER_HIST_K = 21
+KMER_HIST_BUCKETS = 4096  # power of two
+
+
+def _kmer_bucket_hist(codes, lengths, k: int = KMER_HIST_K,
+                      buckets: int = KMER_HIST_BUCKETS):
+    """Bucketed k-mer histogram: every valid k-window hashed into a fixed
+    number of buckets — a psum-mergeable k-mer composition summary. Exact
+    counting is the KmerEngine's job; this is the cross-shard collective
+    statistic (all-reduced over ICI/DCN like the reference's score merges
+    would have been, had it had any)."""
+    from mini_parallel_tpu.ops import kmer as kmer_ops
+
+    if codes.shape[1] < k:
+        return jnp.zeros((buckets,), jnp.int32)
+    hi, lo, ok = kmer_ops.pack_kmers(codes, lengths, k=k)
+    mix = hi * jnp.int32(-1640531527) + lo  # Knuth multiplicative hash, wraps
+    b = jnp.where(ok, mix & jnp.int32(buckets - 1), buckets)
+    return jax.ops.segment_sum(
+        ok.astype(jnp.int32).reshape(-1), b.reshape(-1),
+        num_segments=buckets + 1,
+    )[:buckets]
 
 
 def _local_wgs_step(reads_a, reads_b, len_a, len_b, data_axis):
@@ -50,6 +76,11 @@ def _local_wgs_step(reads_a, reads_b, len_a, len_b, data_axis):
     one_hot = (codes[..., None] == jnp.arange(5)[None, None, :]) & vmask[..., None]
     hist = one_hot.sum(axis=(0, 1), dtype=jnp.int32)
 
+    # bucketed k-mer (k=21) histogram of reads_a, psum-merged across shards —
+    # the collective-mergeable summary the north star asks for (exact counts
+    # stay on the KmerEngine + native store path, models/kmer_model.py)
+    khist = _kmer_bucket_hist(codes, len_a)
+
     stats = {
         "parity_score": collectives.merge_scores(parity.sum(), data_axis),
         "sw_score_sum": collectives.merge_scores(sw_scores.sum(), data_axis),
@@ -59,6 +90,7 @@ def _local_wgs_step(reads_a, reads_b, len_a, len_b, data_axis):
             perfect.sum(dtype=jnp.int32), data_axis
         ),
         "base_hist": collectives.merge_histogram(hist, data_axis),
+        "kmer_hist": collectives.merge_histogram(khist, data_axis),
         "bases": collectives.merge_scores(len_a.sum(), data_axis),
     }
     return stats
@@ -88,7 +120,7 @@ def make_wgs_step(mesh: Mesh, data_axis: str = DATA_AXIS):
         out_specs={
             "parity_score": rep, "sw_score_sum": rep, "sw_score_max": rep,
             "pairs": rep, "complementary_pairs": rep,
-            "base_hist": rep, "bases": rep,
+            "base_hist": rep, "kmer_hist": rep, "bases": rep,
         },
     )
     return jax.jit(sharded)
@@ -119,7 +151,7 @@ def make_wgs_step_packed(mesh: Mesh, data_axis: str = DATA_AXIS):
         out_specs={
             "parity_score": rep, "sw_score_sum": rep, "sw_score_max": rep,
             "pairs": rep, "complementary_pairs": rep,
-            "base_hist": rep, "bases": rep,
+            "base_hist": rep, "kmer_hist": rep, "bases": rep,
         },
     )
     return jax.jit(sharded)

@@ -117,3 +117,31 @@ def test_seq_parallel_matches_single_device(mesh8):
     local = kadane.kadane_summary(jnp.asarray(scores), jnp.asarray(valid))
     got = np.asarray(sharded(jnp.asarray(scores), jnp.asarray(valid)))
     assert (got == np.asarray(local.best)).all()
+
+
+def test_wgs_step_kmer_hist(mesh8):
+    """kmer_hist counts every clean k=21 window exactly once, sharded ==
+    unsharded."""
+    rng = np.random.default_rng(42)
+    reads_a = [random_dna(rng, int(rng.integers(25, 60))) for _ in range(16)]
+    reads_b = [random_dna(rng, 30) for _ in range(16)]
+    reads_a[2] = reads_a[2][:10] + b"N" + reads_a[2][11:]  # kills 21 windows max
+    arr_a, len_a = encode.pad_batch(reads_a, pad_to=64, pad_value=int(encode.PAD_A))
+    arr_b, len_b = encode.pad_batch(reads_b, pad_to=64, pad_value=int(encode.PAD_B))
+    step = pipeline.make_wgs_step(mesh8)
+    args = pipeline.shard_batch(
+        mesh8, (jnp.asarray(arr_a), jnp.asarray(arr_b),
+                jnp.asarray(len_a), jnp.asarray(len_b)))
+    stats = jax.device_get(step(*args))
+    from mini_parallel_tpu.ops.kmer import count_kmers_python
+
+    golden = count_kmers_python(reads_a, k=21)
+    assert int(np.asarray(stats["kmer_hist"]).sum()) == sum(golden.values())
+    assert stats["kmer_hist"].shape == (pipeline.KMER_HIST_BUCKETS,)
+    # single-device mesh gives the identical histogram
+    mesh1 = mesh_mod.make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    args1 = pipeline.shard_batch(
+        mesh1, (jnp.asarray(arr_a), jnp.asarray(arr_b),
+                jnp.asarray(len_a), jnp.asarray(len_b)))
+    stats1 = jax.device_get(pipeline.make_wgs_step(mesh1)(*args1))
+    np.testing.assert_array_equal(stats["kmer_hist"], stats1["kmer_hist"])
