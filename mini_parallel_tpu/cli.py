@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gapped", action="store_true",
                    help="CIGAR-based gapped pileup for --variant-prep "
                    "(indel-tolerant; slower)")
+    p.add_argument("--rescue", action="store_true",
+                   help="exhaustive-SW rescue of seed-unmapped reads for "
+                   "--variant-prep (full-sensitivity mapping; costs "
+                   "O(reads x reference) DP on device)")
     p.add_argument("--allow-cpu", action="store_true",
                    help="proceed without an accelerator (reference exits; "
                    "main.rs:76-79)")
@@ -204,7 +208,8 @@ def main(argv: list[str] | None = None, echo=print) -> int:
 
         try:
             ref = fasta.read_first_sequence(args.reference)
-            veng = VariantPrepEngine(ref, cfg, gapped=args.gapped)
+            veng = VariantPrepEngine(ref, cfg, gapped=args.gapped,
+                                     rescue=args.rescue)
             res = veng.process_file(args.variant_prep, progress=echo)
         except (OSError, IOError, ValueError) as e:
             echo(f"ERROR: {e}")

@@ -155,6 +155,48 @@ def _pileup_batch(
     return counts[: G * 5].reshape(G, 5)
 
 
+_BASE_ASCII = np.frombuffer(b"ACGTN", np.uint8)
+
+
+def _codes_to_ascii(codes: jnp.ndarray, lengths: jnp.ndarray,
+                    keep: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Codes -> ASCII with PAD_A pads; rows where keep==False become all-pad."""
+    lut = jnp.asarray(_BASE_ASCII)
+    pos = jnp.arange(codes.shape[1], dtype=jnp.int32)[None, :]
+    mask = pos < lengths[:, None]
+    if keep is not None:
+        mask = mask & keep[:, None]
+    return jnp.where(mask, lut[jnp.minimum(codes, 4)], jnp.uint8(encode.PAD_A))
+
+
+def _rescue_unmapped(codes, rc_codes, lens, ref_ascii, starts, mapped,
+                     rescue_min_frac: float):
+    """Seed-free rescue: exhaustively SW every still-unmapped read (both
+    strands) against the whole reference (ops/sw_pallas.py vs-ref kernel) and
+    anchor at the best end position when the score clears the threshold.
+
+    The seed mapper only tries a read's FIRST clean 15-mer (variant bases or
+    errors there kill it); this recovers those reads at full sensitivity —
+    the reference had no mapper at all, so this is capability beyond parity.
+    """
+    from mini_parallel_tpu.ops.sw_pallas import sw_vs_ref_batch_pallas
+
+    unm = ~mapped
+    q_f = _codes_to_ascii(codes, lens, keep=unm)
+    q_r = _codes_to_ascii(rc_codes, lens, keep=unm)
+    s_f, p_f = sw_vs_ref_batch_pallas(q_f, ref_ascii)
+    s_r, p_r = sw_vs_ref_batch_pallas(q_r, ref_ascii)
+    use_rc = s_r > s_f
+    s_best = jnp.maximum(s_f, s_r)
+    p_best = jnp.where(use_rc, p_r, p_f)
+    thresh = (2.0 * rescue_min_frac * lens.astype(jnp.float32)).astype(jnp.int32)
+    good = unm & (s_best >= jnp.maximum(thresh, 1))
+    anchor = jnp.clip(p_best - lens + 1, 0, None)
+    new_codes = jnp.where((good & use_rc)[:, None], rc_codes, codes)
+    new_starts = jnp.where(good, anchor, starts)
+    return new_codes, new_starts, mapped | good
+
+
 def _revcomp_codes(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Reverse-complement each row's valid prefix in code space (pads stay
     at the end; N and pad codes map to themselves)."""
@@ -165,13 +207,16 @@ def _revcomp_codes(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(jnp.roll)(flipped, shift)
 
 
-@partial(jax.jit, static_argnames=("G", "k"))
+@partial(jax.jit, static_argnames=("G", "k", "rescue", "rescue_min_frac"))
 def _ungapped_batch_step(
-    pk, ec, ev, lens, sorted_keys, sorted_pos, pileup_acc, G: int, k: int = SEED_K
+    pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
+    G: int, k: int = SEED_K, rescue: bool = False,
+    rescue_min_frac: float = 0.6,
 ):
     """One fused device step for the ungapped path: unpack 2-bit reads, map
-    forward and reverse-complement seeds, scatter the pileup, and return
-    (new_pileup, mapped_count) — no host round trips inside the batch loop."""
+    forward and reverse-complement seeds (plus optional exhaustive SW rescue
+    of seed-misses), scatter the pileup, and return (new_pileup,
+    mapped_count) — no host round trips inside the batch loop."""
     from mini_parallel_tpu.ops import packed as packedmod
 
     ascii_ = packedmod.unpack_device(pk, ec, ev, lens, int(encode.PAD_A))
@@ -183,19 +228,27 @@ def _ungapped_batch_step(
     final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
     final_starts = jnp.where(use_rc, rc_starts, starts)
     final_mapped = mapped | rc_mapped
+    if rescue:
+        final_codes, final_starts, final_mapped = _rescue_unmapped(
+            final_codes, rc_codes, lens, ref_ascii, final_starts,
+            final_mapped, rescue_min_frac,
+        )
     new_acc = pileup_acc + _pileup_batch(
         final_codes, lens, final_starts, final_mapped, G
     )
     return new_acc, final_mapped.sum(dtype=jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("G", "W", "margin", "k"))
+@partial(jax.jit, static_argnames=("G", "W", "margin", "k", "rescue",
+                                   "rescue_min_frac"))
 def _gapped_batch_step(
     pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
-    G: int, W: int, margin: int, k: int = SEED_K,
+    G: int, W: int, margin: int, k: int = SEED_K, rescue: bool = False,
+    rescue_min_frac: float = 0.6,
 ):
-    """Fused gapped step: packed unpack + fwd/rc seed mapping + on-device
-    traceback pileup. One dispatch per batch, scalars-only return."""
+    """Fused gapped step: packed unpack + fwd/rc seed mapping (plus optional
+    exhaustive SW rescue) + on-device traceback pileup. One dispatch per
+    batch, scalars-only return."""
     from mini_parallel_tpu.ops import packed as packedmod
 
     ascii_ = packedmod.unpack_device(pk, ec, ev, lens, int(encode.PAD_A))
@@ -207,6 +260,11 @@ def _gapped_batch_step(
     final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
     final_starts = jnp.where(use_rc, rc_starts, starts)
     final_mapped = mapped | rc_mapped
+    if rescue:
+        final_codes, final_starts, final_mapped = _rescue_unmapped(
+            final_codes, rc_codes, lens, ref_ascii, final_starts,
+            final_mapped, rescue_min_frac,
+        )
     return _gapped_pileup_step(
         final_codes, lens, final_starts, final_mapped, ref_ascii, pileup_acc,
         G, W, margin,
@@ -283,6 +341,8 @@ class VariantPrepEngine:
         alt_fraction: float = 0.2,
         gapped: bool = False,
         window_margin: int = 16,
+        rescue: bool = False,
+        rescue_min_frac: float = 0.6,
     ):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         self.index = ReferenceIndex(reference)
@@ -290,6 +350,9 @@ class VariantPrepEngine:
         self.alt_fraction = alt_fraction
         self.gapped = gapped
         self.window_margin = window_margin
+        # exhaustive-SW rescue of seed-unmapped reads (packed paths only)
+        self.rescue = rescue
+        self.rescue_min_frac = rescue_min_frac
 
     def _gapped_positions(
         self, codes_np: np.ndarray, lens: np.ndarray, starts: np.ndarray,
@@ -355,11 +418,14 @@ class VariantPrepEngine:
                     *packedmod.device_args(pb), self.index.sorted_keys,
                     self.index.sorted_pos, self.index.ref_ascii_dev,
                     pileup_acc, G, pad + 2 * self.window_margin,
-                    self.window_margin,
+                    self.window_margin, rescue=self.rescue,
+                    rescue_min_frac=self.rescue_min_frac,
                 )
             return _ungapped_batch_step(
                 *packedmod.device_args(pb), self.index.sorted_keys,
-                self.index.sorted_pos, pileup_acc, G,
+                self.index.sorted_pos, self.index.ref_ascii_dev,
+                pileup_acc, G, rescue=self.rescue,
+                rescue_min_frac=self.rescue_min_frac,
             )
         codes = encode.ascii_to_code(jnp.asarray(arr))
         lens_j = jnp.asarray(lens)

@@ -116,6 +116,37 @@ def sw_score_batch(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
     return best
 
 
+def sw_vs_ref_numpy(read, ref, match=MATCH_SCORE, mismatch=MISMATCH_PENALTY,
+                    gap=GAP_PENALTY) -> tuple[int, int]:
+    """Golden oracle for reads-vs-reference SW: (best score, ref_end).
+
+    ref_end is the 0-based reference index (column) of the best-scoring DP
+    cell, minimized over ties across ALL cells that achieve the maximum;
+    -1 when the best score is 0 (no alignment).
+    """
+    import numpy as np
+
+    if isinstance(read, str):
+        read = read.encode("ascii")
+    if isinstance(ref, str):
+        ref = ref.encode("ascii")
+    a = np.frombuffer(bytes(read), np.uint8)
+    b = np.frombuffer(bytes(ref), np.uint8)
+    m, n = len(a), len(b)
+    H = np.zeros((m + 1, n + 1), np.int64)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            s = match if a[i - 1] == b[j - 1] else mismatch
+            H[i, j] = max(
+                0, H[i - 1, j - 1] + s, H[i - 1, j] + gap, H[i, j - 1] + gap
+            )
+    best = int(H.max())
+    if best <= 0:
+        return 0, -1
+    cells = np.nonzero(H == best)
+    return best, int(cells[1].min()) - 1  # column j -> 0-based ref index
+
+
 def sw_score_pair(a: str | bytes, b: str | bytes) -> int:
     """Convenience: single-pair SW score through the batched TPU path."""
     from mini_parallel_tpu.ops.encode import PAD_A, pad_batch

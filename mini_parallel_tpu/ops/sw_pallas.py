@@ -43,6 +43,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -143,9 +144,107 @@ def sw_score_batch_best(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Affine-gap (Gotoh) wavefront kernel: same layout as _sw_kernel plus E/F
-# gap-state diagonals in scratch.
+# Reads-vs-reference exhaustive SW ("SW-ALL"): every read in the batch scored
+# against ONE shared reference sequence. Because all lanes march down the
+# same reference, the diagonal window of b is a single broadcast row per step
+# — and with N >> M the wavefront ramp waste vanishes (useful-cell fraction
+# N/(M+N) -> 1), so this kernel runs at higher efficiency than the pairwise
+# one. Also tracks the reference END position of each read's best cell
+# (min position on ties), which is what a seed-free mapper needs.
 # ---------------------------------------------------------------------------
+
+_POS_BIG = np.int32(2**30)
+
+
+def _sw_vs_ref_kernel(a_ref, b_ref, out_ref, pos_ref, w, d1, d1s, best, bpos):
+    M, B = a_ref.shape
+    N = b_ref.shape[0]
+    a = a_ref[:]
+    zeros = jnp.zeros((M, B), jnp.int32)
+    zrow = jnp.zeros((1, B), jnp.int32)
+    w[:] = jnp.full((M, B), int(PAD_B), jnp.int32)
+    d1[:] = zeros
+    d1s[:] = zeros
+    best[:] = zeros
+    bpos[:] = jnp.full((M, B), _POS_BIG, jnp.int32)
+    # ref position of cell (i, lane) on diagonal d is j = d - i
+    i_col = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
+
+    def one_diag(d, wv_prev, d1v, d1sv, bestv, bposv):
+        val = jnp.where(d < N, b_ref[pl.ds(jnp.minimum(d, N - 1), 1), :], int(PAD_B))
+        new_row = jnp.broadcast_to(val, (1, B))
+        wv = jnp.concatenate([new_row, wv_prev[:-1]], axis=0)
+        s = jnp.where(a == wv, MATCH_SCORE, MISMATCH_PENALTY)
+        diag = d1sv + s
+        sh = jnp.concatenate([zrow, d1v[:-1]], axis=0)
+        ud = jnp.maximum(sh, d1v) + GAP_PENALTY
+        cand = jnp.maximum(jnp.maximum(diag, ud), zeros)
+        better = cand > bestv
+        bposv = jnp.where(better, d - i_col, bposv)
+        return wv, cand, sh, jnp.maximum(bestv, cand), bposv
+
+    def step(k, _):
+        d = UNROLL * k
+        st = (w[:], d1[:], d1s[:], best[:], bpos[:])
+        for u in range(UNROLL):
+            st = one_diag(d + u, *st)
+        w[:], d1[:], d1s[:], best[:], bpos[:] = st
+        return ()
+
+    jax.lax.fori_loop(0, -(-(M + N - 1) // UNROLL), step, ())
+    bestv = best[:]
+    maxv = jnp.max(bestv, axis=0, keepdims=True)
+    out_ref[:] = maxv
+    # min ref position among all cells achieving the global max
+    pos_ref[:] = jnp.min(
+        jnp.where(bestv == maxv, bpos[:], _POS_BIG), axis=0, keepdims=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sw_vs_ref_batch_pallas(
+    reads: jnp.ndarray, ref: jnp.ndarray, interpret: bool | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exhaustive SW of every read against one reference sequence.
+
+    Args: reads (B, M) uint8 padded with PAD_A; ref (N,) uint8 (PAD_B-pad or
+    exact length). Returns (scores (B,) int32, ref_end (B,) int32) where
+    ref_end is the 0-based reference index of the best cell's last aligned
+    base (ties -> smallest index; -1 if the best score is 0).
+    """
+    B, M = reads.shape
+    N = ref.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Bp = -(-B // B_BLK) * B_BLK
+    Mp = -(-M // 8) * 8
+    Np = -(-N // 8) * 8
+    at = jnp.full((Mp, Bp), int(PAD_A), jnp.int32)
+    at = at.at[:M, :B].set(reads.astype(jnp.int32).T)
+    bt = jnp.full((Np, 1), int(PAD_B), jnp.int32)
+    bt = bt.at[:N, 0].set(ref.astype(jnp.int32))
+
+    scores, pos = pl.pallas_call(
+        _sw_vs_ref_kernel,
+        grid=(Bp // B_BLK,),
+        in_specs=[
+            pl.BlockSpec((Mp, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Mp, B_BLK), jnp.int32) for _ in range(5)],
+        interpret=interpret,
+    )(at, bt)
+    s = scores[0, :B]
+    p = jnp.where(s > 0, pos[0, :B], -1)
+    return s, p
 
 from mini_parallel_tpu.ops.sw import GAP_EXTEND, GAP_OPEN  # noqa: E402
 

@@ -229,3 +229,29 @@ def test_variant_prep_gapped_packed_matches_host(tmp_path, rng, ref_and_reads):
     r_on, r_off = on.process_file(path), off.process_file(path)
     assert r_on.mapped_reads == r_off.mapped_reads
     np.testing.assert_array_equal(r_on.pileup, r_off.pileup)
+
+
+def test_variant_prep_rescue_recovers_seed_misses(tmp_path, rng, ref_and_reads):
+    """Reads with a SNP in their first seed window are unmapped by seeds but
+    recovered by the exhaustive-SW rescue at the correct anchor."""
+    ref, reads = ref_and_reads
+    broken = []
+    for start, r in reads:
+        r = bytearray(r)
+        r[4] = ord("A") if r[4] != ord("A") else ord("C")  # kill seed window 0
+        broken.append((start, bytes(r)))
+    path = str(tmp_path / "broken.fastq.gz")
+    fastq.write_fastq(path, [r for _, r in broken])
+    cfg = Config(chunk_size_reads=16, read_pad=112, packed_transfer=True)
+    base = VariantPrepEngine(ref, cfg)
+    resc = VariantPrepEngine(ref, cfg, rescue=True)
+    r_base = base.process_file(path)
+    r_resc = resc.process_file(path)
+    assert r_base.mapping_rate < 1.0  # seeds alone miss some
+    assert r_resc.mapping_rate == 1.0  # rescue recovers every read
+    # rescued reads pile up at their true positions: coverage matches truth
+    cov = np.zeros(len(ref), int)
+    for start, r in broken:
+        cov[start : start + len(r)] += 1
+    depth = r_resc.pileup[:, :5].sum(axis=1)
+    np.testing.assert_array_equal(depth, cov)
