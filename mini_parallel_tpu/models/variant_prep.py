@@ -106,6 +106,10 @@ class ReferenceIndex:
         return int(self.sorted_keys.shape[0])
 
 
+N_SEED_TRIES = 4  # seed offsets attempted per read (0, stride, 2*stride, …)
+SEED_STRIDE = 17  # coprime-ish with k=15 so one SNP can't kill two seeds
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _map_reads(
     codes: jnp.ndarray,
@@ -114,23 +118,29 @@ def _map_reads(
     sorted_pos: jnp.ndarray,
     k: int = SEED_K,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Anchor each read: (ref_start, mapped) via its first valid seed.
+    """Anchor each read: (ref_start, mapped) via its seeds.
 
-    Tries the forward seed of the read's first clean window; the caller
-    handles reverse-complement by passing RC'd codes in a second call.
+    Tries up to N_SEED_TRIES clean seed windows per read at staggered
+    offsets (0, 17, 34, 51) — one variant base or sequencing error can kill
+    a single seed, but not several disjoint ones — and anchors at the first
+    offset whose seed hits the reference index. The caller handles
+    reverse-complement by passing RC'd codes in a second call.
     """
     keys, ok = _pack_seeds(codes, k)
     B, W = keys.shape
-    # first valid window per read
-    first = jnp.argmax(ok, axis=1)
-    has = jnp.any(ok, axis=1)
-    key0 = jnp.take_along_axis(keys, first[:, None], axis=1)[:, 0]
-    idx = jnp.searchsorted(sorted_keys, key0)
+    offs = jnp.minimum(
+        jnp.arange(N_SEED_TRIES, dtype=jnp.int32) * SEED_STRIDE, W - 1
+    )  # (S,)
+    key_s = keys[:, offs]  # (B, S)
+    ok_s = ok[:, offs]
+    idx = jnp.searchsorted(sorted_keys, key_s.reshape(-1)).reshape(B, -1)
     idx = jnp.clip(idx, 0, sorted_keys.shape[0] - 1)
-    hit = has & (sorted_keys[idx] == key0)
-    ref_start = sorted_pos[idx] - first  # seed at read offset `first`
-    hit = hit & (ref_start >= 0)
-    return jnp.where(hit, ref_start, -1), hit
+    start_s = sorted_pos[idx] - offs[None, :]
+    hit_s = ok_s & (sorted_keys[idx] == key_s) & (start_s >= 0)
+    has = jnp.any(hit_s, axis=1)
+    first = jnp.argmax(hit_s, axis=1)
+    ref_start = jnp.take_along_axis(start_s, first[:, None], axis=1)[:, 0]
+    return jnp.where(has, ref_start, -1), has
 
 
 @partial(jax.jit, static_argnames=("G",))
@@ -479,7 +489,11 @@ class VariantPrepEngine:
             else:
                 deferred.append(n_mapped)
             if progress:
-                progress(f"  {res.total_reads} reads, {res.mapped_reads} mapped")
+                shown = (
+                    f"{res.mapped_reads} mapped" if not deferred
+                    else f"{len(deferred)} batches queued"
+                )
+                progress(f"  {res.total_reads} reads, {shown}")
         res.mapped_reads += sum(int(v) for v in jax.device_get(deferred))
         res.pileup = np.asarray(pileup)
         res.candidates = self._extract_candidates(res.pileup)

@@ -238,7 +238,8 @@ def test_variant_prep_rescue_recovers_seed_misses(tmp_path, rng, ref_and_reads):
     broken = []
     for start, r in reads:
         r = bytearray(r)
-        r[4] = ord("A") if r[4] != ord("A") else ord("C")  # kill seed window 0
+        for pos in (4, 21, 38, 55):  # one SNP inside each tried seed window
+            r[pos] = ord("A") if r[pos] != ord("A") else ord("C")
         broken.append((start, bytes(r)))
     path = str(tmp_path / "broken.fastq.gz")
     fastq.write_fastq(path, [r for _, r in broken])
