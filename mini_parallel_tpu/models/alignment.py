@@ -365,24 +365,29 @@ class AlignmentEngine:
         return self._packed_fns[key]
 
     def _score_concat_pair_group(self, concat1: bytes, concats2: list[bytes],
-                                 group: int = 8):
+                                 group: int = 8, c1_cache: dict | None = None):
         """Deferred score sum of chunk1 vs a group of chunk2 concats in ONE
         device call (chunk1 broadcast on device; empty pad concats score 0
         by min-length masking). Replaces one dispatch per (chunk1, chunk2)
         pair — the reference's launch-per-pair pattern (aligner.rs:390-398)
-        with its O(C1*C2) overhead."""
-        while len(concats2) < group:
-            concats2.append(b"")
+        with its O(C1*C2) overhead. ``c1_cache`` (keyed by pad bucket, scoped
+        to one outer chunk) avoids re-packing/re-shipping chunk1 per group."""
+        concats2 = concats2 + [b""] * (group - len(concats2))
         pad = _bucket(max(len(concat1), max(len(c) for c in concats2), 1))
-        arr1, l1 = encode.pad_batch([concat1], pad_to=pad, pad_value=int(encode.PAD_A))
-        arr2, l2 = encode.pad_batch(concats2, pad_to=pad, pad_value=int(encode.PAD_B))
         check_device_budget((1 + len(concats2)) * pad)
-        p1 = packedmod.pack_batch(arr1, l1)
+        if c1_cache is None or pad not in c1_cache:
+            arr1, l1 = encode.pad_batch(
+                [concat1], pad_to=pad, pad_value=int(encode.PAD_A)
+            )
+            args1 = packedmod.device_args(packedmod.pack_batch(arr1, l1))
+            if c1_cache is not None:
+                c1_cache[pad] = args1
+        else:
+            args1 = c1_cache[pad]
+        arr2, l2 = encode.pad_batch(concats2, pad_to=pad, pad_value=int(encode.PAD_B))
         p2 = packedmod.pack_batch(arr2, l2)
         kind = "contiguous" if self.mode == "contiguous" else "kadane"
-        return self._pair_batch_fn(kind)(
-            *packedmod.device_args(p1), *packedmod.device_args(p2)
-        )
+        return self._pair_batch_fn(kind)(*args1, *packedmod.device_args(p2))
 
     def _score_concat_pair(self, concat1: bytes, concat2: bytes) -> int:
         """Parity path for pair mode: gpu_align(chunk1.concat, chunk2.concat)
@@ -564,16 +569,17 @@ class AlignmentEngine:
             deferred = []
             for c1 in fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads):
                 concat1 = b"".join(c1)
+                c1_cache: dict = {}
                 group: list[bytes] = []
                 for c2 in fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads):
                     group.append(b"".join(c2))
                     if len(group) == 8:
-                        deferred.append(
-                            self._score_concat_pair_group(concat1, group)
-                        )
+                        deferred.append(self._score_concat_pair_group(
+                            concat1, group, c1_cache=c1_cache))
                         group = []
                 if group:
-                    deferred.append(self._score_concat_pair_group(concat1, group))
+                    deferred.append(self._score_concat_pair_group(
+                        concat1, group, c1_cache=c1_cache))
             total += sum(int(s) for s in jax.device_get(deferred))
         else:
             for c1 in fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads):

@@ -43,12 +43,16 @@ class KmerResult:
     @property
     def counts(self) -> dict:
         """(hi, lo) -> count dict. O(distinct): use .arrays for large runs."""
+        if not self.arrays:
+            return {}
         hi, lo, ct = self.arrays
         return {
             (int(hi[i]), int(lo[i])): int(ct[i]) for i in range(hi.size)
         }
 
     def top(self, n: int = 10) -> list[tuple[str, int]]:
+        if not self.arrays:
+            return []
         hi, lo, ct = self.arrays
         order = np.lexsort((lo, hi, -ct.astype(np.int64)))[:n]
         return [

@@ -7,12 +7,13 @@ sites* — so the prep stage's job is: map reads to a reference, build the
 pileup, and emit candidate variant sites. That's what this module does,
 TPU-first:
 
-- **seed mapping**: each read is anchored by looking up its first clean
-  seed k-mer (k=15 -> 30-bit keys that fit int32 lanes) in a sorted index of
-  the reference's k-mers; the lookup is a device-side ``searchsorted`` over
-  the sorted key array — O(log G) per read, fully vectorized. Forward-strand
-  and reverse-complement seeds are both tried (RC reads are flipped before
-  pileup).
+- **seed mapping**: each read is anchored by looking up seed k-mers (k=15
+  -> 30-bit keys that fit int32 lanes) at staggered offsets in a sorted
+  index of the reference's k-mers; the lookup is a device-side
+  ``searchsorted`` over the sorted key array — O(log G) per read, fully
+  vectorized. Forward-strand and reverse-complement seeds are both tried
+  (RC reads are flipped before pileup); ``rescue=True`` additionally maps
+  seed-missed reads by exhaustive SW against the whole reference.
 - **pileup**: mapped reads scatter their base codes into a (G, 5) count
   matrix via ``segment_sum`` on flattened (position * 5 + code) bins — the
   XLA-friendly scatter-add.
@@ -185,9 +186,10 @@ def _rescue_unmapped(codes, rc_codes, lens, ref_ascii, starts, mapped,
     strands) against the whole reference (ops/sw_pallas.py vs-ref kernel) and
     anchor at the best end position when the score clears the threshold.
 
-    The seed mapper only tries a read's FIRST clean 15-mer (variant bases or
-    errors there kill it); this recovers those reads at full sensitivity —
-    the reference had no mapper at all, so this is capability beyond parity.
+    The seed mapper tries N_SEED_TRIES staggered 15-mers (a read is lost
+    only when every tried window is hit by a variant/error); this recovers
+    even those reads at full sensitivity — the reference had no mapper at
+    all, so this is capability beyond parity.
     """
     from mini_parallel_tpu.ops.sw_pallas import sw_vs_ref_batch_pallas
 
@@ -217,16 +219,12 @@ def _revcomp_codes(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(jnp.roll)(flipped, shift)
 
 
-@partial(jax.jit, static_argnames=("G", "k", "rescue", "rescue_min_frac"))
-def _ungapped_batch_step(
-    pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
-    G: int, k: int = SEED_K, rescue: bool = False,
-    rescue_min_frac: float = 0.6,
-):
-    """One fused device step for the ungapped path: unpack 2-bit reads, map
-    forward and reverse-complement seeds (plus optional exhaustive SW rescue
-    of seed-misses), scatter the pileup, and return (new_pileup,
-    mapped_count) — no host round trips inside the batch loop."""
+def _map_packed_batch(pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
+                      k, rescue, rescue_min_frac):
+    """Shared mapping preamble of the fused steps: unpack 2-bit reads, try
+    forward then reverse-complement seeds, optionally rescue seed-misses
+    with the exhaustive vs-ref kernel. -> (final_codes, final_starts,
+    final_mapped)."""
     from mini_parallel_tpu.ops import packed as packedmod
 
     ascii_ = packedmod.unpack_device(pk, ec, ev, lens, int(encode.PAD_A))
@@ -243,6 +241,23 @@ def _ungapped_batch_step(
             final_codes, rc_codes, lens, ref_ascii, final_starts,
             final_mapped, rescue_min_frac,
         )
+    return final_codes, final_starts, final_mapped
+
+
+@partial(jax.jit, static_argnames=("G", "k", "rescue", "rescue_min_frac"))
+def _ungapped_batch_step(
+    pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
+    G: int, k: int = SEED_K, rescue: bool = False,
+    rescue_min_frac: float = 0.6,
+):
+    """One fused device step for the ungapped path: unpack 2-bit reads, map
+    forward and reverse-complement seeds (plus optional exhaustive SW rescue
+    of seed-misses), scatter the pileup, and return (new_pileup,
+    mapped_count) — no host round trips inside the batch loop."""
+    final_codes, final_starts, final_mapped = _map_packed_batch(
+        pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
+        k, rescue, rescue_min_frac,
+    )
     new_acc = pileup_acc + _pileup_batch(
         final_codes, lens, final_starts, final_mapped, G
     )
@@ -259,22 +274,10 @@ def _gapped_batch_step(
     """Fused gapped step: packed unpack + fwd/rc seed mapping (plus optional
     exhaustive SW rescue) + on-device traceback pileup. One dispatch per
     batch, scalars-only return."""
-    from mini_parallel_tpu.ops import packed as packedmod
-
-    ascii_ = packedmod.unpack_device(pk, ec, ev, lens, int(encode.PAD_A))
-    codes = encode.ascii_to_code(ascii_)
-    starts, mapped = _map_reads(codes, lens, sorted_keys, sorted_pos, k)
-    rc_codes = _revcomp_codes(codes, lens)
-    rc_starts, rc_mapped = _map_reads(rc_codes, lens, sorted_keys, sorted_pos, k)
-    use_rc = (~mapped) & rc_mapped
-    final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
-    final_starts = jnp.where(use_rc, rc_starts, starts)
-    final_mapped = mapped | rc_mapped
-    if rescue:
-        final_codes, final_starts, final_mapped = _rescue_unmapped(
-            final_codes, rc_codes, lens, ref_ascii, final_starts,
-            final_mapped, rescue_min_frac,
-        )
+    final_codes, final_starts, final_mapped = _map_packed_batch(
+        pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
+        k, rescue, rescue_min_frac,
+    )
     return _gapped_pileup_step(
         final_codes, lens, final_starts, final_mapped, ref_ascii, pileup_acc,
         G, W, margin,
@@ -294,19 +297,12 @@ def _gapped_pileup_step(
     and applied CIGARs in Python."""
     from mini_parallel_tpu.ops.sw_traceback import sw_positions_batch
 
-    B, L = codes.shape
     win_starts = jnp.clip(starts - margin, 0, max(G - W, 0))
     widx = win_starts[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     windows = jnp.where(
         widx < G, ref_ascii[jnp.clip(widx, 0, G - 1)], jnp.uint8(encode.PAD_B)
     )
-    base_ascii = jnp.asarray(np.frombuffer(b"ACGTN", np.uint8))
-    pos_l = jnp.arange(L, dtype=jnp.int32)[None, :]
-    q_ascii = jnp.where(
-        (pos_l < lens[:, None]) & mapped[:, None],
-        base_ascii[jnp.minimum(codes, 4)],
-        jnp.uint8(encode.PAD_A),
-    )
+    q_ascii = _codes_to_ascii(codes, lens, keep=mapped)
     score, positions = sw_positions_batch(q_ascii, windows)
     ok = mapped & (score > 0)
     positions = jnp.where(
@@ -457,6 +453,11 @@ class VariantPrepEngine:
         final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
         final_starts = jnp.where(use_rc, rc_starts, starts)
         final_mapped = mapped | rc_mapped
+        if self.rescue:
+            final_codes, final_starts, final_mapped = _rescue_unmapped(
+                final_codes, rc_codes, lens_j, self.index.ref_ascii_dev,
+                final_starts, final_mapped, self.rescue_min_frac,
+            )
 
         if self.gapped:
             codes_np = np.asarray(final_codes)

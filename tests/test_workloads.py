@@ -196,7 +196,7 @@ def test_variant_prep_packed_matches_unpacked(tmp_path, rng, ref_and_reads):
     """The fused packed ungapped step must reproduce the unpacked pileup."""
     ref, reads = ref_and_reads
     path = str(tmp_path / "vp.fastq.gz")
-    fastq.write_fastq(path, reads)
+    fastq.write_fastq(path, [r for _, r in reads])
     on = VariantPrepEngine(
         ref, Config(chunk_size_reads=16, read_pad=64, packed_transfer=True))
     off = VariantPrepEngine(
@@ -243,16 +243,17 @@ def test_variant_prep_rescue_recovers_seed_misses(tmp_path, rng, ref_and_reads):
         broken.append((start, bytes(r)))
     path = str(tmp_path / "broken.fastq.gz")
     fastq.write_fastq(path, [r for _, r in broken])
-    cfg = Config(chunk_size_reads=16, read_pad=112, packed_transfer=True)
-    base = VariantPrepEngine(ref, cfg)
-    resc = VariantPrepEngine(ref, cfg, rescue=True)
-    r_base = base.process_file(path)
-    r_resc = resc.process_file(path)
-    assert r_base.mapping_rate < 1.0  # seeds alone miss some
-    assert r_resc.mapping_rate == 1.0  # rescue recovers every read
-    # rescued reads pile up at their true positions: coverage matches truth
     cov = np.zeros(len(ref), int)
     for start, r in broken:
         cov[start : start + len(r)] += 1
-    depth = r_resc.pileup[:, :5].sum(axis=1)
-    np.testing.assert_array_equal(depth, cov)
+    for packed in (True, False):  # rescue must work on BOTH transfer paths
+        cfg = Config(chunk_size_reads=16, read_pad=112, packed_transfer=packed)
+        base = VariantPrepEngine(ref, cfg)
+        resc = VariantPrepEngine(ref, cfg, rescue=True)
+        r_base = base.process_file(path)
+        r_resc = resc.process_file(path)
+        assert r_base.mapping_rate < 1.0  # seeds alone miss some
+        assert r_resc.mapping_rate == 1.0  # rescue recovers every read
+        # rescued reads pile up at their true positions
+        depth = r_resc.pileup[:, :5].sum(axis=1)
+        np.testing.assert_array_equal(depth, cov)
