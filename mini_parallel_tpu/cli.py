@@ -207,7 +207,11 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         )
 
         try:
-            ref = fasta.read_first_sequence(args.reference)
+            recs = fasta.read_fasta(args.reference)
+            if not recs:
+                raise ValueError(f"no FASTA records in {args.reference}")
+            # multi-contig references are mapped as one N-spaced concat
+            ref = recs if len(recs) > 1 else next(iter(recs.values()))
             veng = VariantPrepEngine(ref, cfg, gapped=args.gapped,
                                      rescue=args.rescue)
             res = veng.process_file(args.variant_prep, progress=echo)
@@ -219,10 +223,11 @@ def main(argv: list[str] | None = None, echo=print) -> int:
              f"({100*res.mapping_rate:.1f} %)")
         echo(f"Candidate variant sites: {len(res.candidates)}")
         for c in res.candidates[:10]:
-            echo(f"  pos {c.pos+1}: {c.ref_base}->{c.alt_base} "
+            echo(f"  {c.contig}:{c.pos+1}: {c.ref_base}->{c.alt_base} "
                  f"depth={c.depth} alt={c.alt_count}")
         if args.vcf_out:
-            write_candidates_vcf(args.vcf_out, res)
+            write_candidates_vcf(args.vcf_out, res,
+                                 contigs=veng.contig_table())
             echo(f"Candidates written to {args.vcf_out}")
         return 0
 

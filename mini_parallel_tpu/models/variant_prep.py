@@ -37,14 +37,45 @@ from mini_parallel_tpu.utils.config import Config
 
 SEED_K = 15  # 2*15 = 30 bits: seed keys fit non-negative int32
 
+# Ns between concatenated contigs. 512 > 2*max_read_len/... precisely: a
+# local alignment crossing the spacer pays -1 per N, so with read length
+# <= 255 the bridge cost (512) always exceeds the maximum possible gain
+# (2*255), making cross-contig alignments strictly worse than stopping.
+CONTIG_SPACER_N = 512
+
+
+def concat_contigs(contigs: dict[str, bytes],
+                   spacer: int = CONTIG_SPACER_N):
+    """Join contigs with N-spacers -> (concat_bytes, names, offsets, lengths).
+
+    Seeds containing N are invalid and SW cannot profitably cross a spacer
+    (see CONTIG_SPACER_N), so mapping/pileup on the concat behaves like
+    per-contig mapping; spacer positions are ref-base N and can never become
+    candidate sites (_extract_candidates keeps ref_base in ACGT only).
+    """
+    names = list(contigs)
+    offsets, lengths, parts = [], [], []
+    at = 0
+    for i, n in enumerate(names):
+        seq = contigs[n].upper()
+        if i:
+            parts.append(b"N" * spacer)
+            at += spacer
+        offsets.append(at)
+        lengths.append(len(seq))
+        parts.append(seq)
+        at += len(seq)
+    return b"".join(parts), names, np.asarray(offsets), np.asarray(lengths)
+
 
 @dataclass
 class Candidate:
-    pos: int  # 0-based reference position
+    pos: int  # 0-based position within its contig
     ref_base: str
     alt_base: str
     depth: int
     alt_count: int
+    contig: str = "ref"
 
     @property
     def alt_fraction(self) -> float:
@@ -341,7 +372,7 @@ class VariantPrepEngine:
 
     def __init__(
         self,
-        reference: bytes,
+        reference: bytes | dict[str, bytes],
         cfg: Config | None = None,
         min_depth: int = 2,
         alt_fraction: float = 0.2,
@@ -351,6 +382,16 @@ class VariantPrepEngine:
         rescue_min_frac: float = 0.6,
     ):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
+        if isinstance(reference, dict):
+            concat, names, offs, lens = concat_contigs(reference)
+            self.contig_names = names
+            self.contig_offsets = offs
+            self.contig_lengths = lens
+            reference = concat
+        else:
+            self.contig_names = ["ref"]
+            self.contig_offsets = np.asarray([0])
+            self.contig_lengths = np.asarray([len(reference)])
         self.index = ReferenceIndex(reference)
         self.min_depth = min_depth
         self.alt_fraction = alt_fraction
@@ -521,30 +562,44 @@ class VariantPrepEngine:
             counts = pileup[pos, :4].copy()
             counts[ref_safe[pos]] = -1  # exclude ref from alt argmax
             alt = int(np.argmax(counts))
+            ci = int(np.searchsorted(self.contig_offsets, pos, "right")) - 1
             out.append(
                 Candidate(
-                    pos=pos,
+                    pos=pos - int(self.contig_offsets[ci]),
                     ref_base=bases[ref_safe[pos]],
                     alt_base=bases[alt],
                     depth=int(depth[pos]),
                     alt_count=int(pileup[pos, alt]),
+                    contig=self.contig_names[ci],
                 )
             )
         return out
+
+    def contig_table(self) -> list[tuple[str, int]]:
+        """[(name, length)] of the reference contigs, for VCF headers."""
+        return list(zip(self.contig_names,
+                        (int(x) for x in self.contig_lengths)))
 
 
 _RC_TABLE = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
 
 
 def write_candidates_vcf(path: str, res: VariantPrepResult,
-                         contig: str = "ref") -> None:
-    """Minimal VCF-like output for the DeepVariant hand-off."""
+                         contigs: list[tuple[str, int]] | None = None) -> None:
+    """Minimal VCF-like output for the DeepVariant hand-off.
+
+    ``contigs``: [(name, length)] from VariantPrepEngine.contig_table();
+    defaults to a single contig spanning the whole reference."""
+    if contigs is None:
+        contigs = [("ref", res.reference_length)]
     with open(path, "w") as f:
         f.write("##fileformat=VCFv4.2\n")
-        f.write(f"##contig=<ID={contig},length={res.reference_length}>\n")
+        for name, length in contigs:
+            f.write(f"##contig=<ID={name},length={length}>\n")
         f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
         for c in res.candidates:
             f.write(
-                f"{contig}\t{c.pos + 1}\t.\t{c.ref_base}\t{c.alt_base}\t.\t.\t"
-                f"DP={c.depth};AC={c.alt_count};AF={c.alt_fraction:.3f}\n"
+                f"{c.contig}\t{c.pos + 1}\t.\t{c.ref_base}\t{c.alt_base}"
+                f"\t.\t.\tDP={c.depth};AC={c.alt_count};"
+                f"AF={c.alt_fraction:.3f}\n"
             )

@@ -257,3 +257,42 @@ def test_variant_prep_rescue_recovers_seed_misses(tmp_path, rng, ref_and_reads):
         # rescued reads pile up at their true positions
         depth = r_resc.pileup[:, :5].sum(axis=1)
         np.testing.assert_array_equal(depth, cov)
+
+
+def test_variant_prep_multi_contig(tmp_path, rng):
+    """Two contigs: reads map per contig, a SNP reports contig-local
+    coordinates, spacers never become candidate sites."""
+    from mini_parallel_tpu.models.variant_prep import write_candidates_vcf
+
+    c1 = random_dna(rng, 800)
+    c2 = random_dna(rng, 600)
+    reads = []
+    for _ in range(40):
+        s1 = int(rng.integers(0, 700))
+        reads.append(c1[s1 : s1 + 100])
+    snp_pos = 300  # plant a SNP in contig2 at local position 300
+    alt = b"A" if c2[snp_pos : snp_pos + 1] != b"A" else b"C"
+    for _ in range(40):
+        s2 = int(rng.integers(200, 350))
+        r = bytearray(c2[s2 : s2 + 100])
+        if s2 <= snp_pos < s2 + 100:
+            r[snp_pos - s2] = alt[0]
+        reads.append(bytes(r))
+    path = str(tmp_path / "mc.fastq.gz")
+    fastq.write_fastq(path, reads)
+    eng = VariantPrepEngine(
+        {"chr1": c1, "chr2": c2},
+        Config(chunk_size_reads=16, read_pad=112),
+        min_depth=3, alt_fraction=0.5,
+    )
+    res = eng.process_file(path)
+    assert res.mapping_rate == 1.0
+    assert [(c.contig, c.pos, c.alt_base) for c in res.candidates] == [
+        ("chr2", snp_pos, alt.decode())
+    ]
+    vcf = tmp_path / "out.vcf"
+    write_candidates_vcf(str(vcf), res, contigs=eng.contig_table())
+    text = vcf.read_text()
+    assert "##contig=<ID=chr1,length=800>" in text
+    assert "##contig=<ID=chr2,length=600>" in text
+    assert f"chr2\t{snp_pos+1}\t" in text
