@@ -88,7 +88,8 @@ class VariantPrepResult:
     total_reads: int = 0
     mapped_reads: int = 0
     candidates: list[Candidate] = field(default_factory=list)
-    pileup: np.ndarray | None = None  # (G, 5) counts, A C G T N
+    # (G, 7): base counts A C G T N, deletion evidence, insertion evidence
+    pileup: np.ndarray | None = None
     seconds: float = 0.0
 
     @property
@@ -194,7 +195,7 @@ def _pileup_batch(
     counts = jax.ops.segment_sum(
         jnp.ones(B * L, jnp.int32), bins.reshape(-1), num_segments=G * 5 + 1
     )
-    return counts[: G * 5].reshape(G, 5)
+    return jnp.pad(counts[: G * 5].reshape(G, 5), ((0, 0), (0, 2)))
 
 
 _BASE_ASCII = np.frombuffer(b"ACGTN", np.uint8)
@@ -350,14 +351,44 @@ def _pileup_positions(
     """Pileup with explicit per-base reference positions (gapped mode).
 
     positions[b, l] is the reference coordinate of query base l (or -1 for
-    unaligned/inserted/soft-clipped bases)."""
+    unaligned/inserted/soft-clipped bases). Returns (G, 7): base counts
+    A C G T N plus per-site deletion/insertion evidence (one count per read
+    supporting a gap event at that site), read straight off the traceback:
+    a ref-position jump between consecutive aligned query bases is a
+    deletion; an unaligned query base flanked by aligned ones is an
+    insertion (counted once per run, at the base after the left anchor)."""
     B, L = codes.shape
     valid = (positions >= 0) & (positions < G) & (codes <= 3)
     bins = jnp.where(valid, positions * 5 + codes.astype(jnp.int32), G * 5)
     counts = jax.ops.segment_sum(
         jnp.ones(B * L, jnp.int32), bins.reshape(-1), num_segments=G * 5 + 1
     )
-    return counts[: G * 5].reshape(G, 5)
+    base = counts[: G * 5].reshape(G, 5)
+
+    aligned = positions >= 0
+    nxt = jnp.concatenate(
+        [positions[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1
+    )
+    gap = nxt - positions - 1
+    del_site = jnp.where(aligned & (nxt >= 0) & (gap > 0), positions + 1, G)
+    del_c = jax.ops.segment_sum(
+        jnp.ones(B * L, jnp.int32), del_site.reshape(-1), num_segments=G + 1
+    )[:G]
+
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), positions[:, :-1]], axis=1
+    )
+    later = jnp.flip(
+        jnp.cumsum(jnp.flip(aligned.astype(jnp.int32), 1), axis=1), 1
+    ) > 0  # some aligned base at index >= l
+    ins_here = (~aligned) & (prev >= 0) & later
+    ins_site = jnp.where(ins_here, prev + 1, G)
+    ins_c = jax.ops.segment_sum(
+        jnp.ones(B * L, jnp.int32), ins_site.reshape(-1), num_segments=G + 1
+    )[:G]
+    return jnp.concatenate(
+        [base, del_c[:, None], ins_c[:, None]], axis=1
+    )
 
 
 class VariantPrepEngine:
@@ -519,7 +550,7 @@ class VariantPrepEngine:
     def process_file(self, path: str, progress=None) -> VariantPrepResult:
         t0 = time.perf_counter()
         G = len(self.index.ref_codes)
-        pileup = jnp.zeros((G, 5), jnp.int32)
+        pileup = jnp.zeros((G, 7), jnp.int32)
         res = VariantPrepResult(reference_length=G)
         deferred: list = []  # device scalars from the fused ungapped path
         for chunk in fastq.iter_read_chunks(path, self.cfg.chunk_size_reads):
@@ -558,6 +589,21 @@ class VariantPrepEngine:
         sites = np.nonzero(
             (depth >= self.min_depth) & (frac >= self.alt_fraction) & (ref_safe < 4)
         )[0]
+        # indel candidate sites from the gapped traceback evidence columns.
+        # Deletion-supporting reads span the site without placing a base
+        # there, so they count toward its effective depth (a homozygous
+        # deletion otherwise has depth 0 and could never pass the gate).
+        indel_sites: list[tuple[int, str, int]] = []
+        if pileup.shape[1] >= 7:
+            for col, tag in ((5, "<DEL>"), (6, "<INS>")):
+                ev = pileup[:, col]
+                eff_depth = depth + (ev if tag == "<DEL>" else 0)
+                hits = np.nonzero(
+                    (eff_depth >= self.min_depth)
+                    & (ev / np.maximum(eff_depth, 1) >= self.alt_fraction)
+                    & (ref_safe < 4)
+                )[0]
+                indel_sites += [(int(p), tag, int(ev[p])) for p in hits]
         for pos in sites.tolist():
             counts = pileup[pos, :4].copy()
             counts[ref_safe[pos]] = -1  # exclude ref from alt argmax
@@ -573,6 +619,19 @@ class VariantPrepEngine:
                     contig=self.contig_names[ci],
                 )
             )
+        for pos, tag, ev in indel_sites:
+            ci = int(np.searchsorted(self.contig_offsets, pos, "right")) - 1
+            out.append(
+                Candidate(
+                    pos=pos - int(self.contig_offsets[ci]),
+                    ref_base=bases[ref_safe[pos]],
+                    alt_base=tag,
+                    depth=int(depth[pos]),
+                    alt_count=ev,
+                    contig=self.contig_names[ci],
+                )
+            )
+        out.sort(key=lambda c: (c.contig, c.pos, c.alt_base))
         return out
 
     def contig_table(self) -> list[tuple[str, int]]:

@@ -296,3 +296,41 @@ def test_variant_prep_multi_contig(tmp_path, rng):
     assert "##contig=<ID=chr1,length=800>" in text
     assert "##contig=<ID=chr2,length=600>" in text
     assert f"chr2\t{snp_pos+1}\t" in text
+
+
+def test_variant_prep_gapped_indel_candidates(tmp_path):
+    """A shared deletion / insertion in the reads surfaces as a <DEL>/<INS>
+    candidate at the right site in gapped mode."""
+    rng = np.random.default_rng(123)  # local: alignment-shape assertions
+    ref = random_dna(rng, 1200)
+    del_at, ins_at = 400, 800
+    reads = []
+    for _ in range(25):
+        s = int(rng.integers(340, 380))  # read spans the deletion site
+        r = bytearray(ref[s : s + 100])
+        d = del_at - s
+        del r[d : d + 3]  # 3bp deletion relative to the reference
+        reads.append(bytes(r))
+    for _ in range(25):
+        s = int(rng.integers(740, 780))  # read spans the insertion site
+        r = bytearray(ref[s : s + 100])
+        i = ins_at - s
+        r[i:i] = b"GGG"  # 3bp insertion
+        reads.append(bytes(r))
+    path = str(tmp_path / "indel.fastq.gz")
+    fastq.write_fastq(path, reads)
+    eng = VariantPrepEngine(
+        ref, Config(chunk_size_reads=16, read_pad=112),
+        min_depth=5, alt_fraction=0.5, gapped=True,
+    )
+    res = eng.process_file(path)
+    assert res.mapping_rate == 1.0
+    dels = [c for c in res.candidates if c.alt_base == "<DEL>"]
+    inss = [c for c in res.candidates if c.alt_base == "<INS>"]
+    # gap placement can shift by a base or two when the gap edge repeats
+    assert len(dels) == 1 and abs(dels[0].pos - del_at) <= 2
+    assert len(inss) == 1 and abs(inss[0].pos - ins_at) <= 3
+    assert dels[0].alt_count >= 20 and inss[0].alt_count >= 20
+    # no spurious SNP candidates from the indel smear (gapped realignment)
+    snps = [c for c in res.candidates if len(c.alt_base) == 1]
+    assert snps == []
