@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gapped", action="store_true",
                    help="CIGAR-based gapped pileup for --variant-prep "
                    "(indel-tolerant; slower)")
+    p.add_argument("--min-base-quality", type=int, default=0,
+                   help="exclude bases below this Phred score from the "
+                   "--variant-prep pileup evidence (0 = off; uses the "
+                   "quality-aware Python decoder)")
     p.add_argument("--rescue", action="store_true",
                    help="exhaustive-SW rescue of seed-unmapped reads for "
                    "--variant-prep (full-sensitivity mapping; costs "
@@ -213,7 +217,8 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             # multi-contig references are mapped as one N-spaced concat
             ref = recs if len(recs) > 1 else next(iter(recs.values()))
             veng = VariantPrepEngine(ref, cfg, gapped=args.gapped,
-                                     rescue=args.rescue)
+                                     rescue=args.rescue,
+                                     min_base_quality=args.min_base_quality)
             res = veng.process_file(args.variant_prep, progress=echo)
         except (OSError, IOError, ValueError) as e:
             echo(f"ERROR: {e}")

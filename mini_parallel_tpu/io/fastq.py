@@ -110,6 +110,37 @@ def iter_read_chunks(
         yield chunk
 
 
+def iter_read_chunks_with_quals(
+    path: str,
+    chunk_size_reads: int,
+    engine: str = "auto",
+) -> Iterator[tuple[list[bytes], list[bytes]]]:
+    """Yield (sequences, quality_strings) chunks (FASTQ lines 2 and 4).
+
+    Python decode path only (the native decoder extracts sequence lines;
+    quality-aware workloads opt into this slower reader via
+    min_base_quality). Records with mismatched seq/qual lengths are yielded
+    as-is — downstream masking treats missing quals as passing.
+    """
+    seqs: list[bytes] = []
+    quals: list[bytes] = []
+    line_count = 0
+    for line in open_lines(path, engine="python" if engine == "auto" else engine):
+        line_count += 1
+        m = line_count % 4
+        if m == 2:
+            seqs.append(line)
+        elif m == 0:
+            quals.append(line)
+            if len(seqs) >= chunk_size_reads:
+                yield seqs, quals
+                seqs, quals = [], []
+    if seqs:
+        while len(quals) < len(seqs):  # truncated final record
+            quals.append(b"")
+        yield seqs, quals
+
+
 def process_fastq_file_in_chunks(
     path: str,
     chunk_size_reads: int,

@@ -179,9 +179,12 @@ def _map_reads(
 @partial(jax.jit, static_argnames=("G",))
 def _pileup_batch(
     codes: jnp.ndarray, lengths: jnp.ndarray, starts: jnp.ndarray,
-    mapped: jnp.ndarray, G: int,
+    mapped: jnp.ndarray, G: int, qual_ok: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Scatter-add mapped reads into a (G, 5) base-count pileup."""
+    """Scatter-add mapped reads into a (G, 5) base-count pileup.
+
+    ``qual_ok`` (B, L) bool excludes low-quality bases from the counts
+    (alignment/mapping still uses every base; only the evidence is gated)."""
     B, L = codes.shape
     pos = starts[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = (
@@ -191,6 +194,8 @@ def _pileup_batch(
         & (pos < G)
         & (codes <= 3)
     )
+    if qual_ok is not None:
+        valid = valid & qual_ok
     bins = jnp.where(valid, pos * 5 + codes.astype(jnp.int32), G * 5)
     counts = jax.ops.segment_sum(
         jnp.ones(B * L, jnp.int32), bins.reshape(-1), num_segments=G * 5 + 1
@@ -236,9 +241,10 @@ def _rescue_unmapped(codes, rc_codes, lens, ref_ascii, starts, mapped,
     thresh = (2.0 * rescue_min_frac * lens.astype(jnp.float32)).astype(jnp.int32)
     good = unm & (s_best >= jnp.maximum(thresh, 1))
     anchor = jnp.clip(p_best - lens + 1, 0, None)
-    new_codes = jnp.where((good & use_rc)[:, None], rc_codes, codes)
+    rc_used = good & use_rc
+    new_codes = jnp.where(rc_used[:, None], rc_codes, codes)
     new_starts = jnp.where(good, anchor, starts)
-    return new_codes, new_starts, mapped | good
+    return new_codes, new_starts, mapped | good, rc_used
 
 
 def _revcomp_codes(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -256,7 +262,9 @@ def _map_packed_batch(pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
     """Shared mapping preamble of the fused steps: unpack 2-bit reads, try
     forward then reverse-complement seeds, optionally rescue seed-misses
     with the exhaustive vs-ref kernel. -> (final_codes, final_starts,
-    final_mapped)."""
+    final_mapped, flipped) where flipped marks rows whose codes are the
+    reverse complement of the input read (per-base side-channels like
+    quality masks must be reversed for those rows)."""
     from mini_parallel_tpu.ops import packed as packedmod
 
     ascii_ = packedmod.unpack_device(pk, ec, ev, lens, int(encode.PAD_A))
@@ -268,17 +276,41 @@ def _map_packed_batch(pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
     final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
     final_starts = jnp.where(use_rc, rc_starts, starts)
     final_mapped = mapped | rc_mapped
+    flipped = use_rc
     if rescue:
-        final_codes, final_starts, final_mapped = _rescue_unmapped(
+        final_codes, final_starts, final_mapped, rc_used = _rescue_unmapped(
             final_codes, rc_codes, lens, ref_ascii, final_starts,
             final_mapped, rescue_min_frac,
         )
-    return final_codes, final_starts, final_mapped
+        flipped = flipped | rc_used
+    return final_codes, final_starts, final_mapped, flipped
+
+
+def _reverse_prefix(mask: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each row's valid prefix of a (B, L) per-base mask (the
+    boolean analogue of _revcomp_codes' flip+roll; pad tail stays in place)."""
+    import jax as _jax
+
+    flipped = jnp.flip(mask, axis=1)
+    L = mask.shape[1]
+    shift = (lens.astype(jnp.int32) - L) % jnp.int32(L)
+    return _jax.vmap(jnp.roll)(flipped, shift)
+
+
+def _orient_qual_ok(qb, lens, L, flipped):
+    """Unpack a bit-packed qual mask and reverse rows mapped on the rc
+    strand so the mask stays aligned with the (possibly flipped) codes."""
+    from mini_parallel_tpu.ops import packed as packedmod
+
+    if qb is None:
+        return None
+    qual_ok = packedmod.unpack_bits_device(qb, L)
+    return jnp.where(flipped[:, None], _reverse_prefix(qual_ok, lens), qual_ok)
 
 
 @partial(jax.jit, static_argnames=("G", "k", "rescue", "rescue_min_frac"))
 def _ungapped_batch_step(
-    pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
+    pk, ec, ev, lens, qb, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
     G: int, k: int = SEED_K, rescue: bool = False,
     rescue_min_frac: float = 0.6,
 ):
@@ -286,12 +318,13 @@ def _ungapped_batch_step(
     forward and reverse-complement seeds (plus optional exhaustive SW rescue
     of seed-misses), scatter the pileup, and return (new_pileup,
     mapped_count) — no host round trips inside the batch loop."""
-    final_codes, final_starts, final_mapped = _map_packed_batch(
+    final_codes, final_starts, final_mapped, flipped = _map_packed_batch(
         pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
         k, rescue, rescue_min_frac,
     )
+    qual_ok = _orient_qual_ok(qb, lens, final_codes.shape[1], flipped)
     new_acc = pileup_acc + _pileup_batch(
-        final_codes, lens, final_starts, final_mapped, G
+        final_codes, lens, final_starts, final_mapped, G, qual_ok
     )
     return new_acc, final_mapped.sum(dtype=jnp.int32)
 
@@ -299,20 +332,21 @@ def _ungapped_batch_step(
 @partial(jax.jit, static_argnames=("G", "W", "margin", "k", "rescue",
                                    "rescue_min_frac"))
 def _gapped_batch_step(
-    pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
+    pk, ec, ev, lens, qb, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
     G: int, W: int, margin: int, k: int = SEED_K, rescue: bool = False,
     rescue_min_frac: float = 0.6,
 ):
     """Fused gapped step: packed unpack + fwd/rc seed mapping (plus optional
     exhaustive SW rescue) + on-device traceback pileup. One dispatch per
     batch, scalars-only return."""
-    final_codes, final_starts, final_mapped = _map_packed_batch(
+    final_codes, final_starts, final_mapped, flipped = _map_packed_batch(
         pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
         k, rescue, rescue_min_frac,
     )
+    qual_ok = _orient_qual_ok(qb, lens, final_codes.shape[1], flipped)
     return _gapped_pileup_step(
         final_codes, lens, final_starts, final_mapped, ref_ascii, pileup_acc,
-        G, W, margin,
+        G, W, margin, qual_ok,
     )
 
 
@@ -320,7 +354,7 @@ def _gapped_batch_step(
 def _gapped_pileup_step(
     codes: jnp.ndarray, lens: jnp.ndarray, starts: jnp.ndarray,
     mapped: jnp.ndarray, ref_ascii: jnp.ndarray, pileup_acc: jnp.ndarray,
-    G: int, W: int, margin: int,
+    G: int, W: int, margin: int, qual_ok: jnp.ndarray | None = None,
 ):
     """Gapped pileup entirely on device: gather each mapped read's anchored
     reference window, run the batched SW traceback for per-base reference
@@ -340,13 +374,14 @@ def _gapped_pileup_step(
     positions = jnp.where(
         ok[:, None] & (positions >= 0), positions + win_starts[:, None], -1
     )
-    new_acc = pileup_acc + _pileup_positions(codes, positions, G)
+    new_acc = pileup_acc + _pileup_positions(codes, positions, G, qual_ok)
     return new_acc, mapped.sum(dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("G",))
 def _pileup_positions(
-    codes: jnp.ndarray, positions: jnp.ndarray, G: int
+    codes: jnp.ndarray, positions: jnp.ndarray, G: int,
+    qual_ok: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Pileup with explicit per-base reference positions (gapped mode).
 
@@ -359,6 +394,8 @@ def _pileup_positions(
     insertion (counted once per run, at the base after the left anchor)."""
     B, L = codes.shape
     valid = (positions >= 0) & (positions < G) & (codes <= 3)
+    if qual_ok is not None:
+        valid = valid & qual_ok
     bins = jnp.where(valid, positions * 5 + codes.astype(jnp.int32), G * 5)
     counts = jax.ops.segment_sum(
         jnp.ones(B * L, jnp.int32), bins.reshape(-1), num_segments=G * 5 + 1
@@ -411,6 +448,7 @@ class VariantPrepEngine:
         window_margin: int = 16,
         rescue: bool = False,
         rescue_min_frac: float = 0.6,
+        min_base_quality: int = 0,
     ):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         if isinstance(reference, dict):
@@ -428,9 +466,12 @@ class VariantPrepEngine:
         self.alt_fraction = alt_fraction
         self.gapped = gapped
         self.window_margin = window_margin
-        # exhaustive-SW rescue of seed-unmapped reads (packed paths only)
         self.rescue = rescue
         self.rescue_min_frac = rescue_min_frac
+        # Phred+33 threshold: bases below it are excluded from pileup
+        # EVIDENCE (mapping and alignment still use every base). 0 = off;
+        # quality-aware runs use the Python FASTQ decoder (quals needed).
+        self.min_base_quality = min_base_quality
 
     def _gapped_positions(
         self, codes_np: np.ndarray, lens: np.ndarray, starts: np.ndarray,
@@ -479,28 +520,47 @@ class VariantPrepEngine:
                     rj += count
         return positions
 
-    def process_reads_batch(self, reads: list[bytes], pileup_acc: jnp.ndarray
+    def _qual_mask(self, reads: list[bytes], quals: list[bytes] | None,
+                   pad: int) -> np.ndarray | None:
+        """(B, pad) bool: base passes the Phred+33 threshold (missing qual
+        bytes pass)."""
+        if quals is None or self.min_base_quality <= 0:
+            return None
+        ok = np.ones((len(reads), pad), bool)
+        floor = 33 + self.min_base_quality
+        for i, q in enumerate(quals):
+            qa = np.frombuffer(q[:pad], np.uint8)
+            ok[i, : len(qa)] = qa >= floor
+        return ok
+
+    def process_reads_batch(self, reads: list[bytes], pileup_acc: jnp.ndarray,
+                            quals: list[bytes] | None = None,
                             ) -> tuple[jnp.ndarray, int | jnp.ndarray]:
         """One batch. Ungapped+packed: fully fused on device — the returned
         mapped-count is a DEFERRED device scalar (drain with device_get)."""
         pad = -(-max(self.cfg.read_pad, SEED_K + 1,
                      max((len(r) for r in reads), default=1)) // 8) * 8
         arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
+        qmask = self._qual_mask(reads, quals, pad)
         G = len(self.index.ref_codes)
         if self.cfg.packed_transfer and pad % 4 == 0:
             from mini_parallel_tpu.ops import packed as packedmod
 
             pb = packedmod.pack_batch(arr, lens)
+            qb = (
+                jnp.asarray(packedmod.pack_bits(qmask))
+                if qmask is not None else None
+            )
             if self.gapped:
                 return _gapped_batch_step(
-                    *packedmod.device_args(pb), self.index.sorted_keys,
+                    *packedmod.device_args(pb), qb, self.index.sorted_keys,
                     self.index.sorted_pos, self.index.ref_ascii_dev,
                     pileup_acc, G, pad + 2 * self.window_margin,
                     self.window_margin, rescue=self.rescue,
                     rescue_min_frac=self.rescue_min_frac,
                 )
             return _ungapped_batch_step(
-                *packedmod.device_args(pb), self.index.sorted_keys,
+                *packedmod.device_args(pb), qb, self.index.sorted_keys,
                 self.index.sorted_pos, self.index.ref_ascii_dev,
                 pileup_acc, G, rescue=self.rescue,
                 rescue_min_frac=self.rescue_min_frac,
@@ -525,12 +585,21 @@ class VariantPrepEngine:
         final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
         final_starts = jnp.where(use_rc, rc_starts, starts)
         final_mapped = mapped | rc_mapped
+        flipped = use_rc
         if self.rescue:
-            final_codes, final_starts, final_mapped = _rescue_unmapped(
+            final_codes, final_starts, final_mapped, rc_used = _rescue_unmapped(
                 final_codes, rc_codes, lens_j, self.index.ref_ascii_dev,
                 final_starts, final_mapped, self.rescue_min_frac,
             )
+            flipped = flipped | rc_used
 
+        qual_ok = None
+        if qmask is not None:
+            qual_ok = jnp.where(
+                flipped[:, None],
+                _reverse_prefix(jnp.asarray(qmask), lens_j),
+                jnp.asarray(qmask),
+            )
         if self.gapped:
             codes_np = np.asarray(final_codes)
             lens_np = np.where(np.asarray(use_rc), np.asarray(rc_lens), lens)
@@ -539,11 +608,11 @@ class VariantPrepEngine:
                 np.asarray(final_mapped),
             )
             pileup_acc = pileup_acc + _pileup_positions(
-                final_codes, jnp.asarray(positions), G
+                final_codes, jnp.asarray(positions), G, qual_ok
             )
         else:
             pileup_acc = pileup_acc + _pileup_batch(
-                final_codes, lens_j, final_starts, final_mapped, G
+                final_codes, lens_j, final_starts, final_mapped, G, qual_ok
             )
         return pileup_acc, int(np.asarray(final_mapped).sum())
 
@@ -553,9 +622,18 @@ class VariantPrepEngine:
         pileup = jnp.zeros((G, 7), jnp.int32)
         res = VariantPrepResult(reference_length=G)
         deferred: list = []  # device scalars from the fused ungapped path
-        for chunk in fastq.iter_read_chunks(path, self.cfg.chunk_size_reads):
+        if self.min_base_quality > 0:
+            batches = fastq.iter_read_chunks_with_quals(
+                path, self.cfg.chunk_size_reads
+            )
+        else:
+            batches = (
+                (chunk, None)
+                for chunk in fastq.iter_read_chunks(path, self.cfg.chunk_size_reads)
+            )
+        for chunk, quals in batches:
             reads = [bytes(r) for r in chunk]
-            pileup, n_mapped = self.process_reads_batch(reads, pileup)
+            pileup, n_mapped = self.process_reads_batch(reads, pileup, quals)
             res.total_reads += len(reads)
             if isinstance(n_mapped, int):
                 res.mapped_reads += n_mapped

@@ -212,6 +212,23 @@ def unpack_device(packed: jnp.ndarray, exc_col: jnp.ndarray,
     return jnp.where(pos < lengths[:, None], ascii_, jnp.uint8(pad_value))
 
 
+def pack_bits(mask: np.ndarray) -> np.ndarray:
+    """(B, L) bool -> (B, ceil(L/8)) uint8, LSB-first (8x fewer wire bytes).
+
+    Used for per-base boolean side-channels (e.g. base-quality pass masks)
+    that ride along with 2-bit packed reads.
+    """
+    return np.packbits(mask, axis=1, bitorder="little")
+
+
+def unpack_bits_device(packed_bits: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Device-side inverse of pack_bits: -> (B, L) bool."""
+    B, L8 = packed_bits.shape
+    shifts = jnp.arange(8, dtype=jnp.int32)
+    bits = (packed_bits[:, :, None].astype(jnp.int32) >> shifts[None, None, :]) & 1
+    return bits.reshape(B, L8 * 8)[:, :L].astype(bool)
+
+
 def device_args(pb: PackedBatch):
     """The jit-traceable argument tuple for unpack_device (order matters)."""
     return (

@@ -334,3 +334,46 @@ def test_variant_prep_gapped_indel_candidates(tmp_path):
     # no spurious SNP candidates from the indel smear (gapped realignment)
     snps = [c for c in res.candidates if len(c.alt_base) == 1]
     assert snps == []
+
+
+def test_variant_prep_min_base_quality(tmp_path):
+    """A fake SNP carried only by low-quality bases disappears when
+    min_base_quality filters it — including on reverse-complement-mapped
+    reads (the mask must flip with the read)."""
+    import gzip
+
+    rng = np.random.default_rng(77)
+    ref = random_dna(rng, 1000)
+    site = 500
+    alt = b"A" if ref[site : site + 1] != b"A" else b"C"
+    rc_tab = bytes.maketrans(b"ACGT", b"TGCA")
+    recs = []
+    for i in range(30):
+        s = int(rng.integers(440, 480))
+        r = bytearray(ref[s : s + 100])
+        off = site - s
+        r[off] = alt[0]
+        qual = bytearray(b"I" * 100)
+        qual[off] = ord("#")  # Phred 2: below any sane threshold
+        if i % 2:  # half the reads on the reverse strand
+            r = bytes(r).translate(rc_tab)[::-1]
+            qual = qual[::-1]
+        recs.append(f"@r{i}\n{bytes(r).decode()}\n+\n{bytes(qual).decode()}\n")
+    path = tmp_path / "lowq.fastq.gz"
+    path.write_bytes(gzip.compress("".join(recs).encode()))
+
+    for packed in (True, False):
+        cfg = Config(chunk_size_reads=16, read_pad=112, packed_transfer=packed)
+        loose = VariantPrepEngine(ref, cfg, min_depth=3, alt_fraction=0.5)
+        strict = VariantPrepEngine(ref, cfg, min_depth=3, alt_fraction=0.5,
+                                   min_base_quality=10)
+        r_loose = loose.process_file(str(path))
+        r_strict = strict.process_file(str(path))
+        assert r_loose.mapping_rate == 1.0 and r_strict.mapping_rate == 1.0
+        assert [(c.pos, c.alt_base) for c in r_loose.candidates] == [
+            (site, alt.decode())
+        ]
+        assert r_strict.candidates == []
+        # only the filtered base disappears from the pileup
+        assert r_strict.pileup[site, :4].sum() == 0
+        assert r_strict.pileup[site - 1, :4].sum() == 30
