@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gapped", action="store_true",
                    help="CIGAR-based gapped pileup for --variant-prep "
                    "(indel-tolerant; slower)")
+    p.add_argument("--gap-model", choices=("linear", "affine"),
+                   default="linear",
+                   help="gap scoring for --gapped traceback (affine = Gotoh "
+                   "with MPT_GAP_OPEN/MPT_GAP_EXTEND)")
     p.add_argument("--min-base-quality", type=int, default=0,
                    help="exclude bases below this Phred score from the "
                    "--variant-prep pileup evidence (0 = off; uses the "
@@ -218,7 +222,8 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             ref = recs if len(recs) > 1 else next(iter(recs.values()))
             veng = VariantPrepEngine(ref, cfg, gapped=args.gapped,
                                      rescue=args.rescue,
-                                     min_base_quality=args.min_base_quality)
+                                     min_base_quality=args.min_base_quality,
+                                     gap_model=args.gap_model)
             res = veng.process_file(args.variant_prep, progress=echo)
         except (OSError, IOError, ValueError) as e:
             echo(f"ERROR: {e}")

@@ -330,11 +330,13 @@ def _ungapped_batch_step(
 
 
 @partial(jax.jit, static_argnames=("G", "W", "margin", "k", "rescue",
-                                   "rescue_min_frac"))
+                                   "rescue_min_frac", "gap_model",
+                                   "gap_open", "gap_extend"))
 def _gapped_batch_step(
     pk, ec, ev, lens, qb, sorted_keys, sorted_pos, ref_ascii, pileup_acc,
     G: int, W: int, margin: int, k: int = SEED_K, rescue: bool = False,
-    rescue_min_frac: float = 0.6,
+    rescue_min_frac: float = 0.6, gap_model: str = "linear",
+    gap_open: int = -2, gap_extend: int = -1,
 ):
     """Fused gapped step: packed unpack + fwd/rc seed mapping (plus optional
     exhaustive SW rescue) + on-device traceback pileup. One dispatch per
@@ -346,22 +348,28 @@ def _gapped_batch_step(
     qual_ok = _orient_qual_ok(qb, lens, final_codes.shape[1], flipped)
     return _gapped_pileup_step(
         final_codes, lens, final_starts, final_mapped, ref_ascii, pileup_acc,
-        G, W, margin, qual_ok,
+        G, W, margin, qual_ok, gap_model=gap_model, gap_open=gap_open,
+        gap_extend=gap_extend,
     )
 
 
-@partial(jax.jit, static_argnames=("G", "W", "margin"))
+@partial(jax.jit, static_argnames=("G", "W", "margin", "gap_model",
+                                   "gap_open", "gap_extend"))
 def _gapped_pileup_step(
     codes: jnp.ndarray, lens: jnp.ndarray, starts: jnp.ndarray,
     mapped: jnp.ndarray, ref_ascii: jnp.ndarray, pileup_acc: jnp.ndarray,
     G: int, W: int, margin: int, qual_ok: jnp.ndarray | None = None,
+    gap_model: str = "linear", gap_open: int = -2, gap_extend: int = -1,
 ):
     """Gapped pileup entirely on device: gather each mapped read's anchored
     reference window, run the batched SW traceback for per-base reference
     positions (ops/sw_traceback.py:sw_positions_batch), and scatter the
     pileup. Replaces a per-read host loop that fetched the full moves tensor
     and applied CIGARs in Python."""
-    from mini_parallel_tpu.ops.sw_traceback import sw_positions_batch
+    from mini_parallel_tpu.ops.sw_traceback import (
+        sw_affine_positions_batch,
+        sw_positions_batch,
+    )
 
     win_starts = jnp.clip(starts - margin, 0, max(G - W, 0))
     widx = win_starts[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -369,7 +377,12 @@ def _gapped_pileup_step(
         widx < G, ref_ascii[jnp.clip(widx, 0, G - 1)], jnp.uint8(encode.PAD_B)
     )
     q_ascii = _codes_to_ascii(codes, lens, keep=mapped)
-    score, positions = sw_positions_batch(q_ascii, windows)
+    if gap_model == "affine":
+        score, positions = sw_affine_positions_batch(
+            q_ascii, windows, gap_open=gap_open, gap_extend=gap_extend
+        )
+    else:
+        score, positions = sw_positions_batch(q_ascii, windows)
     ok = mapped & (score > 0)
     positions = jnp.where(
         ok[:, None] & (positions >= 0), positions + win_starts[:, None], -1
@@ -449,6 +462,7 @@ class VariantPrepEngine:
         rescue: bool = False,
         rescue_min_frac: float = 0.6,
         min_base_quality: int = 0,
+        gap_model: str = "linear",
     ):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         if isinstance(reference, dict):
@@ -472,13 +486,29 @@ class VariantPrepEngine:
         # EVIDENCE (mapping and alignment still use every base). 0 = off;
         # quality-aware runs use the Python FASTQ decoder (quals needed).
         self.min_base_quality = min_base_quality
+        if gap_model not in ("linear", "affine"):
+            raise ValueError(f"unknown gap_model {gap_model!r}")
+        # gapped traceback scoring: "affine" uses Gotoh (cfg gap_open /
+        # gap_extend); one long gap run beats alternating ops
+        self.gap_model = gap_model
 
     def _gapped_positions(
         self, codes_np: np.ndarray, lens: np.ndarray, starts: np.ndarray,
         mapped: np.ndarray,
     ) -> np.ndarray:
         """Per-base reference positions via windowed SW + CIGAR traceback."""
-        from mini_parallel_tpu.ops.sw_traceback import sw_align_batch
+        import functools
+
+        from mini_parallel_tpu.ops.sw_traceback import (
+            sw_affine_align_batch,
+            sw_align_batch,
+        )
+
+        if self.gap_model == "affine":
+            sw_align_batch = functools.partial(
+                sw_affine_align_batch, gap_open=self.cfg.gap_open,
+                gap_extend=self.cfg.gap_extend,
+            )
 
         B, L = codes_np.shape
         ref = self.index.ref_codes
@@ -558,6 +588,9 @@ class VariantPrepEngine:
                     pileup_acc, G, pad + 2 * self.window_margin,
                     self.window_margin, rescue=self.rescue,
                     rescue_min_frac=self.rescue_min_frac,
+                    gap_model=self.gap_model,
+                    gap_open=self.cfg.gap_open,
+                    gap_extend=self.cfg.gap_extend,
                 )
             return _ungapped_batch_step(
                 *packedmod.device_args(pb), qb, self.index.sorted_keys,

@@ -226,6 +226,268 @@ def sw_align_batch(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> list[Alignment]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Affine-gap (Gotoh) traceback. Per-cell move byte: bits 0-1 = H source
+# (STOP/DIAG/E/F), bit 2 = E extended from E (vs opened from H), bit 3 = F
+# extended from F. Tie conventions (must match the golden oracle exactly):
+# H prefers DIAG > E > F; E/F prefer EXTEND on ties.
+# ---------------------------------------------------------------------------
+
+E_SRC, F_SRC = 2, 3  # H-source codes (STOP=0, DIAG=1 shared with linear)
+_NEG_TB = -(2**24)
+
+
+def sw_affine_align_numpy(a, b, gap_open: int = -2, gap_extend: int = -1,
+                          match: int = MATCH_SCORE,
+                          mismatch: int = MISMATCH_PENALTY) -> Alignment:
+    """Golden Gotoh scoring + traceback (host-only, tests). Tie conventions
+    identical to sw_affine_moves_batch: H prefers DIAG > E > F; E/F prefer
+    EXTEND."""
+    if isinstance(a, str):
+        a = a.encode("ascii")
+    if isinstance(b, str):
+        b = b.encode("ascii")
+    a = np.frombuffer(bytes(a), np.uint8)
+    b = np.frombuffer(bytes(b), np.uint8)
+    m, n = len(a), len(b)
+    NEG = -(10**9)
+    H = np.zeros((m + 1, n + 1), np.int64)
+    E = np.full((m + 1, n + 1), NEG, np.int64)
+    F = np.full((m + 1, n + 1), NEG, np.int64)
+    hsrc = np.zeros((m + 1, n + 1), np.uint8)
+    eext = np.zeros((m + 1, n + 1), bool)
+    fext = np.zeros((m + 1, n + 1), bool)
+    best, bi, bj = 0, 0, 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            s = match if a[i - 1] == b[j - 1] else mismatch
+            e_open = H[i, j - 1] + gap_open
+            eext[i, j] = E[i, j - 1] >= e_open
+            E[i, j] = max(E[i, j - 1], e_open) + gap_extend
+            f_open = H[i - 1, j] + gap_open
+            fext[i, j] = F[i - 1, j] >= f_open
+            F[i, j] = max(F[i - 1, j], f_open) + gap_extend
+            diag = H[i - 1, j - 1] + s
+            h = max(0, diag, E[i, j], F[i, j])
+            H[i, j] = h
+            if h <= 0:
+                hsrc[i, j] = STOP
+            elif h == diag:
+                hsrc[i, j] = DIAG
+            elif h == E[i, j]:
+                hsrc[i, j] = E_SRC
+            else:
+                hsrc[i, j] = F_SRC
+            if h > best:
+                best, bi, bj = h, i, j
+    if best <= 0:
+        return Alignment(0, 0, 0, 0, 0, "")
+    ops = []
+    i, j, state = bi, bj, "H"
+    while i > 0 and j > 0:
+        if state == "H":
+            src = hsrc[i, j]
+            if src == STOP:
+                break
+            if src == DIAG:
+                ops.append("M")
+                i, j = i - 1, j - 1
+            elif src == E_SRC:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            ops.append("D")
+            state = "E" if eext[i, j] else "H"
+            j -= 1
+        else:
+            ops.append("I")
+            state = "F" if fext[i, j] else "H"
+            i -= 1
+    return Alignment(
+        score=int(best), query_start=i, query_end=bi, ref_start=j, ref_end=bj,
+        cigar=_rle("".join(reversed(ops))),
+    )
+
+from mini_parallel_tpu.ops.sw import GAP_EXTEND, GAP_OPEN  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
+def sw_affine_moves_batch(seq_a, seq_b, gap_open: int = GAP_OPEN,
+                          gap_extend: int = GAP_EXTEND):
+    """Batched Gotoh scoring scan emitting per-diagonal move bytes.
+
+    Returns (best (B,), best_d (B,), best_i (B,), moves (D, B, M) uint8).
+    Scoring matches ops/sw.py:sw_affine_batch (first gap base costs
+    open+extend, each further base extend).
+    """
+    B, M = seq_a.shape
+    N = seq_b.shape[1]
+    a = seq_a.astype(jnp.int32)
+    bp = jnp.concatenate(
+        [
+            jnp.full((B, M - 1), PAD_B, jnp.int32),
+            seq_b.astype(jnp.int32),
+            jnp.full((B, M), PAD_B, jnp.int32),
+        ],
+        axis=1,
+    )
+
+    def shift_down(x, fill=0):
+        return jnp.concatenate(
+            [jnp.full((B, 1), fill, jnp.int32), x[:, :-1]], axis=1
+        )
+
+    i_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+
+    def step(carry, d):
+        h1, h2, e1, f1, best, bd, bi = carry
+        w = jax.lax.dynamic_slice_in_dim(bp, d, M, axis=1)[:, ::-1]
+        s = jnp.where(a == w, MATCH_SCORE, MISMATCH_PENALTY)
+        e_open = h1 + gap_open
+        e_ext = e1 >= e_open  # tie -> extend
+        e = jnp.maximum(e1, e_open) + gap_extend
+        f_prev_f = shift_down(f1, _NEG_TB)
+        f_prev_h = shift_down(h1)
+        f_open = f_prev_h + gap_open
+        f_ext = f_prev_f >= f_open
+        f = jnp.maximum(f_prev_f, f_open) + gap_extend
+        diag = shift_down(h2) + s
+        h = jnp.maximum(jnp.maximum(diag, 0), jnp.maximum(e, f))
+        h_src = jnp.where(
+            h <= 0, STOP,
+            jnp.where(h == diag, DIAG, jnp.where(h == e, E_SRC, F_SRC)),
+        )
+        move = (
+            h_src | (e_ext.astype(jnp.int32) << 2)
+            | (f_ext.astype(jnp.int32) << 3)
+        ).astype(jnp.uint8)
+        j = d - i_idx
+        valid = (j >= 0) & (j < N)
+        cand_v = jnp.where(valid, h, 0)
+        row_best = jnp.max(cand_v, axis=1)
+        row_arg = jnp.argmax(cand_v, axis=1).astype(jnp.int32)
+        better = row_best > best
+        best = jnp.where(better, row_best, best)
+        bd = jnp.where(better, d, bd)
+        bi = jnp.where(better, row_arg, bi)
+        return (h, h1, e, f, best, bd, bi), move
+
+    z = a * 0
+    neg = jnp.full((B, M), _NEG_TB, jnp.int32)
+    zb = a[:, 0] * 0
+    (h1, h2, e1, f1, best, bd, bi), moves = jax.lax.scan(
+        step, (z, z, neg, neg, zb, zb, zb), jnp.arange(M + N - 1)
+    )
+    return best, bd, bi, moves
+
+
+def traceback_affine_host(best, bd, bi, moves) -> list[Alignment]:
+    """Gotoh traceback: 3-state walk over the fetched move bytes."""
+    out = []
+    for k in range(best.shape[0]):
+        score = int(best[k])
+        if score <= 0:
+            out.append(Alignment(0, 0, 0, 0, 0, ""))
+            continue
+        d, i = int(bd[k]), int(bi[k])
+        qi, ji = i, d - i
+        ops = []
+        state = "H"
+        while qi >= 0 and ji >= 0:
+            mv = int(moves[qi + ji, k, qi])
+            if state == "H":
+                src = mv & 3
+                if src == STOP:
+                    break
+                if src == DIAG:
+                    ops.append("M")
+                    qi -= 1
+                    ji -= 1
+                elif src == E_SRC:
+                    state = "E"
+                else:
+                    state = "F"
+            elif state == "E":  # gap consumes reference -> D
+                ops.append("D")
+                state = "E" if (mv >> 2) & 1 else "H"
+                ji -= 1
+            else:  # F: gap consumes query -> I
+                ops.append("I")
+                state = "F" if (mv >> 3) & 1 else "H"
+                qi -= 1
+        out.append(
+            Alignment(
+                score=score, query_start=qi + 1, query_end=i + 1,
+                ref_start=ji + 1, ref_end=d - i + 1,
+                cigar=_rle("".join(reversed(ops))),
+            )
+        )
+    return out
+
+
+def sw_affine_align_batch(seq_a, seq_b, gap_open: int = GAP_OPEN,
+                          gap_extend: int = GAP_EXTEND) -> list[Alignment]:
+    """Batched affine-gap local alignment with CIGARs."""
+    best, bd, bi, moves = sw_affine_moves_batch(seq_a, seq_b, gap_open,
+                                                gap_extend)
+    return traceback_affine_host(
+        np.asarray(best), np.asarray(bd), np.asarray(bi), np.asarray(moves)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
+def sw_affine_positions_batch(seq_a, seq_b, gap_open: int = GAP_OPEN,
+                              gap_extend: int = GAP_EXTEND):
+    """Fully on-device Gotoh traceback -> per-base reference positions.
+
+    Affine analogue of sw_positions_batch: the walk is a 3-state machine
+    (H / E / F) carried as an int per read; each scan step performs exactly
+    one traceback action (match move, gap emit, or state switch), so
+    2*(M+N) steps bound any path.
+    """
+    best, bd, bi, moves = sw_affine_moves_batch(seq_a, seq_b, gap_open,
+                                                gap_extend)
+    B, M = seq_a.shape
+    N = seq_b.shape[1]
+    rows = jnp.arange(B, dtype=jnp.int32)
+    S_H, S_E, S_F = 0, 1, 2
+
+    def step(carry, _):
+        qi, ji, state, done, pos = carry
+        d = qi + ji
+        qc = jnp.clip(qi, 0, M - 1)
+        dc = jnp.clip(d, 0, M + N - 2)
+        mv = moves[dc, rows, qc].astype(jnp.int32)
+        invalid = done | (qi < 0) | (ji < 0)
+        h_src = jnp.where(invalid, STOP, mv & 3)
+        in_h = (state == S_H) & ~invalid
+        in_e = (state == S_E) & ~invalid
+        in_f = (state == S_F) & ~invalid
+        diag_mv = in_h & (h_src == DIAG)
+        pos = pos.at[rows, qc].set(jnp.where(diag_mv, ji, pos[rows, qc]))
+        e_stay = in_e & (((mv >> 2) & 1) == 1)
+        f_stay = in_f & (((mv >> 3) & 1) == 1)
+        new_state = jnp.where(
+            diag_mv, S_H,
+            jnp.where(in_h & (h_src == E_SRC), S_E,
+            jnp.where(in_h & (h_src == F_SRC), S_F,
+            jnp.where(in_e, jnp.where(e_stay, S_E, S_H),
+            jnp.where(in_f, jnp.where(f_stay, S_F, S_H), state)))),
+        )
+        qi = qi - diag_mv.astype(jnp.int32) - in_f.astype(jnp.int32)
+        ji = ji - diag_mv.astype(jnp.int32) - in_e.astype(jnp.int32)
+        done = done | (in_h & (h_src == STOP))
+        return (qi, ji, new_state, done, pos), None
+
+    pos0 = jnp.full((B, M), -1, jnp.int32)
+    carry0 = (bi, bd - bi, jnp.zeros((B,), jnp.int32), best <= 0, pos0)
+    (_, _, _, _, pos), _ = jax.lax.scan(
+        step, carry0, None, length=2 * (M + N)
+    )
+    return best, pos
+
+
 @jax.jit
 def sw_positions_batch(
     seq_a: jnp.ndarray, seq_b: jnp.ndarray

@@ -1,0 +1,90 @@
+"""Affine-gap (Gotoh) traceback: batched scan + device walk vs golden DP."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mini_parallel_tpu.ops import encode, sw
+from mini_parallel_tpu.ops.sw_traceback import (
+    sw_affine_align_batch,
+    sw_affine_align_numpy,
+    sw_affine_positions_batch,
+)
+from tests.conftest import random_dna
+
+
+def _pad(reads_a, reads_b, pad=64):
+    arr_a, _ = encode.pad_batch(reads_a, pad_to=pad, pad_value=int(encode.PAD_A))
+    arr_b, _ = encode.pad_batch(reads_b, pad_to=pad, pad_value=int(encode.PAD_B))
+    return jnp.asarray(arr_a), jnp.asarray(arr_b)
+
+
+def _indel_pairs(rng, n=14):
+    pairs = []
+    for i in range(n):
+        b = random_dna(rng, 56)
+        a = bytearray(b[4:52])
+        if i % 4 == 0:
+            del a[20:24]  # 4bp deletion: affine strongly prefers ONE gap run
+        if i % 4 == 1:
+            a[12:12] = b"TTCGA"  # 5bp insertion
+        if i % 4 == 2:
+            a[8] = ord("T") if a[8] != ord("T") else ord("G")
+            del a[30:32]
+        pairs.append((bytes(a), b))
+    pairs.append((b"", random_dna(rng, 30)))  # empty query
+    pairs.append((random_dna(rng, 30), random_dna(rng, 30)))  # unrelated
+    return pairs
+
+
+def test_affine_cigar_matches_golden(rng):
+    pairs = _indel_pairs(rng)
+    a, b = _pad([p[0] for p in pairs], [p[1] for p in pairs])
+    alns = sw_affine_align_batch(a, b)
+    for k, (qa, qb) in enumerate(pairs):
+        want = sw_affine_align_numpy(qa, qb)
+        got = alns[k]
+        assert got.score == want.score, (k, got, want)
+        assert got.cigar == want.cigar, (k, got.cigar, want.cigar)
+        assert (got.query_start, got.query_end) == (want.query_start, want.query_end)
+        assert (got.ref_start, got.ref_end) == (want.ref_start, want.ref_end)
+
+
+def test_affine_score_matches_scan_scorer(rng):
+    pairs = _indel_pairs(rng, n=10)
+    a, b = _pad([p[0] for p in pairs], [p[1] for p in pairs])
+    alns = sw_affine_align_batch(a, b)
+    scores = np.asarray(sw.sw_affine_batch(a, b))
+    assert [al.score for al in alns] == scores.tolist()
+
+
+def test_affine_gap_run_is_one_event(rng):
+    """Under affine costs a 4bp deletion is one 4D run, not alternating ops."""
+    b = random_dna(rng, 50)
+    a = b[:20] + b[24:]  # clean 4bp deletion
+    arr_a, arr_b = _pad([a], [b])
+    aln = sw_affine_align_batch(arr_a, arr_b)[0]
+    assert "4D" in aln.cigar
+    assert aln.cigar.count("D") == 1
+
+
+def test_affine_positions_match_host_walk(rng):
+    pairs = _indel_pairs(rng)
+    a, b = _pad([p[0] for p in pairs], [p[1] for p in pairs])
+    score, pos = sw_affine_positions_batch(a, b)
+    score, pos = np.asarray(score), np.asarray(pos)
+    alns = sw_affine_align_batch(a, b)
+    for k, aln in enumerate(alns):
+        want = np.full(64, -1, np.int32)
+        if aln.score > 0:
+            qi, rj = aln.query_start, aln.ref_start
+            for count, op in aln.cigar_ops():
+                if op == "M":
+                    want[qi : qi + count] = np.arange(rj, rj + count)
+                    qi += count
+                    rj += count
+                elif op == "I":
+                    qi += count
+                else:
+                    rj += count
+        assert score[k] == aln.score
+        np.testing.assert_array_equal(pos[k], want, err_msg=f"pair {k}")

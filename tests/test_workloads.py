@@ -146,11 +146,14 @@ def test_variant_prep_unmappable_reads(tmp_path, rng, cfg, ref_and_reads):
     assert res.pileup[:, :4].sum() <= 100
 
 
-def test_variant_prep_gapped_handles_indel_reads(tmp_path, rng, cfg, ref_and_reads):
+def test_variant_prep_gapped_handles_indel_reads(tmp_path, cfg):
     # Reads carry a 2-base DELETION before a real SNP. Ungapped anchoring
     # shifts all post-indel bases, smearing the SNP; gapped (CIGAR) pileup
-    # must still call it at the exact position.
-    ref, _ = ref_and_reads
+    # must still call it at the exact position. Local rng: the assertions
+    # are sensitive to the exact alignment shape, so the data must not
+    # depend on session-fixture draw order.
+    rng = np.random.default_rng(2024)
+    ref = random_dna(rng, 2000)
     snp_pos = 1200
     ref_base = ref[snp_pos : snp_pos + 1]
     alt = b"A" if ref_base != b"A" else b"C"
@@ -377,3 +380,39 @@ def test_variant_prep_min_base_quality(tmp_path):
         # only the filtered base disappears from the pileup
         assert r_strict.pileup[site, :4].sum() == 0
         assert r_strict.pileup[site - 1, :4].sum() == 30
+
+
+def test_variant_prep_gapped_affine_matches_linear_on_clean_indels(tmp_path):
+    """Affine and linear gapped pileups agree on clean single-indel reads,
+    and affine packed == affine raw."""
+    rng = np.random.default_rng(321)
+    ref = random_dna(rng, 900)
+    del_at = 430  # one shared absolute deletion site
+    reads = []
+    for _ in range(20):
+        s = int(rng.integers(350, 390))
+        r = bytearray(ref[s : s + 100])
+        d = del_at - s
+        del r[d : d + 3]
+        reads.append(bytes(r))
+    path = str(tmp_path / "aff.fastq.gz")
+    fastq.write_fastq(path, reads)
+    results = {}
+    for gm in ("linear", "affine"):
+        for packed in (True, False):
+            eng = VariantPrepEngine(
+                ref,
+                Config(chunk_size_reads=16, read_pad=112,
+                       packed_transfer=packed),
+                min_depth=5, alt_fraction=0.5, gapped=True, gap_model=gm,
+            )
+            results[(gm, packed)] = eng.process_file(path)
+    for gm in ("linear", "affine"):
+        np.testing.assert_array_equal(
+            results[(gm, True)].pileup, results[(gm, False)].pileup,
+            err_msg=f"packed/raw mismatch ({gm})")
+        dels = [c for c in results[(gm, True)].candidates
+                if c.alt_base == "<DEL>"]
+        assert len(dels) == 1 and dels[0].alt_count == 20, gm
+    np.testing.assert_array_equal(
+        results[("affine", True)].pileup, results[("linear", True)].pileup)
