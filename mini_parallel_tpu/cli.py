@@ -218,9 +218,9 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             recs = fasta.read_fasta(args.reference)
             if not recs:
                 raise ValueError(f"no FASTA records in {args.reference}")
-            # multi-contig references are mapped as one N-spaced concat
-            ref = recs if len(recs) > 1 else next(iter(recs.values()))
-            veng = VariantPrepEngine(ref, cfg, gapped=args.gapped,
+            # references always map through the contig table so candidate
+            # and VCF coordinates carry the real record names
+            veng = VariantPrepEngine(recs, cfg, gapped=args.gapped,
                                      rescue=args.rescue,
                                      min_base_quality=args.min_base_quality,
                                      gap_model=args.gap_model)
@@ -236,8 +236,7 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             echo(f"  {c.contig}:{c.pos+1}: {c.ref_base}->{c.alt_base} "
                  f"depth={c.depth} alt={c.alt_count}")
         if args.vcf_out:
-            write_candidates_vcf(args.vcf_out, res,
-                                 contigs=veng.contig_table())
+            write_candidates_vcf(args.vcf_out, res)
             echo(f"Candidates written to {args.vcf_out}")
         return 0
 

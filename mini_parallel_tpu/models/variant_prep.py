@@ -91,6 +91,7 @@ class VariantPrepResult:
     # (G, 7): base counts A C G T N, deletion evidence, insertion evidence
     pileup: np.ndarray | None = None
     seconds: float = 0.0
+    contigs: list = field(default_factory=list)  # [(name, length)]
 
     @property
     def mapping_rate(self) -> float:
@@ -247,14 +248,19 @@ def _rescue_unmapped(codes, rc_codes, lens, ref_ascii, starts, mapped,
     return new_codes, new_starts, mapped | good, rc_used
 
 
+def _reverse_prefix(rows: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each row's valid prefix of a (B, L) array; the pad tail stays
+    in place (flip whole row, then roll left by the pad width)."""
+    flipped = jnp.flip(rows, axis=1)
+    L = rows.shape[1]
+    shift = (lens.astype(jnp.int32) - L) % jnp.int32(L)
+    return jax.vmap(jnp.roll)(flipped, shift)
+
+
 def _revcomp_codes(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Reverse-complement each row's valid prefix in code space (pads stay
     at the end; N and pad codes map to themselves)."""
-    comp = encode.complement_code(codes)
-    flipped = jnp.flip(comp, axis=1)
-    L = codes.shape[1]
-    shift = (lengths.astype(jnp.int32) - L) % jnp.int32(L)
-    return jax.vmap(jnp.roll)(flipped, shift)
+    return _reverse_prefix(encode.complement_code(codes), lengths)
 
 
 def _map_packed_batch(pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
@@ -284,17 +290,6 @@ def _map_packed_batch(pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
         )
         flipped = flipped | rc_used
     return final_codes, final_starts, final_mapped, flipped
-
-
-def _reverse_prefix(mask: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
-    """Reverse each row's valid prefix of a (B, L) per-base mask (the
-    boolean analogue of _revcomp_codes' flip+roll; pad tail stays in place)."""
-    import jax as _jax
-
-    flipped = jnp.flip(mask, axis=1)
-    L = mask.shape[1]
-    shift = (lens.astype(jnp.int32) - L) % jnp.int32(L)
-    return _jax.vmap(jnp.roll)(flipped, shift)
 
 
 def _orient_qual_ok(qb, lens, L, flipped):
@@ -416,11 +411,18 @@ def _pileup_positions(
     base = counts[: G * 5].reshape(G, 5)
 
     aligned = positions >= 0
+    q_ok = qual_ok if qual_ok is not None else jnp.ones((B, L), bool)
+    q_nxt = jnp.concatenate(
+        [q_ok[:, 1:], jnp.zeros((B, 1), bool)], axis=1
+    )
     nxt = jnp.concatenate(
         [positions[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1
     )
     gap = nxt - positions - 1
-    del_site = jnp.where(aligned & (nxt >= 0) & (gap > 0), positions + 1, G)
+    # a gap event only counts when its flanking bases pass the quality gate
+    del_site = jnp.where(
+        aligned & (nxt >= 0) & (gap > 0) & q_ok & q_nxt, positions + 1, G
+    )
     del_c = jax.ops.segment_sum(
         jnp.ones(B * L, jnp.int32), del_site.reshape(-1), num_segments=G + 1
     )[:G]
@@ -431,7 +433,7 @@ def _pileup_positions(
     later = jnp.flip(
         jnp.cumsum(jnp.flip(aligned.astype(jnp.int32), 1), axis=1), 1
     ) > 0  # some aligned base at index >= l
-    ins_here = (~aligned) & (prev >= 0) & later
+    ins_here = (~aligned) & (prev >= 0) & later & q_ok  # inserted base passes
     ins_site = jnp.where(ins_here, prev + 1, G)
     ins_c = jax.ops.segment_sum(
         jnp.ones(B * L, jnp.int32), ins_site.reshape(-1), num_segments=G + 1
@@ -463,10 +465,13 @@ class VariantPrepEngine:
         rescue_min_frac: float = 0.6,
         min_base_quality: int = 0,
         gap_model: str = "linear",
+        contig_spacer: int = CONTIG_SPACER_N,
     ):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         if isinstance(reference, dict):
-            concat, names, offs, lens = concat_contigs(reference)
+            concat, names, offs, lens = concat_contigs(
+                reference, spacer=contig_spacer
+            )
             self.contig_names = names
             self.contig_offsets = offs
             self.contig_lengths = lens
@@ -491,6 +496,7 @@ class VariantPrepEngine:
         # gapped traceback scoring: "affine" uses Gotoh (cfg gap_open /
         # gap_extend); one long gap run beats alternating ops
         self.gap_model = gap_model
+        self.contig_spacer = contig_spacer
 
     def _gapped_positions(
         self, codes_np: np.ndarray, lens: np.ndarray, starts: np.ndarray,
@@ -573,6 +579,14 @@ class VariantPrepEngine:
         arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
         qmask = self._qual_mask(reads, quals, pad)
         G = len(self.index.ref_codes)
+        if len(self.contig_names) > 1 and 2 * pad > self.contig_spacer:
+            # an alignment crossing the N spacer gains <= 2*read_len and
+            # pays spacer mismatches; this bound keeps crossing impossible
+            raise ValueError(
+                f"reads up to {pad}bp need a contig spacer > {2 * pad} "
+                f"(have {self.contig_spacer}); pass contig_spacer= to "
+                "VariantPrepEngine"
+            )
         if self.cfg.packed_transfer and pad % 4 == 0:
             from mini_parallel_tpu.ops import packed as packedmod
 
@@ -681,6 +695,7 @@ class VariantPrepEngine:
         res.mapped_reads += sum(int(v) for v in jax.device_get(deferred))
         res.pileup = np.asarray(pileup)
         res.candidates = self._extract_candidates(res.pileup)
+        res.contigs = self.contig_table()
         res.seconds = time.perf_counter() - t0
         return res
 
@@ -758,10 +773,10 @@ def write_candidates_vcf(path: str, res: VariantPrepResult,
                          contigs: list[tuple[str, int]] | None = None) -> None:
     """Minimal VCF-like output for the DeepVariant hand-off.
 
-    ``contigs``: [(name, length)] from VariantPrepEngine.contig_table();
-    defaults to a single contig spanning the whole reference."""
+    ``contigs`` defaults to the table the engine recorded on the result
+    (single-contig runs fall back to one record spanning the reference)."""
     if contigs is None:
-        contigs = [("ref", res.reference_length)]
+        contigs = res.contigs or [("ref", res.reference_length)]
     with open(path, "w") as f:
         f.write("##fileformat=VCFv4.2\n")
         for name, length in contigs:
