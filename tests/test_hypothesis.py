@@ -1,0 +1,86 @@
+"""Hypothesis fuzz tests for the bit-exactness contracts.
+
+Each property pins the core invariant the framework is built on: the packed
+wire format reproduces bytes exactly, the device scorers agree with the
+quadratic golden DPs, and parity mode matches the reference-dispatch
+emulation — over arbitrary generated inputs, not just seeded fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from hypothesis import given, settings, strategies as st
+
+from mini_parallel_tpu.ops import encode, kadane, packed, sw
+
+settings.register_profile("ci", max_examples=25, deadline=None)
+settings.load_profile("ci")
+
+dna = st.text(alphabet="ACGT", min_size=0, max_size=48)
+messy = st.text(
+    alphabet="ACGTNacgtnRYKM", min_size=0, max_size=48
+)  # IUPAC/lowercase: exception-list territory
+
+
+@given(st.lists(messy, min_size=1, max_size=12))
+def test_packed_roundtrip_any_bytes(seqs):
+    reads = [s.encode() for s in seqs]
+    pad = -(-max(max((len(r) for r in reads), default=1), 4) // 4) * 4
+    arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
+    pb = packed.pack_batch(arr, lens)
+    out = np.asarray(
+        packed.unpack_device(*packed.device_args(pb), int(encode.PAD_A))
+    )
+    np.testing.assert_array_equal(out, arr)
+
+
+@given(dna, dna)
+def test_sw_batch_matches_golden(a, b):
+    want = sw.sw_score_numpy(a, b)
+    arr_a, _ = encode.pad_batch([a], pad_to=48, pad_value=int(encode.PAD_A))
+    arr_b, _ = encode.pad_batch([b], pad_to=48, pad_value=int(encode.PAD_B))
+    got = int(sw.sw_score_batch(jnp.asarray(arr_a), jnp.asarray(arr_b))[0])
+    assert got == want
+
+
+@given(dna, dna)
+def test_affine_batch_matches_golden(a, b):
+    want = sw.sw_affine_numpy(a, b)
+    arr_a, _ = encode.pad_batch([a], pad_to=48, pad_value=int(encode.PAD_A))
+    arr_b, _ = encode.pad_batch([b], pad_to=48, pad_value=int(encode.PAD_B))
+    got = int(sw.sw_affine_batch(jnp.asarray(arr_a), jnp.asarray(arr_b))[0])
+    assert got == want
+
+
+@given(messy, messy)
+def test_kadane_parity_matches_reference_emulation(a, b):
+    """Device kadane == the NumPy emulation of the reference's OpenCL
+    dispatch, for arbitrary byte content (parity is byte-equality based)."""
+    a, b = a.encode(), b.encode()
+    want = kadane.reference_align_score(a, b)
+    arr_a, la = encode.pad_batch([a], pad_to=64, pad_value=int(encode.PAD_A))
+    arr_b, lb = encode.pad_batch([b], pad_to=64, pad_value=int(encode.PAD_B))
+    got = int(
+        kadane.kadane_score_batch(
+            jnp.asarray(arr_a), jnp.asarray(arr_b),
+            jnp.asarray(la), jnp.asarray(lb),
+        )[0]
+    )
+    assert got == want
+
+
+@given(st.lists(dna, min_size=1, max_size=8), st.integers(3, 8))
+def test_kmer_counts_match_golden(seqs, k):
+    from mini_parallel_tpu.ops import kmer
+
+    reads = [s.encode() for s in seqs]
+    pad = -(-max(max((len(r) for r in reads), default=1), k + 1) // 8) * 8
+    arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
+    codes = encode.ascii_to_code(jnp.asarray(arr))
+    hi, lo, counts, nu = kmer.unique_counts_batch(codes, jnp.asarray(lens), k=k)
+    hi, lo, counts = np.asarray(hi), np.asarray(lo), np.asarray(counts)
+    got = {}
+    kmer.merge_device_counts(got, hi, lo, counts)
+    got_str = {kmer.key_to_string(h, l, k): c for (h, l), c in got.items()}
+    assert got_str == dict(kmer.count_kmers_python(reads, k=k))
