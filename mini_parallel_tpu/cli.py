@@ -189,7 +189,8 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         _require_accelerator(args.allow_cpu, echo)
         from mini_parallel_tpu.models.complementarity import ComplementarityEngine
 
-        ceng = ComplementarityEngine(cfg, mode=cfg.mode if args.mode else "sw")
+        ceng = ComplementarityEngine(cfg, mode=cfg.mode if args.mode else "sw",
+                                     mesh=mesh)
         try:
             res = ceng.analyze_lane_pair(args.seq1, args.seq2, progress=echo)
         except (OSError, IOError) as e:

@@ -191,24 +191,57 @@ class AlignmentEngine:
         self._packed_fns[key] = fn
         return fn
 
-    def _packed_self_sum(self, kind: str, arr: np.ndarray, lens: np.ndarray):
-        """Pack a self-alignment batch and queue its device score sum."""
+    def _packed_sharded_pair_fn(self, kind: str):
+        """Cached jitted shard_map pair scorer: per-pair scores, batch
+        sharded on the data axis, full (B,) vector gathered back."""
+        key = (kind, "sharded-pair")
+        if key in self._packed_fns:
+            return self._packed_fns[key]
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+
+        def local(pka, eca, eva, lna, pkb, ecb, evb, lnb):
+            a = packedmod.unpack_device(pka, eca, eva, lna, int(encode.PAD_A))
+            b = packedmod.unpack_device(pkb, ecb, evb, lnb, int(encode.PAD_B))
+            return self._local_scores(kind, a, b, lna, lnb)
+
+        fn = jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                          P(axis)) * 2,
+                out_specs=P(axis),
+            )
+        )
+        self._packed_fns[key] = fn
+        return fn
+
+    def _put_packed(self, pb):
+        """device_put a PackedBatch onto the mesh, batch axis sharded."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        axis = self.mesh.axis_names[0]
+        args = packedmod.device_args(pb)
+        put = lambda x, nd: jax.device_put(
+            x, NamedSharding(self.mesh, P(axis, *([None] * (nd - 1))))
+        )
+        return (put(args[0], 2), put(args[1], 2), put(args[2], 2),
+                put(args[3], 1))
+
+    def _packed_self_sum(self, kind: str, arr: np.ndarray, lens: np.ndarray):
+        """Pack a self-alignment batch and queue its device score sum."""
         pb = packedmod.pack_batch(arr, lens)
         if self.mesh is None:
             return self._packed_fn(kind, "self")(*packedmod.device_args(pb))
         n = self.mesh.devices.size
         pb = packedmod.pad_rows(pb, -(-pb.batch // n) * n)
-        axis = self.mesh.axis_names[0]
-        put = lambda x, nd: jax.device_put(
-            x, NamedSharding(self.mesh, P(axis, *([None] * (nd - 1))))
-        )
-        args = packedmod.device_args(pb)
-        return self._packed_sharded_fn(kind)(
-            put(args[0], 2), put(args[1], 2), put(args[2], 2), put(args[3], 1)
-        )
+        return self._packed_sharded_fn(kind)(*self._put_packed(pb))
 
     def _sharded_scorer(self, kind: str):
         """Cache one jitted shard_map scorer per (kind) for self.mesh."""
@@ -297,6 +330,19 @@ class AlignmentEngine:
         if self.cfg.packed_transfer and pad % 4 == 0:
             pa = packedmod.pack_batch(arr_a, len_a)
             pb = packedmod.pack_batch(arr_b, len_b)
+            if self.mesh is not None:
+                n = self.mesh.devices.size
+                B = pa.batch
+                Bp = -(-B // n) * n
+                out = self._packed_sharded_pair_fn(self.mode)(
+                    *self._put_packed(packedmod.pad_rows(pa, Bp)),
+                    *self._put_packed(packedmod.pad_rows(pb, Bp)),
+                )
+                # deferred callers only .sum() the result, and the pad rows
+                # score 0 by the sentinel/min-length contract — so the
+                # padded sharded array is safe to hand back; the host trim
+                # happens only on a real fetch
+                return out if defer else np.asarray(out)[:B]
             out = self._packed_fn(self.mode, "pair")(
                 *packedmod.device_args(pa), *packedmod.device_args(pb)
             )

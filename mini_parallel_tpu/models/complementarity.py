@@ -84,9 +84,54 @@ def _pair_stats_packed(pk1, ec1, ev1, ln1, pk2, ec2, ev2, ln2, mode: str):
 
 
 class ComplementarityEngine:
-    def __init__(self, cfg: Config | None = None, mode: str = "sw"):
+    def __init__(self, cfg: Config | None = None, mode: str = "sw",
+                 mesh=None):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         self.mode = mode
+        # optional device mesh: mate batches shard data-parallel with
+        # psum-merged scalar stats (same pattern as AlignmentEngine)
+        self.mesh = mesh
+        self._sharded_fn = None
+
+    def _pair_stats_sharded(self):
+        if self._sharded_fn is not None:
+            return self._sharded_fn
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        mode = self.mode
+
+        def local(pk1, ec1, ev1, ln1, pk2, ec2, ev2, ln2):
+            d, c, p = _pair_stats_packed(pk1, ec1, ev1, ln1,
+                                         pk2, ec2, ev2, ln2, mode)
+            return (jax.lax.psum(d, axis), jax.lax.psum(c, axis),
+                    jax.lax.psum(p, axis))
+
+        self._sharded_fn = jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                          P(axis)) * 2,
+                out_specs=(P(), P(), P()),
+            )
+        )
+        return self._sharded_fn
+
+    def _put_packed(self, pb):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        args = packedmod.device_args(pb)
+        put = lambda x, nd: jax.device_put(
+            x, NamedSharding(self.mesh, P(axis, *([None] * (nd - 1))))
+        )
+        return (put(args[0], 2), put(args[1], 2), put(args[2], 2),
+                put(args[3], 1))
 
     def _pad_for(self, r1: list[bytes], r2: list[bytes]) -> int:
         return -(-max(
@@ -114,6 +159,14 @@ class ComplementarityEngine:
         if self.cfg.packed_transfer and pad % 4 == 0:
             p1 = packedmod.pack_batch(arr1, len1)
             p2 = packedmod.pack_batch(arr2, len2)
+            if self.mesh is not None:
+                n = self.mesh.devices.size
+                Bp = -(-p1.batch // n) * n
+                # pad pairs score 0 / non-perfect by the sentinel contract
+                return self._pair_stats_sharded()(
+                    *self._put_packed(packedmod.pad_rows(p1, Bp)),
+                    *self._put_packed(packedmod.pad_rows(p2, Bp)),
+                )
             return _pair_stats_packed(
                 *packedmod.device_args(p1), *packedmod.device_args(p2),
                 mode=self.mode,

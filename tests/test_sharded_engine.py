@@ -1,5 +1,6 @@
 """Mesh-sharded engine must produce identical results to the local engine."""
 
+import numpy as np
 import pytest
 
 from mini_parallel_tpu.io import fastq
@@ -36,3 +37,15 @@ def test_sharded_small_batch_padding(tmp_path, rng, mesh8):
     local = AlignmentEngine(cfg, mode="kadane").self_align_file(path)
     sharded = AlignmentEngine(cfg, mode="kadane", mesh=mesh8).self_align_file(path)
     assert sharded.score == local.score == 2
+
+
+@pytest.mark.parametrize("mode", ["sw", "kadane", "sw-affine"])
+def test_sharded_pair_scores_match_local(mode, mesh8, rng):
+    """score_read_batch over a mesh == unsharded, incl. non-multiple batch."""
+    reads_a = [random_dna(rng, int(rng.integers(20, 40))) for _ in range(21)]
+    reads_b = [random_dna(rng, int(rng.integers(20, 40))) for _ in range(21)]
+    cfg = Config(chunk_size_reads=8, read_pad=48)
+    local = AlignmentEngine(cfg, mode=mode).score_read_batch(reads_a, reads_b)
+    sharded = AlignmentEngine(cfg, mode=mode, mesh=mesh8).score_read_batch(
+        reads_a, reads_b)
+    np.testing.assert_array_equal(np.asarray(sharded), local)

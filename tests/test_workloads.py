@@ -416,3 +416,24 @@ def test_variant_prep_gapped_affine_matches_linear_on_clean_indels(tmp_path):
         assert len(dels) == 1 and dels[0].alt_count == 20, gm
     np.testing.assert_array_equal(
         results[("affine", True)].pileup, results[("linear", True)].pileup)
+
+
+def test_complementarity_sharded_matches_local(tmp_path, rng, mesh8):
+    from mini_parallel_tpu.models.complementarity import ComplementarityEngine
+
+    r1 = [random_dna(rng, 40) for _ in range(19)]
+    rc_tab = bytes.maketrans(b"ACGT", b"TGCA")
+    # half the mates perfectly complementary, half random
+    r2 = [r.translate(rc_tab)[::-1] if i % 2 else random_dna(rng, 40)
+          for i, r in enumerate(r1)]
+    f1, f2 = str(tmp_path / "s1.fastq.gz"), str(tmp_path / "s2.fastq.gz")
+    fastq.write_fastq(f1, r1)
+    fastq.write_fastq(f2, r2)
+    cfg = Config(chunk_size_reads=7, read_pad=48)
+    local = ComplementarityEngine(cfg).analyze_lane_pair(f1, f2)
+    shard = ComplementarityEngine(cfg, mesh=mesh8).analyze_lane_pair(f1, f2)
+    assert (shard.pairs, shard.direct_score_sum, shard.comp_score_sum,
+            shard.perfect_pairs) == (
+        local.pairs, local.direct_score_sum, local.comp_score_sum,
+        local.perfect_pairs)
+    assert shard.perfect_pairs == 9
