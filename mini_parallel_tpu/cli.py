@@ -245,7 +245,8 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         _require_accelerator(args.allow_cpu, echo)
         from mini_parallel_tpu.models.kmer_model import KmerEngine
 
-        eng = KmerEngine(cfg, k=args.kmer_size, canonical=args.canonical)
+        eng = KmerEngine(cfg, k=args.kmer_size, canonical=args.canonical,
+                         mesh=mesh)
         try:
             res = eng.count_file(args.kmer, progress=echo)
         except (OSError, IOError) as e:

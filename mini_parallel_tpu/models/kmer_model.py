@@ -71,10 +71,16 @@ def _fetch_bucket(n: int, cap: int) -> int:
 
 class KmerEngine:
     def __init__(self, cfg: Config | None = None, k: int = kmer.DEFAULT_K,
-                 canonical: bool = False):
+                 canonical: bool = False, mesh=None):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         self.k = k
         self.canonical = canonical
+        # optional device mesh: read batches shard data-parallel; each shard
+        # sort/dedups locally and the host store merges the per-shard
+        # (keys, counts) — exact counts, no cross-chip collective needed
+        # (the psum-merged bucketed histogram lives in parallel/pipeline.py)
+        self.mesh = mesh
+        self._sharded_fn = None
         self._store_factory = None
         try:
             from mini_parallel_tpu.native import available, kmer_store
@@ -83,6 +89,36 @@ class KmerEngine:
                 self._store_factory = kmer_store.KmerStore
         except Exception:  # native plane not built: Python dict fallback
             pass
+
+    def _sharded_counts(self):
+        """shard_map k-mer counter: per-shard compacted uniques, stacked."""
+        if self._sharded_fn is not None:
+            return self._sharded_fn
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        k, canonical = self.k, self.canonical
+
+        def local(pk, ec, ev, ln):
+            hi, lo, counts, nu = kmer.unique_counts_packed(
+                pk, ec, ev, ln, k=k, canonical=canonical
+            )
+            # one leading shard axis so P(axis) stacking keeps per-shard
+            # compaction boundaries addressable on host
+            return (hi[None], lo[None], counts[None], nu[None])
+
+        self._sharded_fn = jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+                out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+            )
+        )
+        return self._sharded_fn
 
     def make_store(self):
         """Native hash store when built, else a plain dict."""
@@ -100,6 +136,8 @@ class KmerEngine:
         )
         pad = -(-pad // 8) * 8
         arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
+        if self.mesh is not None and self.cfg.packed_transfer and pad % 4 == 0:
+            return self._count_batch_sharded(arr, lens, agg)
         if self.cfg.packed_transfer and pad % 4 == 0:
             pb = packedmod.pack_batch(arr, lens)
             hi, lo, counts, nu = kmer.unique_counts_packed(
@@ -121,6 +159,39 @@ class KmerEngine:
         else:  # native KmerStore: bulk merge in C++
             agg.merge(hi, lo, counts)
         return int(counts.sum()), len(reads)
+
+    def _count_batch_sharded(self, arr, lens, agg) -> tuple[int, int]:
+        """Sharded batch count: each shard compacts its uniques; the host
+        store merges every shard's prefix."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self.mesh.devices.size
+        B = arr.shape[0]
+        pb = packedmod.pad_rows(packedmod.pack_batch(arr, lens),
+                                -(-B // n) * n)
+        axis = self.mesh.axis_names[0]
+        put = lambda x, nd: jax.device_put(
+            x, NamedSharding(self.mesh, P(axis, *([None] * (nd - 1))))
+        )
+        args = packedmod.device_args(pb)
+        hi, lo, counts, nu = self._sharded_counts()(
+            put(args[0], 2), put(args[1], 2), put(args[2], 2), put(args[3], 1)
+        )
+        hi, lo = np.asarray(hi), np.asarray(lo)
+        counts, nu = np.asarray(counts), np.asarray(nu)
+        total = 0
+        for s in range(n):
+            m = int(nu[s])
+            if not m:
+                continue
+            total += int(counts[s, :m].sum())
+            if isinstance(agg, dict):
+                kmer.merge_device_counts(agg, hi[s, :m], lo[s, :m],
+                                         counts[s, :m])
+            else:
+                agg.merge(hi[s, :m], lo[s, :m], counts[s, :m])
+        return total, B
 
     def count_file(self, path: str, progress=None) -> KmerResult:
         res = KmerResult(file_path=path, k=self.k, canonical=self.canonical)

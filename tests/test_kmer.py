@@ -106,3 +106,17 @@ def test_kmer_engine_packed_matches_unpacked(tmp_path, rng):
     assert r_on.total_kmers == r_off.total_kmers
     assert r_on.distinct_kmers == r_off.distinct_kmers
     assert r_on.counts == r_off.counts
+
+
+def test_kmer_engine_sharded_matches_local(tmp_path, rng, mesh8):
+    """Mesh-sharded exact counting == single-device, non-multiple batches."""
+    reads = [random_dna(rng, int(rng.integers(25, 50))) for _ in range(35)]
+    reads[4] = reads[4][:8] + b"N" + reads[4][9:]
+    path = str(tmp_path / "sk.fastq.gz")
+    fastq.write_fastq(path, reads)
+    cfg = Config(chunk_size_reads=13, read_pad=56)
+    local = KmerEngine(cfg, k=21).count_file(path)
+    shard = KmerEngine(cfg, k=21, mesh=mesh8).count_file(path)
+    assert shard.total_kmers == local.total_kmers
+    assert shard.distinct_kmers == local.distinct_kmers
+    assert shard.counts == local.counts
