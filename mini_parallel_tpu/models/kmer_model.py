@@ -9,9 +9,11 @@ Transfer discipline (the pipeline is wire-bound, not compute-bound):
 - device->host: unique keys are compacted to the front of the sorted output
   (ops/kmer.py), so only the [0, n_unique) prefix is fetched — bucketed to a
   power of two to keep the fetch-program cache warm;
-- the cross-batch aggregate lives in the native C++ hash store
-  (native/kmer_store.cpp) and is surfaced as NumPy arrays, never a 10M+
-  entry Python dict.
+- the cross-batch aggregate lives in HBM by default
+  (ops/kmer.py:DeviceKmerAccumulator — staged appends + sorted merges, one
+  drain at file end, host spill above capacity); the native C++ hash store
+  (native/kmer_store.cpp) serves mesh runs and spills, surfaced as NumPy
+  arrays, never a 10M+ entry Python dict.
 """
 
 from __future__ import annotations
@@ -71,10 +73,18 @@ def _fetch_bucket(n: int, cap: int) -> int:
 
 class KmerEngine:
     def __init__(self, cfg: Config | None = None, k: int = kmer.DEFAULT_K,
-                 canonical: bool = False, mesh=None):
+                 canonical: bool = False, mesh=None,
+                 device_accumulate: bool = True,
+                 device_capacity: int | None = None):
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         self.k = k
         self.canonical = canonical
+        # device-resident accumulator (ops/kmer.py:DeviceKmerAccumulator):
+        # cross-batch aggregate stays in HBM, zero D2H until the final
+        # drain. Used on the single-device packed path; host-store merge
+        # remains for meshes and as the spill target.
+        self.device_accumulate = device_accumulate
+        self.device_capacity = device_capacity
         # optional device mesh: read batches shard data-parallel; each shard
         # sort/dedups locally and the host store merges the per-shard
         # (keys, counts) — exact counts, no cross-chip collective needed
@@ -193,9 +203,51 @@ class KmerEngine:
                 agg.merge(hi[s, :m], lo[s, :m], counts[s, :m])
         return total, B
 
+    def _use_device_acc(self) -> bool:
+        return (self.device_accumulate and self.mesh is None
+                and self.cfg.packed_transfer)
+
+    def _count_file_device(self, path: str, res: KmerResult, progress) -> None:
+        """Single-device path: the aggregate lives in HBM; per-batch D2H is
+        one deferred scalar (the batch k-mer total)."""
+        import jax
+
+        cap = self.device_capacity
+        if cap is None:
+            cap = 1 << 25 if jax.default_backend() == "tpu" else 1 << 20
+        acc = kmer.DeviceKmerAccumulator(
+            capacity=cap, spill_store=self.make_store()
+        )
+        totals: list = []
+        chunk_size = self.cfg.chunk_size_reads
+        for chunk in fastq.iter_read_chunks(path, chunk_size, progress=progress):
+            reads = [bytes(r) for r in chunk]
+            res.total_reads += len(reads)
+            while len(reads) < chunk_size:  # fixed slot count: no re-flush
+                reads.append(b"")
+            pad = max(self.cfg.read_pad, self.k + 7,
+                      max((len(r) for r in reads), default=1))
+            pad = -(-pad // 8) * 8
+            arr, lens = encode.pad_batch(reads, pad_to=pad,
+                                         pad_value=int(encode.PAD_A))
+            pb = packedmod.pack_batch(arr, lens)
+            hi, lo, ct, nu = kmer.unique_counts_packed(
+                *packedmod.device_args(pb), k=self.k, canonical=self.canonical
+            )
+            acc.add(hi, lo, ct)
+            totals.append(ct.sum())
+        res.total_kmers = sum(int(t) for t in jax.device_get(totals))
+        hi, lo, ct = acc.drain()
+        res.arrays = (hi, lo, ct)
+        res.distinct_kmers = int(hi.size)
+
     def count_file(self, path: str, progress=None) -> KmerResult:
         res = KmerResult(file_path=path, k=self.k, canonical=self.canonical)
         t0 = time.perf_counter()
+        if self._use_device_acc():
+            self._count_file_device(path, res, progress)
+            res.seconds = time.perf_counter() - t0
+            return res
         agg = self.make_store()
         for chunk in fastq.iter_read_chunks(
             path, self.cfg.chunk_size_reads, progress=progress

@@ -147,6 +147,163 @@ def unique_counts_packed(
     return unique_counts_batch(codes, lengths, k=k, canonical=canonical)
 
 
+# ---------------------------------------------------------------------------
+# Device-resident accumulator: the aggregate (keys, counts) lives in HBM
+# across batches — the literal "sorted-hash reduction in HBM". Batches
+# append their compacted uniques into a staging region; when it fills, one
+# sorted merge folds staging into the store. Device->host traffic is ZERO
+# until the final drain (the host-store path fetches every batch's uniques).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _staging_append(st_hi, st_lo, st_ct, off, hi, lo, ct):
+    return (
+        jax.lax.dynamic_update_slice(st_hi, hi, (off,)),
+        jax.lax.dynamic_update_slice(st_lo, lo, (off,)),
+        jax.lax.dynamic_update_slice(st_ct, ct, (off,)),
+    )
+
+
+@jax.jit  # no donation: output shapes differ from every input's
+def _sorted_merge(hi_a, lo_a, ct_a, hi_b, lo_b, ct_b):
+    """Fold two (key -> count) slabs into one sorted, RLE-combined slab.
+
+    Inputs may contain duplicate keys (ct > 0) and SENTINEL padding
+    (ct == 0). Returns (hi, lo, ct, n_unique) of length len(a) + len(b),
+    uniques compacted to the front.
+    """
+    hi = jnp.concatenate([hi_a, hi_b])
+    lo = jnp.concatenate([lo_a, lo_b])
+    ct = jnp.concatenate([ct_a, ct_b])
+    n = hi.shape[0]
+    hi, lo, ct = jax.lax.sort((hi, lo, ct), num_keys=2)
+    valid = ct > 0
+    prev_hi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), hi[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lo[:-1]])
+    is_start = valid & ((hi != prev_hi) | (lo != prev_lo))
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    seg = jnp.where(valid, seg, n - 1)
+    counts = jax.ops.segment_sum(jnp.where(valid, ct, 0), seg, num_segments=n)
+    out_hi = jnp.full((n,), _SENTINEL, jnp.int32)
+    out_lo = jnp.full((n,), _SENTINEL, jnp.int32)
+    idx = jnp.where(is_start, jnp.cumsum(is_start.astype(jnp.int32)) - 1, n - 1)
+    out_hi = out_hi.at[idx].set(jnp.where(is_start, hi, _SENTINEL))
+    out_lo = out_lo.at[idx].set(jnp.where(is_start, lo, _SENTINEL))
+    n_unique = is_start.sum(dtype=jnp.int32)
+    counts = counts * (jnp.arange(n) < n_unique)
+    return out_hi, out_lo, counts, n_unique
+
+
+class DeviceKmerAccumulator:
+    """Cross-batch k-mer aggregate kept entirely in HBM.
+
+    add() appends a batch's compacted uniques (fixed slot count per batch)
+    into device staging; a sorted merge folds staging into the store every
+    ``staging_batches`` appends. drain() does the single device->host fetch.
+    If the distinct count ever exceeds ``capacity``, the store spills to the
+    host ``spill_store`` (native KmerStore or dict) and restarts empty, so
+    results stay exact at any cardinality.
+    """
+
+    def __init__(self, capacity: int = 1 << 25, staging_batches: int = 8,
+                 spill_store=None):
+        self.capacity = capacity
+        self.staging_batches = staging_batches
+        self.spill_store = spill_store if spill_store is not None else {}
+        self.spilled = False
+        self._store = None  # (hi, lo, ct) device arrays, sorted+compacted
+        self._staging = None  # (hi, lo, ct) device arrays, append-only
+        self._slot = 0  # slots per batch (fixed once first batch arrives)
+        self._off = 0
+        self._pending = 0
+
+    def _reset_staging(self):
+        n = self._slot * self.staging_batches
+        z = jnp.full((n,), _SENTINEL, jnp.int32)
+        self._staging = (z, z.copy(), jnp.zeros((n,), jnp.int32))
+        self._off = 0
+        self._pending = 0
+
+    def add(self, hi, lo, ct) -> None:
+        """Append one batch's (hi, lo, counts) slab (uniques compacted,
+        zero-count padding allowed)."""
+        n = hi.shape[0]
+        if self._staging is None:
+            self._slot = n
+        elif n != self._slot:
+            # shape change (e.g. final partial chunk bucketed differently):
+            # fold what we have, then restart staging at the new slot size
+            self.flush()
+            self._slot = n
+            self._staging = None
+        if self._staging is None:
+            self._reset_staging()
+        sh, sl, sc = self._staging
+        self._staging = _staging_append(sh, sl, sc, self._off, hi, lo, ct)
+        self._off += n
+        self._pending += 1
+        if self._pending >= self.staging_batches:
+            self.flush()
+
+    def _reset_store(self):
+        # fixed capacity from the start: merge shapes never change, so the
+        # fold compiles exactly once per (capacity, staging) geometry
+        z = jnp.full((self.capacity,), _SENTINEL, jnp.int32)
+        self._store = (z, z.copy(), jnp.zeros((self.capacity,), jnp.int32))
+
+    def flush(self) -> None:
+        """Fold staging into the store (one sorted merge in HBM)."""
+        if self._staging is None or self._pending == 0:
+            return
+        sh, sl, sc = self._staging
+        if self._store is None:
+            self._reset_store()
+        hi, lo, ct, nu = _sorted_merge(*self._store, sh, sl, sc)
+        if int(nu) > self.capacity:
+            # overflow: spill the FULL merged result (pre-truncation) to the
+            # host store so no unique is ever dropped, then restart empty
+            self._spill(hi, lo, ct)
+            self._store = None
+        else:
+            self._store = (hi[: self.capacity], lo[: self.capacity],
+                           ct[: self.capacity])
+        self._reset_staging()
+
+    def _spill(self, hi, lo, ct) -> None:
+        hi, lo, ct = np.asarray(hi), np.asarray(lo), np.asarray(ct)
+        m = int((ct > 0).sum())
+        if isinstance(self.spill_store, dict):
+            merge_device_counts(self.spill_store, hi[:m], lo[:m], ct[:m])
+        else:
+            self.spill_store.merge(hi[:m], lo[:m], ct[:m])
+        self.spilled = True
+
+    def drain(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Final fetch: (hi, lo, counts) of every distinct k-mer."""
+        self.flush()
+        if self._store is not None:
+            hi, lo, ct = (np.asarray(x) for x in self._store)
+            m = int((ct > 0).sum())
+            hi, lo, ct = hi[:m], lo[:m], ct[:m].astype(np.int64)
+        else:
+            hi = np.empty(0, np.int32)
+            lo, ct = hi.copy(), np.empty(0, np.int64)
+        if self.spilled:  # fold the device remainder into the host spill
+            if isinstance(self.spill_store, dict):
+                merge_device_counts(self.spill_store, hi, lo, ct)
+                items = sorted(self.spill_store.items())
+                hi = np.fromiter((k[0] for k, _ in items), np.int32, len(items))
+                lo = np.fromiter((k[1] for k, _ in items), np.int32, len(items))
+                ct = np.fromiter((v for _, v in items), np.int64, len(items))
+            else:
+                self.spill_store.merge(hi, lo, ct.astype(np.int32))
+                hi, lo, ct64 = self.spill_store.items_arrays()
+                order = np.lexsort((lo, hi))
+                hi, lo, ct = hi[order], lo[order], ct64[order].astype(np.int64)
+        return hi, lo, ct
+
+
 def key_to_string(hi: int, lo: int, k: int = DEFAULT_K) -> str:
     """Decode a (hi, lo) key back to its ACGT string (host, debugging/tests)."""
     k_hi = (k + 1) // 2

@@ -120,3 +120,82 @@ def test_kmer_engine_sharded_matches_local(tmp_path, rng, mesh8):
     assert shard.total_kmers == local.total_kmers
     assert shard.distinct_kmers == local.distinct_kmers
     assert shard.counts == local.counts
+
+
+def test_device_accumulator_matches_host_merge(rng):
+    """DeviceKmerAccumulator == dict merge across batches, incl. a staging
+    flush, a shape change, and duplicate keys across batches."""
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.ops.kmer import DeviceKmerAccumulator
+
+    acc = DeviceKmerAccumulator(capacity=1 << 12, staging_batches=2)
+    want: dict = {}
+    for bi, (B, pad) in enumerate([(6, 32), (6, 32), (6, 32), (4, 40)]):
+        reads = [random_dna(rng, int(rng.integers(9, pad - 2)))
+                 for _ in range(B)]
+        if bi:
+            reads[0] = reads0  # duplicate keys across batches
+        else:
+            reads0 = reads[0]
+        arr, lens = encode.pad_batch(reads, pad_to=pad,
+                                     pad_value=int(encode.PAD_A))
+        codes = encode.ascii_to_code(jnp.asarray(arr))
+        hi, lo, ct, nu = kmer.unique_counts_batch(codes, jnp.asarray(lens), k=9)
+        acc.add(hi, lo, ct)
+        kmer.merge_device_counts(want, np.asarray(hi), np.asarray(lo),
+                                 np.asarray(ct))
+    hi, lo, ct = acc.drain()
+    got = {(int(h), int(l)): int(c) for h, l, c in zip(hi, lo, ct)}
+    assert got == want
+    # sorted, compacted output
+    keys = list(zip(hi.tolist(), lo.tolist()))
+    assert keys == sorted(keys)
+
+
+def test_device_accumulator_spill_exact(rng):
+    """Overflowing the device capacity spills to host and stays exact."""
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.ops.kmer import DeviceKmerAccumulator
+
+    acc = DeviceKmerAccumulator(capacity=64, staging_batches=1)
+    want: dict = {}
+    for _ in range(4):
+        reads = [random_dna(rng, 20) for _ in range(8)]
+        arr, lens = encode.pad_batch(reads, pad_to=24,
+                                     pad_value=int(encode.PAD_A))
+        codes = encode.ascii_to_code(jnp.asarray(arr))
+        hi, lo, ct, nu = kmer.unique_counts_batch(codes, jnp.asarray(lens), k=9)
+        acc.add(hi, lo, ct)
+        kmer.merge_device_counts(want, np.asarray(hi), np.asarray(lo),
+                                 np.asarray(ct))
+    assert acc.spilled or sum(want.values()) <= 64  # capacity 64 << distinct
+    hi, lo, ct = acc.drain()
+    got = {(int(h), int(l)): int(c) for h, l, c in zip(hi, lo, ct)}
+    assert got == want
+
+
+def test_kmer_engine_device_accumulate_matches_host(tmp_path, rng):
+    reads = [random_dna(rng, int(rng.integers(25, 50))) for _ in range(40)]
+    path = str(tmp_path / "da.fastq.gz")
+    fastq.write_fastq(path, reads)
+    cfg = Config(chunk_size_reads=13, read_pad=56)
+    dev = KmerEngine(cfg, k=21, device_accumulate=True,
+                     device_capacity=1 << 12).count_file(path)
+    host = KmerEngine(cfg, k=21, device_accumulate=False).count_file(path)
+    assert dev.total_kmers == host.total_kmers
+    assert dev.distinct_kmers == host.distinct_kmers
+    assert dev.counts == host.counts
+
+
+def test_kmer_engine_device_accumulate_spill_matches(tmp_path, rng):
+    """Capacity far below the distinct count: spill path stays exact."""
+    reads = [random_dna(rng, 40) for _ in range(30)]
+    path = str(tmp_path / "sp.fastq.gz")
+    fastq.write_fastq(path, reads)
+    cfg = Config(chunk_size_reads=10, read_pad=48)
+    dev = KmerEngine(cfg, k=21, device_capacity=64).count_file(path)
+    host = KmerEngine(cfg, k=21, device_accumulate=False).count_file(path)
+    assert dev.counts == host.counts
+    assert dev.total_kmers == host.total_kmers
