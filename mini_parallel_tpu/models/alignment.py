@@ -222,17 +222,7 @@ class AlignmentEngine:
         return fn
 
     def _put_packed(self, pb):
-        """device_put a PackedBatch onto the mesh, batch axis sharded."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        axis = self.mesh.axis_names[0]
-        args = packedmod.device_args(pb)
-        put = lambda x, nd: jax.device_put(
-            x, NamedSharding(self.mesh, P(axis, *([None] * (nd - 1))))
-        )
-        return (put(args[0], 2), put(args[1], 2), put(args[2], 2),
-                put(args[3], 1))
+        return packedmod.put_sharded(pb, self.mesh)
 
     def _packed_self_sum(self, kind: str, arr: np.ndarray, lens: np.ndarray):
         """Pack a self-alignment batch and queue its device score sum."""

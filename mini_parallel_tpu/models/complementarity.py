@@ -122,16 +122,7 @@ class ComplementarityEngine:
         return self._sharded_fn
 
     def _put_packed(self, pb):
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        axis = self.mesh.axis_names[0]
-        args = packedmod.device_args(pb)
-        put = lambda x, nd: jax.device_put(
-            x, NamedSharding(self.mesh, P(axis, *([None] * (nd - 1))))
-        )
-        return (put(args[0], 2), put(args[1], 2), put(args[2], 2),
-                put(args[3], 1))
+        return packedmod.put_sharded(pb, self.mesh)
 
     def _pad_for(self, r1: list[bytes], r2: list[bytes]) -> int:
         return -(-max(

@@ -172,35 +172,36 @@ class KmerEngine:
 
     def _count_batch_sharded(self, arr, lens, agg) -> tuple[int, int]:
         """Sharded batch count: each shard compacts its uniques; the host
-        store merges every shard's prefix."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
+        store merges every shard's bucketed unique prefix (fetching the full
+        slabs would ship B*W entries per shard — the prefix discipline from
+        the single-device path applies per shard here)."""
         n = self.mesh.devices.size
         B = arr.shape[0]
         pb = packedmod.pad_rows(packedmod.pack_batch(arr, lens),
                                 -(-B // n) * n)
-        axis = self.mesh.axis_names[0]
-        put = lambda x, nd: jax.device_put(
-            x, NamedSharding(self.mesh, P(axis, *([None] * (nd - 1))))
-        )
-        args = packedmod.device_args(pb)
         hi, lo, counts, nu = self._sharded_counts()(
-            put(args[0], 2), put(args[1], 2), put(args[2], 2), put(args[3], 1)
+            *packedmod.put_sharded(pb, self.mesh)
         )
-        hi, lo = np.asarray(hi), np.asarray(lo)
-        counts, nu = np.asarray(counts), np.asarray(nu)
+        nu = np.asarray(nu)  # one small fetch for all shards' unique counts
         total = 0
-        for s in range(n):
+        # per-shard prefix fetch: each shard's row lives on one device;
+        # addressable_shards slices it there without cross-device gathers
+        for sh_h, sh_l, sh_c in zip(hi.addressable_shards,
+                                    lo.addressable_shards,
+                                    counts.addressable_shards):
+            s = sh_h.index[0].start or 0
             m = int(nu[s])
             if not m:
                 continue
-            total += int(counts[s, :m].sum())
+            mb = _fetch_bucket(m, sh_h.data.shape[1])
+            h = np.asarray(sh_h.data[0, :mb])[:m]
+            l = np.asarray(sh_l.data[0, :mb])[:m]
+            c = np.asarray(sh_c.data[0, :mb])[:m]
+            total += int(c.sum())
             if isinstance(agg, dict):
-                kmer.merge_device_counts(agg, hi[s, :m], lo[s, :m],
-                                         counts[s, :m])
+                kmer.merge_device_counts(agg, h, l, c)
             else:
-                agg.merge(hi[s, :m], lo[s, :m], counts[s, :m])
+                agg.merge(h, l, c)
         return total, B
 
     def _use_device_acc(self) -> bool:
@@ -225,9 +226,10 @@ class KmerEngine:
             res.total_reads += len(reads)
             while len(reads) < chunk_size:  # fixed slot count: no re-flush
                 reads.append(b"")
-            pad = max(self.cfg.read_pad, self.k + 7,
-                      max((len(r) for r in reads), default=1))
-            pad = -(-pad // 8) * 8
+            maxlen = max((len(r) for r in reads), default=1)
+            pad = max(self.cfg.read_pad, -(-(self.k + 7) // 8) * 8)
+            while pad < maxlen:  # power-of-two growth: stable slab geometry
+                pad *= 2
             arr, lens = encode.pad_batch(reads, pad_to=pad,
                                          pad_value=int(encode.PAD_A))
             pb = packedmod.pack_batch(arr, lens)

@@ -217,6 +217,12 @@ class DeviceKmerAccumulator:
         self._slot = 0  # slots per batch (fixed once first batch arrives)
         self._off = 0
         self._pending = 0
+        # host-side upper bound on (distinct keys, max per-key count) since
+        # the last restart: lets flush() skip the blocking n_unique fetch
+        # while the bound proves no overflow, and forces a spill before any
+        # int32 per-key count could wrap (counts are int32 on device; the
+        # host spill store aggregates in int64)
+        self._added = 0
 
     def _reset_staging(self):
         n = self._slot * self.staging_batches
@@ -242,6 +248,7 @@ class DeviceKmerAccumulator:
         sh, sl, sc = self._staging
         self._staging = _staging_append(sh, sl, sc, self._off, hi, lo, ct)
         self._off += n
+        self._added += n
         self._pending += 1
         if self._pending >= self.staging_batches:
             self.flush()
@@ -252,19 +259,33 @@ class DeviceKmerAccumulator:
         z = jnp.full((self.capacity,), _SENTINEL, jnp.int32)
         self._store = (z, z.copy(), jnp.zeros((self.capacity,), jnp.int32))
 
+    _INT32_SAFE = (1 << 31) - (1 << 26)  # headroom > any single staging fold
+
     def flush(self) -> None:
-        """Fold staging into the store (one sorted merge in HBM)."""
+        """Fold staging into the store (one sorted merge in HBM).
+
+        Fully asynchronous while the added-slots bound proves the store
+        cannot overflow; only past that bound does it pay one scalar fetch
+        per fold to check the true unique count."""
         if self._staging is None or self._pending == 0:
             return
         sh, sl, sc = self._staging
         if self._store is None:
             self._reset_store()
         hi, lo, ct, nu = _sorted_merge(*self._store, sh, sl, sc)
-        if int(nu) > self.capacity:
+        if self._added <= min(self.capacity, self._INT32_SAFE):
+            # bound proof: distinct <= added <= capacity, and no per-key
+            # count can exceed added -> no overflow check needed (no sync)
+            self._store = (hi[: self.capacity], lo[: self.capacity],
+                           ct[: self.capacity])
+            self._reset_staging()
+            return
+        if self._added > self._INT32_SAFE or int(nu) > self.capacity:
             # overflow: spill the FULL merged result (pre-truncation) to the
             # host store so no unique is ever dropped, then restart empty
             self._spill(hi, lo, ct)
             self._store = None
+            self._added = 0
         else:
             self._store = (hi[: self.capacity], lo[: self.capacity],
                            ct[: self.capacity])

@@ -237,3 +237,19 @@ def device_args(pb: PackedBatch):
         jnp.asarray(pb.exc_val),
         jnp.asarray(pb.lengths),
     )
+
+
+def put_sharded(pb: PackedBatch, mesh, axis: str | None = None):
+    """device_args with every array placed on ``mesh``, batch axis sharded.
+
+    The one shared sharding recipe for PackedBatch operands (rows on the
+    data axis, everything else replicated along it)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = axis or mesh.axis_names[0]
+    out = []
+    for a in device_args(pb):
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)
