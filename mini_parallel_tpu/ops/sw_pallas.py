@@ -50,11 +50,24 @@ from jax.experimental.pallas import tpu as pltpu
 from mini_parallel_tpu.ops.encode import PAD_A, PAD_B
 from mini_parallel_tpu.ops.sw import GAP_PENALTY, MATCH_SCORE, MISMATCH_PENALTY
 
-B_BLK = 128  # reads per kernel block (one vreg of lanes; beat 256/512 on v5e)
-UNROLL = 4  # diagonal steps per fori_loop iteration (4 beat 2/8/16 on v5e)
+import os
+
+# Tuning knobs, overridable per device (tools/autotune.py finds the best):
+# reads per kernel block (one vreg of lanes beat 256/512 on v5e) and
+# diagonal steps per fori_loop iteration (4 beat 2/8/16 on v5e).
+B_BLK = int(os.environ.get("MPT_SW_BLOCK", 128))
+UNROLL = int(os.environ.get("MPT_SW_UNROLL", 4))
 
 
-def _sw_kernel(a_ref, b_ref, out_ref, w, d1, d1s, best):
+def _sw_kernel_factory(unroll: int):
+    def kernel(a_ref, b_ref, out_ref, w, d1, d1s, best):
+        return _sw_kernel_body(a_ref, b_ref, out_ref, w, d1, d1s, best,
+                               unroll)
+
+    return kernel
+
+
+def _sw_kernel_body(a_ref, b_ref, out_ref, w, d1, d1s, best, unroll):
     M, B = a_ref.shape
     N = b_ref.shape[0]
     a = a_ref[:]
@@ -80,33 +93,38 @@ def _sw_kernel(a_ref, b_ref, out_ref, w, d1, d1s, best):
         return wv, cand, sh, jnp.maximum(bestv, cand)
 
     def step(k, _):
-        d = UNROLL * k
+        d = unroll * k
         st = (w[:], d1[:], d1s[:], best[:])
-        for u in range(UNROLL):
+        for u in range(unroll):
             st = one_diag(d + u, *st)
         w[:], d1[:], d1s[:], best[:] = st
         return ()
 
-    jax.lax.fori_loop(0, -(-(M + N - 1) // UNROLL), step, ())
+    jax.lax.fori_loop(0, -(-(M + N - 1) // unroll), step, ())
     out_ref[:] = jnp.max(best[:], axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "b_blk", "unroll"))
 def sw_score_batch_pallas(
-    seq_a: jnp.ndarray, seq_b: jnp.ndarray, interpret: bool | None = None
+    seq_a: jnp.ndarray, seq_b: jnp.ndarray, interpret: bool | None = None,
+    b_blk: int | None = None, unroll: int | None = None,
 ) -> jnp.ndarray:
     """Batched SW scores via the Pallas wavefront kernel.
 
     Args match ops/sw.py:sw_score_batch: (B, M) uint8 padded with PAD_A and
-    (B, N) uint8 padded with PAD_B. Returns (B,) int32.
+    (B, N) uint8 padded with PAD_B. Returns (B,) int32. ``b_blk``/``unroll``
+    override the module defaults (autotuning; see tools/autotune.py).
     """
+    b_blk = b_blk or B_BLK
+    unroll = unroll or UNROLL
     B, M = seq_a.shape
     N = seq_b.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     # pad the batch to a block multiple; pad lanes are PAD_A vs PAD_B -> 0
-    Bp = -(-B // B_BLK) * B_BLK
+    Bp = -(-B // b_blk) * b_blk
     Mp = -(-M // 8) * 8
     Np = -(-N // 8) * 8
     at = jnp.full((Mp, Bp), int(PAD_A), jnp.int32)
@@ -115,15 +133,15 @@ def sw_score_batch_pallas(
     bt = bt.at[:N, :B].set(seq_b.astype(jnp.int32).T)
 
     out = pl.pallas_call(
-        _sw_kernel,
-        grid=(Bp // B_BLK,),
+        _sw_kernel_factory(unroll),
+        grid=(Bp // b_blk,),
         in_specs=[
-            pl.BlockSpec((Mp, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Np, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, b_blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, b_blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, b_blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((Mp, B_BLK), jnp.int32) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((Mp, b_blk), jnp.int32) for _ in range(4)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=8 * Bp * Mp * (Mp + Np),

@@ -1,0 +1,82 @@
+"""Autotune the SW wavefront kernel's (block, unroll) for THIS device.
+
+The defaults (B_BLK=128, UNROLL=4) were tuned on TPU v5e; other generations
+have different vreg/VMEM trade-offs. This sweeps the grid, validates
+every candidate against the XLA-scan oracle, and prints the winner plus the env
+settings (MPT_SW_BLOCK / MPT_SW_UNROLL) that make it stick.
+
+Usage: python -m mini_parallel_tpu.tools.autotune [--reads 10000] [--len 150]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=10_000)
+    ap.add_argument("--len", type=int, default=150, dest="read_len")
+    ap.add_argument("--blocks", type=int, nargs="*", default=[128, 256, 512])
+    ap.add_argument("--unrolls", type=int, nargs="*", default=[1, 2, 4, 8])
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.device import enable_compile_cache
+    from mini_parallel_tpu.ops import encode, sw
+    from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_pallas
+
+    enable_compile_cache()
+    rng = np.random.default_rng(0)
+    base = np.frombuffer(b"ACGT", np.uint8)
+    pad = -(-args.read_len // 8) * 8
+    arr_a = np.full((args.reads, pad), encode.PAD_A, np.uint8)
+    arr_b = np.full((args.reads, pad), encode.PAD_B, np.uint8)
+    arr_a[:, : args.read_len] = rng.choice(base, size=(args.reads, args.read_len))
+    arr_b[:, : args.read_len] = rng.choice(base, size=(args.reads, args.read_len))
+    a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
+    golden = np.asarray(sw.sw_score_batch(a[:256], b[:256]))
+    cells = args.reads * args.read_len * args.read_len
+
+    def timed(fn, iters):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(iters)]
+        np.asarray(outs[-1])
+        return time.perf_counter() - t0
+
+    best = None
+    for blk in args.blocks:
+        for unr in args.unrolls:
+            fn = lambda: sw_score_batch_pallas(a, b, b_blk=blk, unroll=unr)
+            try:
+                got = np.asarray(
+                    sw_score_batch_pallas(a[:256], b[:256], b_blk=blk,
+                                          unroll=unr)
+                )
+                assert (got == golden).all(), "WRONG RESULT"
+                np.asarray(fn())  # warm the full-size shape
+                dt = min(
+                    max((timed(fn, 7) - timed(fn, 2)) / 5, 1e-9)
+                    for _ in range(2)
+                )
+                gcups = cells / dt / 1e9
+                print(f"block={blk:4d} unroll={unr}: {gcups:7.1f} GCUPS")
+                if best is None or gcups > best[0]:
+                    best = (gcups, blk, unr)
+            except Exception as e:  # noqa: BLE001 — report and keep sweeping
+                print(f"block={blk:4d} unroll={unr}: FAILED {str(e)[-120:]}")
+    if best is None:
+        print("no working configuration found")
+        return 1
+    g, blk, unr = best
+    print(f"\nbest: block={blk} unroll={unr} ({g:.1f} GCUPS)")
+    print(f"export MPT_SW_BLOCK={blk} MPT_SW_UNROLL={unr}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -44,3 +44,15 @@ def test_stdin_linecount_subprocess():
         input=b"a\nb\nc\n", capture_output=True, cwd="/root/repo",
     )
     assert out.stdout.strip() == b"3"
+
+
+def test_autotune_smoke(capsys):
+    """Tiny sweep on the CPU backend: validates + reports + picks a winner."""
+    from mini_parallel_tpu.tools import autotune
+
+    rc = autotune.main(["--reads", "64", "--len", "24",
+                        "--blocks", "128", "--unrolls", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "best: block=128 unroll=2" in out
+    assert "MPT_SW_BLOCK=128" in out
