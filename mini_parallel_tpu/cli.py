@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference FASTA(.gz) for --variant-prep")
     p.add_argument("--vcf-out", metavar="PATH", default=None,
                    help="write candidate sites as VCF (with --variant-prep)")
+    p.add_argument("--sam-out", metavar="PATH", default=None,
+                   help="write traceback alignments as SAM (with "
+                   "--variant-prep)")
     p.add_argument("--gapped", action="store_true",
                    help="CIGAR-based gapped pileup for --variant-prep "
                    "(indel-tolerant; slower)")
@@ -239,6 +242,12 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         if args.vcf_out:
             write_candidates_vcf(args.vcf_out, res)
             echo(f"Candidates written to {args.vcf_out}")
+        if args.sam_out:
+            from mini_parallel_tpu.models.variant_prep import write_sam
+
+            st = write_sam(args.sam_out, veng, args.variant_prep)
+            echo(f"SAM: {st['records']} records ({st['mapped']} mapped) "
+                 f"-> {args.sam_out}")
         return 0
 
     if args.kmer:

@@ -361,6 +361,18 @@ def _gapped_pileup_step(
     positions (ops/sw_traceback.py:sw_positions_batch), and scatter the
     pileup. Replaces a per-read host loop that fetched the full moves tensor
     and applied CIGARs in Python."""
+    positions = _traceback_positions(
+        codes, lens, starts, mapped, ref_ascii, G, W, margin,
+        gap_model, gap_open, gap_extend,
+    )
+    new_acc = pileup_acc + _pileup_positions(codes, positions, G, qual_ok)
+    return new_acc, mapped.sum(dtype=jnp.int32)
+
+
+def _traceback_positions(codes, lens, starts, mapped, ref_ascii,
+                         G, W, margin, gap_model, gap_open, gap_extend):
+    """(B, L) absolute reference positions per query base (-1 = unaligned)
+    via windowed on-device traceback around each read's anchor."""
     from mini_parallel_tpu.ops.sw_traceback import (
         sw_affine_positions_batch,
         sw_positions_batch,
@@ -379,11 +391,31 @@ def _gapped_pileup_step(
     else:
         score, positions = sw_positions_batch(q_ascii, windows)
     ok = mapped & (score > 0)
-    positions = jnp.where(
+    return jnp.where(
         ok[:, None] & (positions >= 0), positions + win_starts[:, None], -1
     )
-    new_acc = pileup_acc + _pileup_positions(codes, positions, G, qual_ok)
-    return new_acc, mapped.sum(dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("G", "W", "margin", "k", "rescue",
+                                   "rescue_min_frac", "gap_model",
+                                   "gap_open", "gap_extend"))
+def _gapped_map_step(
+    pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
+    G: int, W: int, margin: int, k: int = SEED_K, rescue: bool = False,
+    rescue_min_frac: float = 0.6, gap_model: str = "linear",
+    gap_open: int = -2, gap_extend: int = -1,
+):
+    """Mapping-output step (SAM writer): per-base reference positions plus
+    the oriented codes and strand flags — everything a SAM record needs."""
+    final_codes, final_starts, final_mapped, flipped = _map_packed_batch(
+        pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
+        k, rescue, rescue_min_frac,
+    )
+    positions = _traceback_positions(
+        final_codes, lens, final_starts, final_mapped, ref_ascii,
+        G, W, margin, gap_model, gap_open, gap_extend,
+    )
+    return positions, final_codes, final_mapped, flipped
 
 
 @partial(jax.jit, static_argnames=("G",))
@@ -788,3 +820,133 @@ def write_candidates_vcf(path: str, res: VariantPrepResult,
                 f"\t.\t.\tDP={c.depth};AC={c.alt_count};"
                 f"AF={c.alt_fraction:.3f}\n"
             )
+
+
+# ---------------------------------------------------------------------------
+# SAM output: records reconstructed from the traceback positions vector
+# (the same data the pileup consumes), so the mapper's one source of truth
+# also drives the standard hand-off format.
+# ---------------------------------------------------------------------------
+
+
+def positions_to_cigar(pos: np.ndarray, length: int) -> tuple[str, int]:
+    """(CIGAR, 0-based ref start) from a read's per-base reference positions.
+
+    Runs of consecutive positions -> M; jumps between aligned bases -> D;
+    unaligned bases between aligned ones -> I; leading/trailing unaligned
+    bases -> S (soft clips). Returns ("", -1) for unmapped reads.
+    """
+    pos = pos[:length]
+    aligned = np.nonzero(pos >= 0)[0]
+    if aligned.size == 0:
+        return "", -1
+    first, last = int(aligned[0]), int(aligned[-1])
+    ops: list[tuple[int, str]] = []
+    if first > 0:
+        ops.append((first, "S"))
+    i = first
+    run_m = 0
+    pend_i = 0
+    prev_p = None
+    for i in range(first, last + 1):
+        p = int(pos[i])
+        if p < 0:
+            if run_m:
+                ops.append((run_m, "M"))
+                run_m = 0
+            pend_i += 1
+            continue
+        if prev_p is not None:
+            gap = p - prev_p - 1
+            if pend_i:
+                if run_m:
+                    ops.append((run_m, "M"))
+                    run_m = 0
+                ops.append((pend_i, "I"))
+                pend_i = 0
+            if gap > 0:
+                if run_m:
+                    ops.append((run_m, "M"))
+                    run_m = 0
+                ops.append((gap, "D"))
+        run_m += 1
+        prev_p = p
+    if run_m:
+        ops.append((run_m, "M"))
+    if length - 1 > last:
+        ops.append((length - 1 - last, "S"))
+    return "".join(f"{n}{op}" for n, op in ops), int(pos[first])
+
+
+_CODE_TO_BASE = np.frombuffer(b"ACGTN", np.uint8)
+
+
+def write_sam(
+    path: str,
+    engine: "VariantPrepEngine",
+    fastq_path: str,
+    progress=None,
+) -> dict:
+    """Map a FASTQ against the engine's reference and write SAM records.
+
+    Mapping is the engine's full pipeline (multi-seed + optional rescue),
+    alignments come from the on-device traceback; CIGARs/positions derive
+    from the positions vector. SEQ is written in alignment orientation with
+    FLAG 0x10 for reverse-strand hits, per the SAM spec; unmapped reads get
+    FLAG 0x4. Returns {"records": n, "mapped": m}.
+    """
+    from mini_parallel_tpu.ops import packed as packedmod
+
+    cfg = engine.cfg
+    G = len(engine.index.ref_codes)
+    offsets = engine.contig_offsets
+    names = engine.contig_names
+    stats = {"records": 0, "mapped": 0}
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:unknown\n")
+        for name, length in engine.contig_table():
+            f.write(f"@SQ\tSN:{name}\tLN:{length}\n")
+        f.write("@PG\tID:mini_parallel_tpu\tPN:mini_parallel_tpu\n")
+        rid = 0
+        for chunk in fastq.iter_read_chunks(fastq_path, cfg.chunk_size_reads):
+            reads = [bytes(r) for r in chunk]
+            pad = -(-max(cfg.read_pad, SEED_K + 1,
+                         max((len(r) for r in reads), default=1)) // 8) * 8
+            arr, lens = encode.pad_batch(reads, pad_to=pad,
+                                         pad_value=int(encode.PAD_A))
+            pb = packedmod.pack_batch(arr, lens)
+            positions, codes, mapped, flipped = _gapped_map_step(
+                *packedmod.device_args(pb), engine.index.sorted_keys,
+                engine.index.sorted_pos, engine.index.ref_ascii_dev,
+                G, pad + 2 * engine.window_margin, engine.window_margin,
+                rescue=engine.rescue,
+                rescue_min_frac=engine.rescue_min_frac,
+                gap_model=engine.gap_model, gap_open=cfg.gap_open,
+                gap_extend=cfg.gap_extend,
+            )
+            positions = np.asarray(positions)
+            codes = np.asarray(codes)
+            mapped = np.asarray(mapped)
+            flipped = np.asarray(flipped)
+            for b, read in enumerate(reads):
+                n = len(read)
+                qname = f"r{rid}"
+                rid += 1
+                stats["records"] += 1
+                cigar, start = positions_to_cigar(positions[b], n)
+                if not mapped[b] or start < 0:
+                    f.write(f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t"
+                            f"{read.decode()}\t*\n")
+                    continue
+                stats["mapped"] += 1
+                ci = int(np.searchsorted(offsets, start, "right")) - 1
+                local = start - int(offsets[ci])
+                seq = _CODE_TO_BASE[np.minimum(codes[b, :n], 4)].tobytes()
+                flag = 16 if flipped[b] else 0
+                f.write(
+                    f"{qname}\t{flag}\t{names[ci]}\t{local + 1}\t255\t"
+                    f"{cigar}\t*\t0\t0\t{seq.decode()}\t*\n"
+                )
+            if progress:
+                progress(f"  {stats['records']} records written")
+    return stats

@@ -437,3 +437,79 @@ def test_complementarity_sharded_matches_local(tmp_path, rng, mesh8):
         local.pairs, local.direct_score_sum, local.comp_score_sum,
         local.perfect_pairs)
     assert shard.perfect_pairs == 9
+
+
+def test_positions_to_cigar_shapes():
+    from mini_parallel_tpu.models.variant_prep import positions_to_cigar
+
+    # clean full-length match
+    assert positions_to_cigar(np.arange(10, 20, dtype=np.int32), 10) == ("10M", 10)
+    # 2bp deletion between query bases 4 and 5
+    pos = np.array([5, 6, 7, 8, 9, 12, 13, 14], np.int32)
+    assert positions_to_cigar(pos, 8) == ("5M2D3M", 5)
+    # 2bp insertion (unaligned query bases mid-read)
+    pos = np.array([5, 6, 7, -1, -1, 8, 9, 10], np.int32)
+    assert positions_to_cigar(pos, 8) == ("3M2I3M", 5)
+    # soft clips on both ends
+    pos = np.array([-1, -1, 30, 31, 32, -1], np.int32)
+    assert positions_to_cigar(pos, 6) == ("2S3M1S", 30)
+    # unmapped
+    assert positions_to_cigar(np.full(5, -1, np.int32), 5) == ("", -1)
+
+
+def test_write_sam_end_to_end(tmp_path):
+    from mini_parallel_tpu.models.variant_prep import write_sam
+
+    rng = np.random.default_rng(42)
+    ref = random_dna(rng, 900)
+    rc_tab = bytes.maketrans(b"ACGT", b"TGCA")
+    reads = []
+    truths = []
+    for i in range(12):
+        s = int(rng.integers(0, 780))
+        r = bytearray(ref[s : s + 90])
+        has_del = i % 4 == 1
+        if has_del:
+            del r[40:43]
+        strand = 16 if i % 2 else 0
+        out = bytes(r)
+        if strand:
+            out = out.translate(rc_tab)[::-1]
+        reads.append(out)
+        truths.append((s + 1, has_del, strand))
+    reads.append(random_dna(rng, 50))  # unmapped
+    truths.append((0, False, 4))
+    path = str(tmp_path / "m.fastq.gz")
+    fastq.write_fastq(path, reads)
+    # affine gaps: one 3D run is strictly cheaper than split gaps, so the
+    # expected CIGAR is unambiguous (linear costs tie and may split)
+    eng = VariantPrepEngine(
+        {"chrS": ref}, Config(chunk_size_reads=8, read_pad=96), gapped=True,
+        gap_model="affine",
+    )
+    sam = str(tmp_path / "out.sam")
+    st = write_sam(sam, eng, path)
+    assert st == {"records": 13, "mapped": 12}
+    lines = [l for l in open(sam) if not l.startswith("@")]
+    assert len(lines) == 13
+    header = open(sam).readline()
+    assert header.startswith("@HD")
+    assert "@SQ\tSN:chrS\tLN:900" in open(sam).read()
+    import re
+
+    for line, (pos1, has_del, flag) in zip(lines, truths):
+        cols = line.rstrip("\n").split("\t")
+        assert int(cols[1]) == flag, line
+        if flag == 4:
+            assert cols[5] == "*"
+            continue
+        assert cols[2] == "chrS"
+        # gap runs can slide a base along repeats at equal affine score
+        assert abs(int(cols[3]) - pos1) <= 1, (line, pos1)
+        if has_del:
+            m = re.fullmatch(r"(\d+)M3D(\d+)M", cols[5])
+            assert m, (line, "expected one 3D run")
+            assert int(m.group(1)) + int(m.group(2)) == 87
+        else:
+            assert cols[5] == "90M", line
+        assert len(cols[9]) == (87 if has_del else 90)
