@@ -218,6 +218,10 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             write_candidates_vcf,
         )
 
+        if args.sam_out and not args.gapped:
+            echo("ERROR: --sam-out requires --gapped (SAM CIGARs come from "
+                 "the traceback)")
+            return 2
         try:
             recs = fasta.read_fasta(args.reference)
             if not recs:
@@ -228,7 +232,8 @@ def main(argv: list[str] | None = None, echo=print) -> int:
                                      rescue=args.rescue,
                                      min_base_quality=args.min_base_quality,
                                      gap_model=args.gap_model)
-            res = veng.process_file(args.variant_prep, progress=echo)
+            res = veng.process_file(args.variant_prep, progress=echo,
+                                    sam_out=args.sam_out)
         except (OSError, IOError, ValueError) as e:
             echo(f"ERROR: {e}")
             return 1
@@ -243,11 +248,8 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             write_candidates_vcf(args.vcf_out, res)
             echo(f"Candidates written to {args.vcf_out}")
         if args.sam_out:
-            from mini_parallel_tpu.models.variant_prep import write_sam
-
-            st = write_sam(args.sam_out, veng, args.variant_prep)
-            echo(f"SAM: {st['records']} records ({st['mapped']} mapped) "
-                 f"-> {args.sam_out}")
+            echo(f"SAM: {res.total_reads} records ({res.mapped_reads} "
+                 f"mapped) -> {args.sam_out}")
         return 0
 
     if args.kmer:

@@ -601,16 +601,12 @@ class VariantPrepEngine:
             ok[i, : len(qa)] = qa >= floor
         return ok
 
-    def process_reads_batch(self, reads: list[bytes], pileup_acc: jnp.ndarray,
-                            quals: list[bytes] | None = None,
-                            ) -> tuple[jnp.ndarray, int | jnp.ndarray]:
-        """One batch. Ungapped+packed: fully fused on device — the returned
-        mapped-count is a DEFERRED device scalar (drain with device_get)."""
+    def _prep_batch(self, reads: list[bytes]):
+        """Pad + spacer-guard one batch -> (arr, lens, pad). The guard keeps
+        cross-spacer alignments impossible for EVERY consumer (pileup and
+        SAM output alike)."""
         pad = -(-max(self.cfg.read_pad, SEED_K + 1,
                      max((len(r) for r in reads), default=1)) // 8) * 8
-        arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
-        qmask = self._qual_mask(reads, quals, pad)
-        G = len(self.index.ref_codes)
         if len(self.contig_names) > 1 and 2 * pad > self.contig_spacer:
             # an alignment crossing the N spacer gains <= 2*read_len and
             # pays spacer mismatches; this bound keeps crossing impossible
@@ -619,6 +615,18 @@ class VariantPrepEngine:
                 f"(have {self.contig_spacer}); pass contig_spacer= to "
                 "VariantPrepEngine"
             )
+        arr, lens = encode.pad_batch(reads, pad_to=pad,
+                                     pad_value=int(encode.PAD_A))
+        return arr, lens, pad
+
+    def process_reads_batch(self, reads: list[bytes], pileup_acc: jnp.ndarray,
+                            quals: list[bytes] | None = None,
+                            ) -> tuple[jnp.ndarray, int | jnp.ndarray]:
+        """One batch. Ungapped+packed: fully fused on device — the returned
+        mapped-count is a DEFERRED device scalar (drain with device_get)."""
+        arr, lens, pad = self._prep_batch(reads)
+        qmask = self._qual_mask(reads, quals, pad)
+        G = len(self.index.ref_codes)
         if self.cfg.packed_transfer and pad % 4 == 0:
             from mini_parallel_tpu.ops import packed as packedmod
 
@@ -695,7 +703,19 @@ class VariantPrepEngine:
             )
         return pileup_acc, int(np.asarray(final_mapped).sum())
 
-    def process_file(self, path: str, progress=None) -> VariantPrepResult:
+    def process_file(self, path: str, progress=None,
+                     sam_out: str | None = None) -> VariantPrepResult:
+        """Map + pileup a FASTQ. ``sam_out`` additionally writes SAM 1.6
+        records from the SAME mapping pass (requires gapped=True and the
+        packed path; no second pass over the data)."""
+        if sam_out is not None:
+            if not self.gapped:
+                raise ValueError("sam_out requires gapped=True (SAM CIGARs "
+                                 "come from the traceback)")
+            if self.min_base_quality > 0:
+                raise ValueError("sam_out with min_base_quality is not "
+                                 "supported yet")
+            return self._process_file_sam(path, sam_out, progress)
         t0 = time.perf_counter()
         G = len(self.index.ref_codes)
         pileup = jnp.zeros((G, 7), jnp.int32)
@@ -725,6 +745,51 @@ class VariantPrepEngine:
                 )
                 progress(f"  {res.total_reads} reads, {shown}")
         res.mapped_reads += sum(int(v) for v in jax.device_get(deferred))
+        res.pileup = np.asarray(pileup)
+        res.candidates = self._extract_candidates(res.pileup)
+        res.contigs = self.contig_table()
+        res.seconds = time.perf_counter() - t0
+        return res
+
+    def _process_file_sam(self, path: str, sam_out: str,
+                          progress) -> VariantPrepResult:
+        """One mapping pass feeding both the pileup and the SAM writer."""
+        from mini_parallel_tpu.ops import packed as packedmod
+
+        t0 = time.perf_counter()
+        G = len(self.index.ref_codes)
+        pileup = jnp.zeros((G, 7), jnp.int32)
+        res = VariantPrepResult(reference_length=G)
+        rid = 0
+        with open(sam_out, "w") as f:
+            _write_sam_header(f, self.contig_table())
+            for chunk in fastq.iter_read_chunks(
+                path, self.cfg.chunk_size_reads, progress=progress
+            ):
+                reads = [bytes(r) for r in chunk]
+                arr, lens, pad = self._prep_batch(reads)
+                pb = packedmod.pack_batch(arr, lens)
+                positions, codes, mapped, flipped = _gapped_map_step(
+                    *packedmod.device_args(pb), self.index.sorted_keys,
+                    self.index.sorted_pos, self.index.ref_ascii_dev,
+                    G, pad + 2 * self.window_margin, self.window_margin,
+                    rescue=self.rescue,
+                    rescue_min_frac=self.rescue_min_frac,
+                    gap_model=self.gap_model, gap_open=self.cfg.gap_open,
+                    gap_extend=self.cfg.gap_extend,
+                )
+                pileup = pileup + _pileup_positions(codes, positions, G)
+                import jax
+
+                positions, codes, mapped, flipped = jax.device_get(
+                    (positions, codes, mapped, flipped)
+                )
+                rid, n_mapped = _write_sam_batch(
+                    f, reads, positions, codes, mapped, flipped,
+                    self.contig_names, self.contig_offsets, rid,
+                )
+                res.total_reads += len(reads)
+                res.mapped_reads += n_mapped
         res.pileup = np.asarray(pileup)
         res.candidates = self._extract_candidates(res.pileup)
         res.contigs = self.contig_table()
@@ -844,7 +909,6 @@ def positions_to_cigar(pos: np.ndarray, length: int) -> tuple[str, int]:
     ops: list[tuple[int, str]] = []
     if first > 0:
         ops.append((first, "S"))
-    i = first
     run_m = 0
     pend_i = 0
     prev_p = None
@@ -881,72 +945,60 @@ def positions_to_cigar(pos: np.ndarray, length: int) -> tuple[str, int]:
 _CODE_TO_BASE = np.frombuffer(b"ACGTN", np.uint8)
 
 
+def _write_sam_header(f, contigs: list[tuple[str, int]]) -> None:
+    f.write("@HD\tVN:1.6\tSO:unknown\n")
+    for name, length in contigs:
+        f.write(f"@SQ\tSN:{name}\tLN:{length}\n")
+    f.write("@PG\tID:mini_parallel_tpu\tPN:mini_parallel_tpu\n")
+
+
+def _write_sam_batch(f, reads, positions, codes, mapped, flipped,
+                     names, offsets, rid: int) -> tuple[int, int]:
+    """Write one batch of records; returns (next rid, mapped count).
+
+    Read names are synthetic r{N} (the streaming decoder extracts sequence
+    lines only); QUAL is '*'. SEQ is in alignment orientation with FLAG
+    0x10 on reverse-strand hits, 0x4 when unmapped.
+    """
+    n_mapped = 0
+    for b, read in enumerate(reads):
+        n = len(read)
+        qname = f"r{rid}"
+        rid += 1
+        cigar, start = positions_to_cigar(positions[b], n)
+        if not mapped[b] or start < 0:
+            f.write(f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t"
+                    f"{read.decode()}\t*\n")
+            continue
+        n_mapped += 1
+        ci = int(np.searchsorted(offsets, start, "right")) - 1
+        local = start - int(offsets[ci])
+        seq = _CODE_TO_BASE[np.minimum(codes[b, :n], 4)].tobytes()
+        flag = 16 if flipped[b] else 0
+        f.write(
+            f"{qname}\t{flag}\t{names[ci]}\t{local + 1}\t255\t"
+            f"{cigar}\t*\t0\t0\t{seq.decode()}\t*\n"
+        )
+    return rid, n_mapped
+
+
 def write_sam(
     path: str,
     engine: "VariantPrepEngine",
     fastq_path: str,
     progress=None,
 ) -> dict:
-    """Map a FASTQ against the engine's reference and write SAM records.
+    """Map ``fastq_path`` against the engine's reference and write SAM.
 
-    Mapping is the engine's full pipeline (multi-seed + optional rescue),
-    alignments come from the on-device traceback; CIGARs/positions derive
-    from the positions vector. SEQ is written in alignment orientation with
-    FLAG 0x10 for reverse-strand hits, per the SAM spec; unmapped reads get
-    FLAG 0x4. Returns {"records": n, "mapped": m}.
+    Thin wrapper over VariantPrepEngine.process_file(sam_out=...) — the SAM
+    records and the pileup come from ONE mapping pass. Requires a
+    gapped-capable engine; a non-gapped engine is upgraded for this call.
     """
-    from mini_parallel_tpu.ops import packed as packedmod
+    import copy
 
-    cfg = engine.cfg
-    G = len(engine.index.ref_codes)
-    offsets = engine.contig_offsets
-    names = engine.contig_names
-    stats = {"records": 0, "mapped": 0}
-    with open(path, "w") as f:
-        f.write("@HD\tVN:1.6\tSO:unknown\n")
-        for name, length in engine.contig_table():
-            f.write(f"@SQ\tSN:{name}\tLN:{length}\n")
-        f.write("@PG\tID:mini_parallel_tpu\tPN:mini_parallel_tpu\n")
-        rid = 0
-        for chunk in fastq.iter_read_chunks(fastq_path, cfg.chunk_size_reads):
-            reads = [bytes(r) for r in chunk]
-            pad = -(-max(cfg.read_pad, SEED_K + 1,
-                         max((len(r) for r in reads), default=1)) // 8) * 8
-            arr, lens = encode.pad_batch(reads, pad_to=pad,
-                                         pad_value=int(encode.PAD_A))
-            pb = packedmod.pack_batch(arr, lens)
-            positions, codes, mapped, flipped = _gapped_map_step(
-                *packedmod.device_args(pb), engine.index.sorted_keys,
-                engine.index.sorted_pos, engine.index.ref_ascii_dev,
-                G, pad + 2 * engine.window_margin, engine.window_margin,
-                rescue=engine.rescue,
-                rescue_min_frac=engine.rescue_min_frac,
-                gap_model=engine.gap_model, gap_open=cfg.gap_open,
-                gap_extend=cfg.gap_extend,
-            )
-            positions = np.asarray(positions)
-            codes = np.asarray(codes)
-            mapped = np.asarray(mapped)
-            flipped = np.asarray(flipped)
-            for b, read in enumerate(reads):
-                n = len(read)
-                qname = f"r{rid}"
-                rid += 1
-                stats["records"] += 1
-                cigar, start = positions_to_cigar(positions[b], n)
-                if not mapped[b] or start < 0:
-                    f.write(f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t"
-                            f"{read.decode()}\t*\n")
-                    continue
-                stats["mapped"] += 1
-                ci = int(np.searchsorted(offsets, start, "right")) - 1
-                local = start - int(offsets[ci])
-                seq = _CODE_TO_BASE[np.minimum(codes[b, :n], 4)].tobytes()
-                flag = 16 if flipped[b] else 0
-                f.write(
-                    f"{qname}\t{flag}\t{names[ci]}\t{local + 1}\t255\t"
-                    f"{cigar}\t*\t0\t0\t{seq.decode()}\t*\n"
-                )
-            if progress:
-                progress(f"  {stats['records']} records written")
-    return stats
+    eng = engine
+    if not eng.gapped:
+        eng = copy.copy(engine)  # keeps the prebuilt index/contig tables
+        eng.gapped = True
+    res = eng.process_file(fastq_path, progress=progress, sam_out=path)
+    return {"records": res.total_reads, "mapped": res.mapped_reads}

@@ -55,8 +55,21 @@ import os
 # Tuning knobs, overridable per device (tools/autotune.py finds the best):
 # reads per kernel block (one vreg of lanes beat 256/512 on v5e) and
 # diagonal steps per fori_loop iteration (4 beat 2/8/16 on v5e).
-B_BLK = int(os.environ.get("MPT_SW_BLOCK", 128))
-UNROLL = int(os.environ.get("MPT_SW_UNROLL", 4))
+def _env_int(name: str, default: int) -> int:
+    raw = os.environ.get(name)
+    if not raw:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(f"invalid {name}={raw!r}; using {default}")
+        return default
+
+
+B_BLK = _env_int("MPT_SW_BLOCK", 128)
+UNROLL = _env_int("MPT_SW_UNROLL", 4)
 
 
 def _sw_kernel_factory(unroll: int):

@@ -57,7 +57,8 @@ def main(argv=None) -> int:
                     sw_score_batch_pallas(a[:256], b[:256], b_blk=blk,
                                           unroll=unr)
                 )
-                assert (got == golden).all(), "WRONG RESULT"
+                if not (got == golden).all():
+                    raise ValueError("WRONG RESULT")
                 np.asarray(fn())  # warm the full-size shape
                 dt = min(
                     max((timed(fn, 7) - timed(fn, 2)) / 5, 1e-9)
@@ -73,7 +74,33 @@ def main(argv=None) -> int:
         print("no working configuration found")
         return 1
     g, blk, unr = best
-    print(f"\nbest: block={blk} unroll={unr} ({g:.1f} GCUPS)")
+    # the env knobs also retune the affine and vs-ref kernels (more scratch
+    # buffers, different lowerings): validate the winner there before
+    # recommending it globally
+    import os
+
+    os.environ["MPT_SW_BLOCK"] = str(blk)
+    os.environ["MPT_SW_UNROLL"] = str(unr)
+    import importlib
+
+    from mini_parallel_tpu.ops import sw_pallas
+
+    importlib.reload(sw_pallas)
+    try:
+        aff = np.asarray(sw_pallas.sw_affine_batch_pallas(a[:256], b[:256]))
+        ref_seq = jnp.asarray(arr_b[0, : args.read_len])
+        sw_pallas.sw_vs_ref_batch_pallas(a[:256], ref_seq)
+        want_aff = np.asarray(sw.sw_affine_batch(a[:256], b[:256]))
+        if not (aff == want_aff).all():
+            raise ValueError("affine kernel wrong under winning config")
+    except Exception as e:  # noqa: BLE001
+        print(f"\nbest: block={blk} unroll={unr} ({g:.1f} GCUPS) for the "
+              f"score kernel ONLY — affine/vs-ref failed under it: "
+              f"{str(e)[-120:]}")
+        print("pass b_blk=/unroll= per call instead of the env export")
+        return 0
+    print(f"\nbest: block={blk} unroll={unr} ({g:.1f} GCUPS; affine and "
+          f"vs-ref kernels validated)")
     print(f"export MPT_SW_BLOCK={blk} MPT_SW_UNROLL={unr}")
     return 0
 
