@@ -1,0 +1,93 @@
+"""Per-workload benchmark battery: one JSON line per engine.
+
+Complements bench.py (the driver's single headline metric) with end-to-end
+throughput for every workload on synthetic data, so cross-round perf
+regressions are visible per subsystem. Writes nothing; prints JSON lines.
+
+Usage: python bench_workloads.py [--reads 100000] [--ref 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def _make_fixtures(tmp: str, n_reads: int, ref_len: int):
+    rng = np.random.default_rng(0)
+    alpha = np.array(list("ACGT"))
+    ref = "".join(rng.choice(alpha, size=ref_len))
+    lane = os.path.join(tmp, "lane.fastq.gz")
+    with gzip.open(lane, "wt", compresslevel=1) as f:
+        for i in range(n_reads):
+            f.write(f"@r{i}\n{''.join(rng.choice(alpha, size=150))}\n+\nI\n")
+    mapped = os.path.join(tmp, "mapped.fastq.gz")
+    with gzip.open(mapped, "wt", compresslevel=1) as f:
+        for i in range(n_reads):
+            s = int(rng.integers(0, ref_len - 150))
+            f.write(f"@m{i}\n{ref[s:s+150]}\n+\nI\n")
+    return ref.encode(), lane, mapped
+
+
+def _emit(name: str, unit_count: int, seconds: float, extra=None):
+    print(json.dumps({
+        "metric": name,
+        "value": round(unit_count / seconds, 1),
+        "unit": "reads_per_s",
+        "seconds": round(seconds, 3),
+        **({"extra": extra} if extra else {}),
+    }))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=100_000)
+    ap.add_argument("--ref", type=int, default=100_000, dest="ref_len")
+    args = ap.parse_args()
+
+    from mini_parallel_tpu.device import enable_compile_cache
+
+    enable_compile_cache()
+    from mini_parallel_tpu.models.alignment import AlignmentEngine
+    from mini_parallel_tpu.models.complementarity import ComplementarityEngine
+    from mini_parallel_tpu.models.kmer_model import KmerEngine
+    from mini_parallel_tpu.models.variant_prep import VariantPrepEngine
+    from mini_parallel_tpu.utils.config import Config
+
+    cfg = Config(chunk_size_reads=10_000)
+    with tempfile.TemporaryDirectory() as tmp:
+        ref, lane, mapped = _make_fixtures(tmp, args.reads, args.ref_len)
+
+        def best(run, n=2):
+            r = None
+            for _ in range(n):
+                r = run()
+            return r
+
+        for mode in ("kadane", "sw"):
+            r = best(lambda m=mode: AlignmentEngine(cfg, mode=m)
+                     .self_align_file(lane))
+            _emit(f"self_align_{mode}", r.total_reads, r.seconds)
+        r = best(lambda: ComplementarityEngine(cfg)
+                 .analyze_lane_pair(lane, lane))
+        _emit("complementarity_pairs", r.pairs, r.seconds)
+        r = best(lambda: KmerEngine(cfg).count_file(lane))
+        _emit("kmer_k21_worst_case", r.total_reads, r.seconds,
+              extra={"distinct": r.distinct_kmers})
+        r = best(lambda: VariantPrepEngine(ref, cfg).process_file(mapped))
+        _emit("variant_prep_ungapped", r.total_reads, r.seconds,
+              extra={"mapping_rate": round(r.mapping_rate, 4)})
+        gcfg = Config(chunk_size_reads=2_000)
+        r = best(lambda: VariantPrepEngine(ref, gcfg, gapped=True)
+                 .process_file(mapped))
+        _emit("variant_prep_gapped", r.total_reads, r.seconds)
+
+
+if __name__ == "__main__":
+    main()
