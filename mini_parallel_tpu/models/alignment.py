@@ -472,10 +472,32 @@ class AlignmentEngine:
         progress=None,
         on_chunk=None,
         device_batch_chunks: int = 8,
+        resume=None,
+        checkpoint_every: int = 0,
+        on_checkpoint=None,
     ) -> FileResult:
         """--full-wgs per-file loop: chunked self-alignment
-        (aligner.rs:262-295), batching several chunk-concats per device call."""
+        (aligner.rs:262-295), batching several chunk-concats per device call.
+
+        Chunk-level resume (beyond the reference, whose checkpoint granularity
+        was whole files, aligner.rs:23-32): ``resume`` is any object with
+        ``chunks_done/score/total_bases/total_reads`` — the first
+        ``chunks_done`` chunks are skipped and the partial totals seeded into
+        the result. ``checkpoint_every`` > 0 drains the deferred device scores
+        every N chunks and calls ``on_checkpoint(res)`` so the caller can
+        persist a mid-file resume point. Chunk scores are independent
+        (self-alignment, per-chunk sums), so skip+seed is bit-exact.
+        """
+        import jax
+
         res = FileResult(file_path=path)
+        start_chunk = 0
+        if resume is not None:
+            start_chunk = int(getattr(resume, "chunks_done", 0))
+            res.score = resume.score
+            res.total_bases = resume.total_bases
+            res.total_reads = resume.total_reads
+            res.chunks = start_chunk
         t0 = time.perf_counter()
         pending: list[bytes] = []
         # device-side score accumulation: each flush contributes one device
@@ -515,9 +537,23 @@ class AlignmentEngine:
                 deferred.append(fn(a, a, ln, ln).sum())
             pending.clear()
 
-        for chunk in fastq.iter_read_chunks(
+        def maybe_checkpoint():
+            if not (checkpoint_every and on_checkpoint):
+                return
+            if res.chunks % checkpoint_every:
+                return
+            flush()
+            if deferred:
+                res.score += sum(int(s) for s in jax.device_get(deferred))
+                deferred.clear()
+            res.seconds = time.perf_counter() - t0
+            on_checkpoint(res)
+
+        for idx, chunk in enumerate(fastq.iter_read_chunks(
             path, self.cfg.chunk_size_reads, progress=progress
-        ):
+        )):
+            if idx < start_chunk:  # resume: already scored in a prior run
+                continue
             res.total_reads += len(chunk)
             res.chunks += 1
             if self.mode in ("sw", "sw-affine"):
@@ -532,6 +568,7 @@ class AlignmentEngine:
                     deferred.append(self._packed_self_sum(self.mode, arr_a, la))
                     if on_chunk is not None:
                         on_chunk(res)
+                    maybe_checkpoint()
                     continue
                 arr_a, la = encode.pad_batch(
                     reads, pad_to=pad, pad_value=int(encode.PAD_A)
@@ -561,12 +598,11 @@ class AlignmentEngine:
                         flush()
             if on_chunk is not None:
                 on_chunk(res)
+            maybe_checkpoint()
         flush()
         # single drain: forces all queued device work and fetches every
         # batch's sum in one device_get (per-scalar np.asarray would pay a
         # host<->device round trip each)
-        import jax
-
         res.score += sum(int(s) for s in jax.device_get(deferred))
         res.seconds = time.perf_counter() - t0
         return res

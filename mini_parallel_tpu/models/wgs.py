@@ -32,6 +32,7 @@ def process_full_wgs_dataset(
     results_dir: str = "benchmark_results",
     echo=print,
     files: list[str] | None = None,
+    checkpoint_every_chunks: int = 50,
 ) -> list[FileResult]:
     cfg = cfg or engine.cfg
     files = files if files is not None else cfg.wgs_file_list()
@@ -83,7 +84,17 @@ def process_full_wgs_dataset(
                 )
             continue
 
-        echo(f"Processing file {i+1}/{total_files}: {short}")
+        # chunk-level resume (beyond the reference): a failed file restarts
+        # from its last checkpointed chunk, not from read 0
+        partial = state.get_file(i)
+        if partial is not None and partial.chunks_done > 0:
+            echo(
+                f"Resuming file {i+1}/{total_files} from chunk "
+                f"{partial.chunks_done} ({partial.total_reads} reads done): {short}"
+            )
+        else:
+            partial = None
+            echo(f"Processing file {i+1}/{total_files}: {short}")
         t0 = time.perf_counter()
 
         def on_chunk(res: FileResult, _i=i):
@@ -92,21 +103,38 @@ def process_full_wgs_dataset(
                     f"    Processed {res.chunks} chunks ({res.total_reads} reads), "
                     f"current score: {res.score}"
                 )
-                f, r, b, s = state.totals()
+                f, r, b, s = state.totals(exclude_index=_i)
                 tracker.update(f, r + res.total_reads, b + res.total_bases,
                                s + res.score)
 
-        try:
-            res = engine.self_align_file(path, progress=echo, on_chunk=on_chunk)
-        except Exception as e:  # aligner.rs:318-337: save partial, abort run
-            elapsed_ms = (time.perf_counter() - t0) * 1000
+        def on_checkpoint(res: FileResult, _i=i, _path=path):
             state.add_file_result(
                 FileCheckpoint(
-                    file_path=path, file_index=i, score=0,
-                    processing_time_ms=elapsed_ms, total_bases=0, total_reads=0,
-                    completed=False,
+                    file_path=_path, file_index=_i, score=res.score,
+                    processing_time_ms=res.seconds * 1000.0,
+                    total_bases=res.total_bases, total_reads=res.total_reads,
+                    completed=False, chunks_done=res.chunks,
                 )
             )
+
+        try:
+            res = engine.self_align_file(
+                path, progress=echo, on_chunk=on_chunk, resume=partial,
+                checkpoint_every=checkpoint_every_chunks,
+                on_checkpoint=on_checkpoint,
+            )
+        except Exception as e:  # aligner.rs:318-337: save partial, abort run
+            # keep any mid-file checkpoint (resume point); only write a
+            # zero partial when none exists yet
+            if state.get_file(i) is None:
+                elapsed_ms = (time.perf_counter() - t0) * 1000
+                state.add_file_result(
+                    FileCheckpoint(
+                        file_path=path, file_index=i, score=0,
+                        processing_time_ms=elapsed_ms, total_bases=0,
+                        total_reads=0, completed=False,
+                    )
+                )
             raise RuntimeError(f"File {i+1} failed: {e}") from e
 
         echo(
@@ -118,7 +146,7 @@ def process_full_wgs_dataset(
                 file_path=path, file_index=i, score=res.score,
                 processing_time_ms=res.seconds * 1000.0,
                 total_bases=res.total_bases, total_reads=res.total_reads,
-                completed=True,
+                completed=True, chunks_done=res.chunks,
             )
         )
         results.append(res)

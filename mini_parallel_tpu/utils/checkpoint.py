@@ -26,7 +26,9 @@ from dataclasses import dataclass, field
 
 @dataclass
 class FileCheckpoint:
-    # field set mirrors FileCheckpoint, aligner.rs:23-32
+    # field set mirrors FileCheckpoint, aligner.rs:23-32, plus chunk-level
+    # resume (beyond the reference: a failed 52M-read file resumes from its
+    # last checkpointed chunk instead of restarting)
     file_path: str
     file_index: int
     score: int
@@ -34,6 +36,7 @@ class FileCheckpoint:
     total_bases: int
     total_reads: int
     completed: bool
+    chunks_done: int = 0
 
 
 @dataclass
@@ -93,13 +96,18 @@ class CheckpointState:
                 return f
         return None
 
-    def totals(self) -> tuple[int, int, int, int]:
-        """(files, reads, bases, score) — fold at aligner.rs:342-344."""
+    def totals(self, exclude_index: int | None = None) -> tuple[int, int, int, int]:
+        """(files, reads, bases, score) — fold at aligner.rs:342-344.
+
+        ``exclude_index`` omits one file's record — used while that file is
+        live so its in-flight partials aren't counted twice (once from its
+        mid-file checkpoint, once from the live FileResult)."""
+        fs = [f for f in self.files if f.file_index != exclude_index]
         return (
-            len(self.files),
-            sum(f.total_reads for f in self.files),
-            sum(f.total_bases for f in self.files),
-            sum(f.score for f in self.files),
+            len(fs),
+            sum(f.total_reads for f in fs),
+            sum(f.total_bases for f in fs),
+            sum(f.score for f in fs),
         )
 
 

@@ -124,6 +124,69 @@ def test_full_wgs_with_checkpoint_resume(tmp_path, rng, cfg, monkeypatch):
     assert legacy[-1]["total_score"] == 8
 
 
+def test_self_align_file_chunk_resume_bit_exact(tmp_path, rng, cfg):
+    # 20 reads / chunk 5 -> 4 chunks of 1500 bases each
+    reads = [random_dna(rng, 300) for _ in range(20)]
+    path = make_lane(tmp_path, "resume.fastq.gz", reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+    clean = eng.self_align_file(path)
+
+    # capture a mid-file checkpoint every chunk, resume from chunk 2
+    import copy
+
+    snaps = []
+    eng.self_align_file(path, checkpoint_every=1,
+                        on_checkpoint=lambda r: snaps.append(copy.copy(r)))
+    assert [s.chunks for s in snaps] == [1, 2, 3, 4]
+    mid = snaps[1]
+    mid.chunks_done = mid.chunks  # FileCheckpoint-shaped resume point
+    resumed = eng.self_align_file(path, resume=mid)
+    assert resumed.score == clean.score
+    assert resumed.total_reads == clean.total_reads == 20
+    assert resumed.total_bases == clean.total_bases == 6000
+    assert resumed.chunks == clean.chunks == 4
+
+
+def test_full_wgs_mid_file_failure_resumes_from_chunk(tmp_path, cfg, rng,
+                                                      monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    reads = [random_dna(rng, 300) for _ in range(20)]  # 4 chunks per file
+    for lane in (1, 2):
+        make_lane(tmp_path, f"TEST_L{lane:03d}_R1_001.fastq.gz", reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+
+    real_iter = fastq.iter_read_chunks
+
+    def dying_iter(path, chunk_size, progress=None):
+        for i, chunk in enumerate(real_iter(path, chunk_size, progress=progress)):
+            if i == 3:  # die mid-file, after the chunk-2 checkpoint
+                raise RuntimeError("injected disk error")
+            yield chunk
+
+    monkeypatch.setattr(fastq, "iter_read_chunks", dying_iter)
+    with pytest.raises(RuntimeError, match="File 1 failed"):
+        process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
+                                 echo=lambda *_: None,
+                                 checkpoint_every_chunks=2)
+    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(), "kadane")
+    state = CheckpointState.load(run_id, str(tmp_path))
+    partial = state.get_file(0)
+    assert partial is not None and not partial.completed
+    assert partial.chunks_done == 2 and partial.total_reads == 10
+    assert partial.score == 4  # 2 per scored chunk
+
+    monkeypatch.setattr(fastq, "iter_read_chunks", real_iter)
+    out = []
+    results = process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
+                                       echo=out.append,
+                                       checkpoint_every_chunks=2)
+    assert any("Resuming file 1/2 from chunk 2" in line for line in out)
+    assert [r.score for r in results] == [8, 8]  # bit-exact vs clean run
+    assert all(r.total_reads == 20 for r in results)
+    state = CheckpointState.load(run_id, str(tmp_path))
+    assert state.completed_files == 2
+
+
 def test_full_wgs_failure_saves_partial_checkpoint(tmp_path, cfg, rng, monkeypatch):
     monkeypatch.chdir(tmp_path)
     make_lane(tmp_path, "TEST_L001_R1_001.fastq.gz", [random_dna(rng, 300)] * 10)
