@@ -147,6 +147,30 @@ def test_self_align_file_chunk_resume_bit_exact(tmp_path, rng, cfg):
     assert resumed.chunks == clean.chunks == 4
 
 
+@pytest.mark.parametrize("mode,packed", [("sw", True), ("sw", False),
+                                         ("sw-affine", True)])
+def test_self_align_file_chunk_resume_sw_modes(tmp_path, rng, cfg, mode, packed):
+    import copy
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, packed_transfer=packed)
+    reads = [random_dna(rng, 64) for _ in range(20)]
+    path = make_lane(tmp_path, "resume_sw.fastq.gz", reads)
+    eng = AlignmentEngine(cfg, mode=mode)
+    clean = eng.self_align_file(path)
+
+    snaps = []
+    eng.self_align_file(path, checkpoint_every=1,
+                        on_checkpoint=lambda r: snaps.append(copy.copy(r)))
+    assert [s.chunks for s in snaps] == [1, 2, 3, 4]
+    mid = snaps[2]
+    mid.chunks_done = mid.chunks
+    assert mid.score == sum(2 * len(r) for r in reads[:15])  # drained partials
+    resumed = eng.self_align_file(path, resume=mid)
+    assert resumed.score == clean.score == sum(2 * len(r) for r in reads)
+    assert resumed.total_reads == 20 and resumed.chunks == 4
+
+
 def test_full_wgs_mid_file_failure_resumes_from_chunk(tmp_path, cfg, rng,
                                                       monkeypatch):
     monkeypatch.chdir(tmp_path)
