@@ -81,6 +81,7 @@ class FileResult:
     total_reads: int = 0
     chunks: int = 0
     seconds: float = 0.0
+    failed_chunks: int = 0  # skipped per aligner.rs:284-287 semantics
 
 
 @dataclass
@@ -506,36 +507,53 @@ class AlignmentEngine:
         # aligner.rs:527 — its utilization killer)
         deferred: list = []
 
-        def flush():
-            if not pending:
-                return
+        def dispatch(batch: list[bytes]):
+            """Queue one device call scoring a batch of chunk-concats;
+            returns the deferred per-batch score sum."""
             # pad the *batch* to a fixed row count too: variable last-batch
             # shapes would each trigger a fresh XLA compile
-            while len(pending) < device_batch_chunks:
-                pending.append(b"")
-            pad = _bucket(max(len(c) for c in pending))
-            check_device_budget(len(pending) * pad)
+            batch = batch + [b""] * (device_batch_chunks - len(batch))
+            pad = _bucket(max(len(c) for c in batch))
+            check_device_budget(len(batch) * pad)
             arr, lens = encode.pad_batch(
-                pending, pad_to=pad, pad_value=int(encode.PAD_A)
+                batch, pad_to=pad, pad_value=int(encode.PAD_A)
             )
             kind = "contiguous" if self.mode == "contiguous" else "kadane"
             if self.cfg.packed_transfer and pad % 4 == 0:
-                deferred.append(self._packed_self_sum(kind, arr, lens))
-            elif self.mesh is not None:
-                deferred.append(
-                    self._score_sharded_sum(kind, arr, arr, lens, lens,
-                                            defer=True)
-                )
-            else:
-                a = jnp.asarray(arr)
-                ln = jnp.asarray(lens)
-                fn = (
-                    kadane.kadane_contiguous_batch
-                    if kind == "contiguous"
-                    else kadane.kadane_score_batch
-                )
-                deferred.append(fn(a, a, ln, ln).sum())
-            pending.clear()
+                return self._packed_self_sum(kind, arr, lens)
+            if self.mesh is not None:
+                return self._score_sharded_sum(kind, arr, arr, lens, lens,
+                                               defer=True)
+            a = jnp.asarray(arr)
+            ln = jnp.asarray(lens)
+            fn = (
+                kadane.kadane_contiguous_batch
+                if kind == "contiguous"
+                else kadane.kadane_score_batch
+            )
+            return fn(a, a, ln, ln).sum()
+
+        def skip_failed(e: Exception):
+            # reference semantics (aligner.rs:284-287): log the per-chunk
+            # failure and keep going — the chunk scores 0
+            res.failed_chunks += 1
+            if progress is not None:
+                progress(f"    Alignment failed for chunk: {e}")
+
+        def flush():
+            if not pending:
+                return
+            batch, pending[:] = list(pending), []
+            try:
+                deferred.append(dispatch(batch))
+            except Exception:
+                # batch failed (e.g. one oversized chunk blew the device
+                # budget): retry chunk-by-chunk so only the bad ones skip
+                for c in batch:
+                    try:
+                        deferred.append(dispatch([c]))
+                    except Exception as e1:
+                        skip_failed(e1)
 
         def maybe_checkpoint():
             if not (checkpoint_every and on_checkpoint):
@@ -561,32 +579,33 @@ class AlignmentEngine:
                 res.total_bases += sum(len(r) for r in reads)
                 pad = _bucket(max((len(r) for r in reads), default=1),
                               floor=self.cfg.read_pad)
-                if self.cfg.packed_transfer and pad % 4 == 0:
-                    arr_a, la = encode.pad_batch(
-                        reads, pad_to=pad, pad_value=int(encode.PAD_A)
-                    )
-                    deferred.append(self._packed_self_sum(self.mode, arr_a, la))
-                    if on_chunk is not None:
-                        on_chunk(res)
-                    maybe_checkpoint()
-                    continue
-                arr_a, la = encode.pad_batch(
-                    reads, pad_to=pad, pad_value=int(encode.PAD_A)
-                )
-                arr_b, lb = encode.pad_batch(
-                    reads, pad_to=pad, pad_value=int(encode.PAD_B)
-                )
-                if self.mesh is not None:
-                    deferred.append(
-                        self._score_sharded_sum(self.mode, arr_a, arr_b, la, lb,
-                                                defer=True)
-                    )
-                else:
-                    a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
-                    if self.mode == "sw":
-                        deferred.append(sw_score_batch_best(a, b).sum())
+                try:
+                    if self.cfg.packed_transfer and pad % 4 == 0:
+                        arr_a, la = encode.pad_batch(
+                            reads, pad_to=pad, pad_value=int(encode.PAD_A)
+                        )
+                        deferred.append(
+                            self._packed_self_sum(self.mode, arr_a, la))
                     else:
-                        deferred.append(self._affine(a, b).sum())
+                        arr_a, la = encode.pad_batch(
+                            reads, pad_to=pad, pad_value=int(encode.PAD_A)
+                        )
+                        arr_b, lb = encode.pad_batch(
+                            reads, pad_to=pad, pad_value=int(encode.PAD_B)
+                        )
+                        if self.mesh is not None:
+                            deferred.append(
+                                self._score_sharded_sum(
+                                    self.mode, arr_a, arr_b, la, lb, defer=True)
+                            )
+                        else:
+                            a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
+                            if self.mode == "sw":
+                                deferred.append(sw_score_batch_best(a, b).sum())
+                            else:
+                                deferred.append(self._affine(a, b).sum())
+                except Exception as e:
+                    skip_failed(e)
             else:
                 concat = b"".join(chunk)
                 res.total_bases += len(concat)

@@ -141,6 +141,9 @@ def process_full_wgs_dataset(
             f"  File {i+1} complete: Score={res.score}, Bases={res.total_bases}, "
             f"Time: {res.seconds:.2f} s"
         )
+        if res.failed_chunks:  # aligner.rs:284-287: failures skip, not abort
+            echo(f"  WARNING: {res.failed_chunks} chunk(s) failed and were "
+                 f"skipped (scored 0)")
         state.add_file_result(
             FileCheckpoint(
                 file_path=path, file_index=i, score=res.score,

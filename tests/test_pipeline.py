@@ -272,6 +272,28 @@ def test_cli_no_args_prints_help(capsys):
     assert main([]) == 2
 
 
+def test_self_align_skips_failed_chunks(tmp_path, rng, cfg, monkeypatch):
+    # aligner.rs:284-287 parity: a chunk that blows the device budget is
+    # logged and skipped (scores 0); the rest of the file still scores.
+    from mini_parallel_tpu.utils import system_info
+
+    reads = [random_dna(rng, 300) for _ in range(15)]           # 3 good chunks
+    monster_chunk = [random_dna(rng, 300_000)] + [random_dna(rng, 300)] * 4
+    path = make_lane(tmp_path, "oversize.fastq.gz", reads + monster_chunk)
+
+    info = system_info.SystemInfo(hbm_bytes_limit=3 * 1024 * 1024)
+    monkeypatch.setattr(
+        "mini_parallel_tpu.utils.system_info.get_system_info", lambda: info
+    )
+    eng = AlignmentEngine(cfg, mode="kadane")
+    logs = []
+    res = eng.self_align_file(path, progress=logs.append)
+    assert res.failed_chunks == 1
+    assert res.score == 6  # 2 per good chunk; monster chunk scored 0
+    assert res.chunks == 4 and res.total_reads == 20
+    assert any("Alignment failed for chunk" in line for line in logs)
+
+
 def test_device_memory_guard(monkeypatch):
     # mirror of aligner.rs:436-456: oversized launches error descriptively
     from mini_parallel_tpu.models import alignment
