@@ -52,7 +52,17 @@ class SystemMonitors:
 
     def start(self) -> str:
         self.run_dir = _next_run_dir(self.log_base)
-        for name, argv in MONITOR_CMDS.items():
+        cmds = dict(MONITOR_CMDS)
+        # perf record -g -p <pid>, the reference's 5th monitor
+        # (perf_logger.rs:152-156). SIGTERM on stop() makes perf flush
+        # perf.data; absence/unprivileged perf just logs and moves on.
+        # MPT_PERF_RECORD=0 disables it (it samples this very process).
+        if os.environ.get("MPT_PERF_RECORD", "1") != "0":
+            cmds["perf_record"] = [
+                "perf", "record", "-g", "-p", str(os.getpid()),
+                "-o", os.path.join(self.run_dir, "perf.data"),
+            ]
+        for name, argv in cmds.items():
             log = open(os.path.join(self.run_dir, f"{name}.log"), "w")
             try:
                 self._procs[name] = subprocess.Popen(

@@ -18,6 +18,21 @@ def test_monitors_start_stop(tmp_path):
     assert mon._procs == {}
 
 
+def test_perf_record_monitor_spawned_and_optional(tmp_path, monkeypatch):
+    # perf record is attempted by default (perf_logger.rs:152-156) and its
+    # absence is logged gracefully; MPT_PERF_RECORD=0 disables the attempt
+    m = SystemMonitors(log_base=str(tmp_path / "a"))
+    d = m.start()
+    m.stop()
+    assert os.path.exists(os.path.join(d, "perf_record.log"))
+
+    monkeypatch.setenv("MPT_PERF_RECORD", "0")
+    m2 = SystemMonitors(log_base=str(tmp_path / "b"))
+    d2 = m2.start()
+    m2.stop()
+    assert not os.path.exists(os.path.join(d2, "perf_record.log"))
+
+
 def test_run_dirs_increment(tmp_path):
     base = str(tmp_path / "logs")
     m1 = SystemMonitors(log_base=base)
