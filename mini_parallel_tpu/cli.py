@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k for --kmer (default 21)")
     p.add_argument("--canonical", action="store_true",
                    help="fold k-mers with their reverse complements")
+    p.add_argument("--kmer-checkpoint", metavar="NPZ", default=None,
+                   help="crash-resumable --kmer runs: snapshot merged counts "
+                   "to this .npz and resume from it if it exists")
+    p.add_argument("--kmer-checkpoint-every", type=int, default=200,
+                   metavar="N", help="chunks between --kmer-checkpoint "
+                   "snapshots (default 200)")
     p.add_argument("--complementarity", action="store_true",
                    help="direct+complementary mate-pair analysis of -1/-2 "
                    "lane files (%% non-complementary metric)")
@@ -259,7 +265,11 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         eng = KmerEngine(cfg, k=args.kmer_size, canonical=args.canonical,
                          mesh=mesh)
         try:
-            res = eng.count_file(args.kmer, progress=echo)
+            res = eng.count_file(
+                args.kmer, progress=echo,
+                checkpoint_path=args.kmer_checkpoint,
+                checkpoint_every=args.kmer_checkpoint_every,
+            )
         except (OSError, IOError) as e:
             echo(f"ERROR: {e}")
             return 1

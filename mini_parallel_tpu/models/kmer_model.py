@@ -71,6 +71,53 @@ def _fetch_bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
+_EMPTY_ARRAYS = (np.empty(0, np.int32), np.empty(0, np.int32),
+                 np.empty(0, np.int64))
+
+
+def merge_sorted_arrays(a: tuple, b: tuple) -> tuple:
+    """Merge two (hi, lo, count) triples into one sorted, deduplicated triple
+    (int64 counts). Host-side; used by the checkpoint base fold."""
+    hi = np.concatenate([a[0], b[0]])
+    lo = np.concatenate([a[1], b[1]])
+    ct = np.concatenate([a[2].astype(np.int64), b[2].astype(np.int64)])
+    if hi.size == 0:
+        return _EMPTY_ARRAYS
+    order = np.lexsort((lo, hi))
+    hi, lo, ct = hi[order], lo[order], ct[order]
+    new = np.empty(hi.size, bool)
+    new[0] = True
+    new[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    idx = np.flatnonzero(new)
+    return hi[idx], lo[idx], np.add.reduceat(ct, idx)
+
+
+def save_kmer_checkpoint(path: str, arrays: tuple, meta: dict) -> None:
+    """Atomic .npz snapshot: the merged counts so far + resume metadata."""
+    import json
+
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, hi=arrays[0], lo=arrays[1], ct=arrays[2],
+             meta=np.array(json.dumps(meta)))
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_kmer_checkpoint(path: str):
+    """-> ((hi, lo, ct), meta) or None when no checkpoint exists."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        arrays = (z["hi"].astype(np.int32), z["lo"].astype(np.int32),
+                  z["ct"].astype(np.int64))
+        meta = json.loads(str(z["meta"]))
+    return arrays, meta
+
+
 class KmerEngine:
     def __init__(self, cfg: Config | None = None, k: int = kmer.DEFAULT_K,
                  canonical: bool = False, mesh=None,
@@ -208,9 +255,59 @@ class KmerEngine:
         return (self.device_accumulate and self.mesh is None
                 and self.cfg.packed_transfer)
 
-    def _count_file_device(self, path: str, res: KmerResult, progress) -> None:
+    def _checkpoint_meta(self, path: str, res: KmerResult,
+                         chunks_done: int) -> dict:
+        return {
+            "file_path": path, "k": self.k, "canonical": self.canonical,
+            "chunk_size_reads": self.cfg.chunk_size_reads,
+            "chunks_done": chunks_done, "total_reads": res.total_reads,
+            "total_kmers": res.total_kmers,
+        }
+
+    @staticmethod
+    def _agg_arrays(agg) -> tuple:
+        """(hi, lo, ct) triple of a host store's current contents."""
+        if isinstance(agg, dict):
+            hi = np.fromiter((k[0] for k in agg), np.int32, len(agg))
+            lo = np.fromiter((k[1] for k in agg), np.int32, len(agg))
+            ct = np.fromiter(agg.values(), np.int64, len(agg))
+            return hi, lo, ct
+        return agg.items_arrays()
+
+    def _load_resume(self, checkpoint_path: str | None, res: KmerResult):
+        """-> (base arrays, start_chunk); validates the checkpoint matches
+        this engine's parameters (resuming with a different k / canonical /
+        chunk size would silently corrupt counts)."""
+        base, start_chunk = _EMPTY_ARRAYS, 0
+        if not checkpoint_path:
+            return base, start_chunk
+        loaded = load_kmer_checkpoint(checkpoint_path)
+        if loaded is None:
+            return base, start_chunk
+        base, meta = loaded
+        for key, val in (("k", self.k), ("canonical", self.canonical),
+                         ("chunk_size_reads", self.cfg.chunk_size_reads)):
+            if meta.get(key) != val:
+                raise ValueError(
+                    f"k-mer checkpoint {checkpoint_path} has {key}="
+                    f"{meta.get(key)!r} but the engine uses {key}={val!r}"
+                )
+        start_chunk = int(meta["chunks_done"])
+        res.total_reads = int(meta["total_reads"])
+        res.total_kmers = int(meta["total_kmers"])
+        return base, start_chunk
+
+    def _count_file_device(self, path: str, res: KmerResult, progress,
+                           start_chunk: int = 0, base: tuple = _EMPTY_ARRAYS,
+                           checkpoint_path: str | None = None,
+                           checkpoint_every: int = 0) -> None:
         """Single-device path: the aggregate lives in HBM; per-batch D2H is
-        one deferred scalar (the batch k-mer total)."""
+        one deferred scalar (the batch k-mer total).
+
+        Checkpointing folds the accumulator into a host-side ``base`` triple
+        every N chunks and restarts the accumulator; the final result is
+        merge(base, final drain). Chunk contributions are independent, so
+        skip+seed resume is exact."""
         import jax
 
         cap = self.device_capacity
@@ -221,7 +318,11 @@ class KmerEngine:
         )
         totals: list = []
         chunk_size = self.cfg.chunk_size_reads
-        for chunk in fastq.iter_read_chunks(path, chunk_size, progress=progress):
+        for idx, chunk in enumerate(
+            fastq.iter_read_chunks(path, chunk_size, progress=progress)
+        ):
+            if idx < start_chunk:  # resume: counted in a prior run
+                continue
             reads = [bytes(r) for r in chunk]
             res.total_reads += len(reads)
             while len(reads) < chunk_size:  # fixed slot count: no re-flush
@@ -238,32 +339,60 @@ class KmerEngine:
             )
             acc.add(hi, lo, ct)
             totals.append(ct.sum())
-        res.total_kmers = sum(int(t) for t in jax.device_get(totals))
-        hi, lo, ct = acc.drain()
+            if (checkpoint_path and checkpoint_every
+                    and (idx + 1) % checkpoint_every == 0):
+                res.total_kmers += sum(int(t) for t in jax.device_get(totals))
+                totals.clear()
+                base = merge_sorted_arrays(base, acc.drain())
+                acc = kmer.DeviceKmerAccumulator(  # fresh: drain() folded the
+                    capacity=cap, spill_store=self.make_store()  # old spill
+                )
+                save_kmer_checkpoint(
+                    checkpoint_path, base,
+                    self._checkpoint_meta(path, res, idx + 1),
+                )
+        res.total_kmers += sum(int(t) for t in jax.device_get(totals))
+        hi, lo, ct = merge_sorted_arrays(base, acc.drain())
         res.arrays = (hi, lo, ct)
         res.distinct_kmers = int(hi.size)
 
-    def count_file(self, path: str, progress=None) -> KmerResult:
+    def count_file(self, path: str, progress=None,
+                   checkpoint_path: str | None = None,
+                   checkpoint_every: int = 0) -> KmerResult:
+        """Count one FASTQ lane. ``checkpoint_path`` + ``checkpoint_every``
+        enable crash-resumable counting (beyond the reference, which had no
+        k-mer implementation at all): an .npz snapshot of the merged counts
+        is written every N chunks, and a rerun resumes from it exactly."""
         res = KmerResult(file_path=path, k=self.k, canonical=self.canonical)
         t0 = time.perf_counter()
+        base, start_chunk = self._load_resume(checkpoint_path, res)
         if self._use_device_acc():
-            self._count_file_device(path, res, progress)
+            self._count_file_device(
+                path, res, progress, start_chunk=start_chunk, base=base,
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every,
+            )
             res.seconds = time.perf_counter() - t0
             return res
         agg = self.make_store()
-        for chunk in fastq.iter_read_chunks(
+        for idx, chunk in enumerate(fastq.iter_read_chunks(
             path, self.cfg.chunk_size_reads, progress=progress
-        ):
+        )):
+            if idx < start_chunk:  # resume: counted in a prior run
+                continue
             n_kmers, n_reads = self.count_reads_batch([bytes(r) for r in chunk], agg)
             res.total_kmers += n_kmers
             res.total_reads += n_reads
-        if isinstance(agg, dict):
-            hi = np.fromiter((k[0] for k in agg), np.int32, len(agg))
-            lo = np.fromiter((k[1] for k in agg), np.int32, len(agg))
-            ct = np.fromiter(agg.values(), np.uint64, len(agg))
-            res.arrays = (hi, lo, ct)
-        else:
-            res.arrays = agg.items_arrays()
-        res.distinct_kmers = len(agg)
+            if (checkpoint_path and checkpoint_every
+                    and (idx + 1) % checkpoint_every == 0):
+                base = merge_sorted_arrays(base, self._agg_arrays(agg))
+                agg = self.make_store()
+                save_kmer_checkpoint(
+                    checkpoint_path, base,
+                    self._checkpoint_meta(path, res, idx + 1),
+                )
+        hi, lo, ct = merge_sorted_arrays(base, self._agg_arrays(agg))
+        res.arrays = (hi, lo, ct)
+        res.distinct_kmers = int(hi.size)
         res.seconds = time.perf_counter() - t0
         return res

@@ -199,3 +199,90 @@ def test_kmer_engine_device_accumulate_spill_matches(tmp_path, rng):
     host = KmerEngine(cfg, k=21, device_accumulate=False).count_file(path)
     assert dev.counts == host.counts
     assert dev.total_kmers == host.total_kmers
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume (crash-resumable counting)
+# ---------------------------------------------------------------------------
+
+def test_merge_sorted_arrays_matches_counter(rng):
+    from collections import Counter
+
+    from mini_parallel_tpu.models.kmer_model import merge_sorted_arrays
+
+    def rand_triple(n):
+        hi = rng.integers(0, 50, n).astype(np.int32)
+        lo = rng.integers(0, 50, n).astype(np.int32)
+        ct = rng.integers(1, 9, n).astype(np.int64)
+        return hi, lo, ct
+
+    a, b = rand_triple(40), rand_triple(25)
+    hi, lo, ct = merge_sorted_arrays(a, b)
+    want = Counter()
+    for t in (a, b):
+        for h, l, c in zip(*t):
+            want[(int(h), int(l))] += int(c)
+    got = {(int(hi[i]), int(lo[i])): int(ct[i]) for i in range(hi.size)}
+    assert got == dict(want)
+    # sorted + deduplicated
+    keys = list(zip(hi.tolist(), lo.tolist()))
+    assert keys == sorted(set(keys))
+
+
+@pytest.mark.parametrize("device_acc", [True, False])
+def test_kmer_checkpoint_resume_exact(tmp_path, rng, device_acc):
+    reads = [random_dna(rng, 50) for _ in range(40)]  # 8 chunks of 5
+    path = str(tmp_path / "lane.fastq.gz")
+    fastq.write_fastq(path, reads)
+    cfg = Config(chunk_size_reads=5, read_pad=64)
+
+    clean = KmerEngine(cfg, k=21, device_accumulate=device_acc).count_file(path)
+
+    # first run dies after 5 chunks; snapshots every 2 chunks
+    ckpt = str(tmp_path / "kmer_ckpt.npz")
+    real_iter = fastq.iter_read_chunks
+
+    def dying_iter(p, n, progress=None):
+        for i, c in enumerate(real_iter(p, n, progress=progress)):
+            if i == 5:
+                raise RuntimeError("injected crash")
+            yield c
+
+    fastq.iter_read_chunks = dying_iter
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            KmerEngine(cfg, k=21, device_accumulate=device_acc).count_file(
+                path, checkpoint_path=ckpt, checkpoint_every=2)
+    finally:
+        fastq.iter_read_chunks = real_iter
+
+    from mini_parallel_tpu.models.kmer_model import load_kmer_checkpoint
+
+    arrays, meta = load_kmer_checkpoint(ckpt)
+    assert meta["chunks_done"] == 4 and meta["total_reads"] == 20
+
+    res = KmerEngine(cfg, k=21, device_accumulate=device_acc).count_file(
+        path, checkpoint_path=ckpt, checkpoint_every=2)
+    assert res.total_kmers == clean.total_kmers
+    assert res.total_reads == clean.total_reads == 40
+    assert res.distinct_kmers == clean.distinct_kmers
+    assert res.counts == clean.counts
+
+
+def test_kmer_checkpoint_param_mismatch_refuses(tmp_path, rng):
+    reads = [random_dna(rng, 40) for _ in range(10)]
+    path = str(tmp_path / "lane.fastq.gz")
+    fastq.write_fastq(path, reads)
+    ckpt = str(tmp_path / "c.npz")
+    cfg = Config(chunk_size_reads=5, read_pad=64)
+    KmerEngine(cfg, k=21).count_file(path, checkpoint_path=ckpt,
+                                     checkpoint_every=1)
+    with pytest.raises(ValueError, match="k=21"):
+        KmerEngine(cfg, k=15).count_file(path, checkpoint_path=ckpt,
+                                         checkpoint_every=1)
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, chunk_size_reads=7)
+    with pytest.raises(ValueError, match="chunk_size_reads"):
+        KmerEngine(cfg2, k=21).count_file(path, checkpoint_path=ckpt,
+                                          checkpoint_every=1)
