@@ -92,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exhaustive-SW rescue of seed-unmapped reads for "
                    "--variant-prep (full-sensitivity mapping; costs "
                    "O(reads x reference) DP on device)")
+    p.add_argument("--prep-checkpoint", metavar="NPZ", default=None,
+                   help="crash-resumable --variant-prep runs: snapshot the "
+                   "pileup to this .npz and resume from it if it exists "
+                   "(not with --sam-out)")
+    p.add_argument("--prep-checkpoint-every", type=int, default=200,
+                   metavar="N", help="chunks between --prep-checkpoint "
+                   "snapshots (default 200)")
     p.add_argument("--allow-cpu", action="store_true",
                    help="proceed without an accelerator (reference exits; "
                    "main.rs:76-79)")
@@ -239,7 +246,9 @@ def main(argv: list[str] | None = None, echo=print) -> int:
                                      min_base_quality=args.min_base_quality,
                                      gap_model=args.gap_model)
             res = veng.process_file(args.variant_prep, progress=echo,
-                                    sam_out=args.sam_out)
+                                    sam_out=args.sam_out,
+                                    checkpoint_path=args.prep_checkpoint,
+                                    checkpoint_every=args.prep_checkpoint_every)
         except (OSError, IOError, ValueError) as e:
             echo(f"ERROR: {e}")
             return 1

@@ -23,6 +23,7 @@ TPU-first:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -703,11 +704,66 @@ class VariantPrepEngine:
             )
         return pileup_acc, int(np.asarray(final_mapped).sum())
 
+    def _checkpoint_meta(self, res: VariantPrepResult, chunks_done: int) -> dict:
+        """Resume-safety fingerprint: resuming with a different reference,
+        scoring config, or chunk geometry would corrupt the pileup."""
+        return {
+            "reference_length": len(self.index.ref_codes),
+            "contigs": [(n, int(l)) for n, l in self.contig_table()],
+            "chunk_size_reads": self.cfg.chunk_size_reads,
+            "gapped": self.gapped, "gap_model": self.gap_model,
+            "rescue": self.rescue, "min_base_quality": self.min_base_quality,
+            "chunks_done": chunks_done, "total_reads": res.total_reads,
+            "mapped_reads": res.mapped_reads,
+        }
+
+    def _load_resume(self, checkpoint_path: str | None,
+                     res: VariantPrepResult):
+        import json
+
+        if not checkpoint_path or not os.path.exists(checkpoint_path):
+            return None, 0
+        with np.load(checkpoint_path) as z:
+            pileup = z["pileup"]
+            meta = json.loads(str(z["meta"]))
+        want = self._checkpoint_meta(res, 0)
+        for key in ("reference_length", "contigs", "chunk_size_reads",
+                    "gapped", "gap_model", "rescue", "min_base_quality"):
+            got = meta.get(key)
+            if key == "contigs":
+                got = [tuple(c) for c in (got or [])]
+            if got != want[key]:
+                raise ValueError(
+                    f"variant-prep checkpoint {checkpoint_path} has "
+                    f"{key}={got!r} but the engine uses {want[key]!r}"
+                )
+        res.total_reads = int(meta["total_reads"])
+        res.mapped_reads = int(meta["mapped_reads"])
+        return pileup, int(meta["chunks_done"])
+
+    @staticmethod
+    def _save_checkpoint(checkpoint_path: str, pileup: np.ndarray,
+                         meta: dict) -> None:
+        import json
+
+        tmp = checkpoint_path + ".tmp.npz"
+        np.savez_compressed(tmp, pileup=pileup,
+                            meta=np.array(json.dumps(meta)))
+        os.replace(tmp, checkpoint_path)
+
     def process_file(self, path: str, progress=None,
-                     sam_out: str | None = None) -> VariantPrepResult:
+                     sam_out: str | None = None,
+                     checkpoint_path: str | None = None,
+                     checkpoint_every: int = 0) -> VariantPrepResult:
         """Map + pileup a FASTQ. ``sam_out`` additionally writes SAM 1.6
         records from the SAME mapping pass (requires gapped=True and the
-        packed path; no second pass over the data)."""
+        packed path; no second pass over the data).
+
+        ``checkpoint_path`` + ``checkpoint_every`` make the run
+        crash-resumable: the pileup and read counters snapshot to a
+        compressed .npz every N chunks, and a rerun resumes from the last
+        snapshot exactly (batch pileups are additive and independent).
+        """
         if sam_out is not None:
             if not self.gapped:
                 raise ValueError("sam_out requires gapped=True (SAM CIGARs "
@@ -715,11 +771,17 @@ class VariantPrepEngine:
             if self.min_base_quality > 0:
                 raise ValueError("sam_out with min_base_quality is not "
                                  "supported yet")
+            if checkpoint_path is not None:
+                raise ValueError("checkpointing with sam_out is not "
+                                 "supported (SAM resume would need file "
+                                 "truncation to the last complete batch)")
             return self._process_file_sam(path, sam_out, progress)
         t0 = time.perf_counter()
         G = len(self.index.ref_codes)
-        pileup = jnp.zeros((G, 7), jnp.int32)
         res = VariantPrepResult(reference_length=G)
+        saved_pileup, start_chunk = self._load_resume(checkpoint_path, res)
+        pileup = (jnp.asarray(saved_pileup) if saved_pileup is not None
+                  else jnp.zeros((G, 7), jnp.int32))
         deferred: list = []  # device scalars from the fused ungapped path
         if self.min_base_quality > 0:
             batches = fastq.iter_read_chunks_with_quals(
@@ -730,7 +792,9 @@ class VariantPrepEngine:
                 (chunk, None)
                 for chunk in fastq.iter_read_chunks(path, self.cfg.chunk_size_reads)
             )
-        for chunk, quals in batches:
+        for idx, (chunk, quals) in enumerate(batches):
+            if idx < start_chunk:  # resume: already in the saved pileup
+                continue
             reads = [bytes(r) for r in chunk]
             pileup, n_mapped = self.process_reads_batch(reads, pileup, quals)
             res.total_reads += len(reads)
@@ -738,6 +802,14 @@ class VariantPrepEngine:
                 res.mapped_reads += n_mapped
             else:
                 deferred.append(n_mapped)
+            if (checkpoint_path and checkpoint_every
+                    and (idx + 1) % checkpoint_every == 0):
+                res.mapped_reads += sum(int(v) for v in jax.device_get(deferred))
+                deferred.clear()
+                self._save_checkpoint(
+                    checkpoint_path, np.asarray(pileup),
+                    self._checkpoint_meta(res, idx + 1),
+                )
             if progress:
                 shown = (
                     f"{res.mapped_reads} mapped" if not deferred

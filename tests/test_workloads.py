@@ -513,3 +513,75 @@ def test_write_sam_end_to_end(tmp_path):
         else:
             assert cols[5] == "90M", line
         assert len(cols[9]) == (87 if has_del else 90)
+
+
+# ----------------------------------------------------- prep checkpoint/resume
+
+@pytest.mark.parametrize("gapped", [False, True])
+def test_variant_prep_checkpoint_resume_exact(tmp_path, rng, cfg,
+                                              ref_and_reads, gapped):
+    ref, reads = ref_and_reads
+    path = str(tmp_path / "reads.fastq.gz")
+    fastq.write_fastq(path, [r for _, r in reads])  # 30 reads / chunk 16
+    ckpt = str(tmp_path / "prep.npz")
+
+    clean = VariantPrepEngine(ref, cfg, gapped=gapped).process_file(path)
+
+    # first run dies after chunk 1's snapshot
+    real_iter = fastq.iter_read_chunks
+
+    def dying_iter(p, n, progress=None):
+        for i, c in enumerate(real_iter(p, n, progress=progress)):
+            if i == 1:
+                raise RuntimeError("injected crash")
+            yield c
+
+    fastq.iter_read_chunks = dying_iter
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            VariantPrepEngine(ref, cfg, gapped=gapped).process_file(
+                path, checkpoint_path=ckpt, checkpoint_every=1)
+    finally:
+        fastq.iter_read_chunks = real_iter
+
+    import json
+
+    with np.load(ckpt) as z:
+        meta = json.loads(str(z["meta"]))
+    assert meta["chunks_done"] == 1 and meta["total_reads"] == 16
+
+    res = VariantPrepEngine(ref, cfg, gapped=gapped).process_file(
+        path, checkpoint_path=ckpt, checkpoint_every=1)
+    assert res.total_reads == clean.total_reads == 30
+    assert res.mapped_reads == clean.mapped_reads
+    assert (res.pileup == clean.pileup).all()
+    assert [
+        (c.contig, c.pos, c.ref_base, c.alt_base) for c in res.candidates
+    ] == [(c.contig, c.pos, c.ref_base, c.alt_base) for c in clean.candidates]
+
+
+def test_variant_prep_checkpoint_mismatch_refuses(tmp_path, rng, cfg,
+                                                  ref_and_reads):
+    ref, reads = ref_and_reads
+    path = str(tmp_path / "reads.fastq.gz")
+    fastq.write_fastq(path, [r for _, r in reads])
+    ckpt = str(tmp_path / "prep.npz")
+    VariantPrepEngine(ref, cfg).process_file(path, checkpoint_path=ckpt,
+                                             checkpoint_every=1)
+    with pytest.raises(ValueError, match="gapped"):
+        VariantPrepEngine(ref, cfg, gapped=True).process_file(
+            path, checkpoint_path=ckpt, checkpoint_every=1)
+    with pytest.raises(ValueError, match="reference_length"):
+        VariantPrepEngine(ref + b"ACGT" * 10, cfg).process_file(
+            path, checkpoint_path=ckpt, checkpoint_every=1)
+
+
+def test_variant_prep_checkpoint_with_sam_out_refused(tmp_path, cfg,
+                                                      ref_and_reads):
+    ref, reads = ref_and_reads
+    path = str(tmp_path / "reads.fastq.gz")
+    fastq.write_fastq(path, [r for _, r in reads])
+    with pytest.raises(ValueError, match="checkpointing with sam_out"):
+        VariantPrepEngine(ref, cfg, gapped=True).process_file(
+            path, sam_out=str(tmp_path / "o.sam"),
+            checkpoint_path=str(tmp_path / "c.npz"), checkpoint_every=1)
