@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prep-checkpoint-every", type=int, default=200,
                    metavar="N", help="chunks between --prep-checkpoint "
                    "snapshots (default 200)")
+    p.add_argument("--retries", type=int, default=0, metavar="N",
+                   help="--full-wgs: retry a failed file up to N times, "
+                   "resuming from its last chunk checkpoint (0 = abort on "
+                   "failure, the reference's semantics)")
     p.add_argument("--allow-cpu", action="store_true",
                    help="proceed without an accelerator (reference exits; "
                    "main.rs:76-79)")
@@ -173,7 +177,8 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             else:
                 from mini_parallel_tpu.models.wgs import process_full_wgs_dataset
 
-                results = process_full_wgs_dataset(engine, cfg, echo=echo)
+                results = process_full_wgs_dataset(engine, cfg, echo=echo,
+                                                   retries=args.retries)
         from mini_parallel_tpu.utils.perf_logger import summarize_monitor_logs
 
         if mon.run_dir:

@@ -33,7 +33,13 @@ def process_full_wgs_dataset(
     echo=print,
     files: list[str] | None = None,
     checkpoint_every_chunks: int = 50,
+    retries: int = 0,
 ) -> list[FileResult]:
+    """``retries`` > 0 adds elastic recovery beyond the reference's
+    abort-on-failure (aligner.rs:318-337): a failed file is retried up to N
+    times, each attempt resuming from its last chunk checkpoint, so a
+    transient device/tunnel error costs at most checkpoint_every_chunks
+    chunks of rework. retries=0 keeps the reference's abort semantics."""
     cfg = cfg or engine.cfg
     files = files if files is not None else cfg.wgs_file_list()
     total_files = len(files)
@@ -117,25 +123,40 @@ def process_full_wgs_dataset(
                 )
             )
 
-        try:
-            res = engine.self_align_file(
-                path, progress=echo, on_chunk=on_chunk, resume=partial,
-                checkpoint_every=checkpoint_every_chunks,
-                on_checkpoint=on_checkpoint,
-            )
-        except Exception as e:  # aligner.rs:318-337: save partial, abort run
-            # keep any mid-file checkpoint (resume point); only write a
-            # zero partial when none exists yet
-            if state.get_file(i) is None:
-                elapsed_ms = (time.perf_counter() - t0) * 1000
-                state.add_file_result(
-                    FileCheckpoint(
-                        file_path=path, file_index=i, score=0,
-                        processing_time_ms=elapsed_ms, total_bases=0,
-                        total_reads=0, completed=False,
-                    )
+        attempt = 0
+        while True:
+            try:
+                res = engine.self_align_file(
+                    path, progress=echo, on_chunk=on_chunk, resume=partial,
+                    checkpoint_every=checkpoint_every_chunks,
+                    on_checkpoint=on_checkpoint,
                 )
-            raise RuntimeError(f"File {i+1} failed: {e}") from e
+                break
+            except Exception as e:  # aligner.rs:318-337: save partial
+                # keep any mid-file checkpoint (resume point); only write a
+                # zero partial when none exists yet
+                if state.get_file(i) is None:
+                    elapsed_ms = (time.perf_counter() - t0) * 1000
+                    state.add_file_result(
+                        FileCheckpoint(
+                            file_path=path, file_index=i, score=0,
+                            processing_time_ms=elapsed_ms, total_bases=0,
+                            total_reads=0, completed=False,
+                        )
+                    )
+                attempt += 1
+                if attempt > retries:  # reference semantics: abort the run
+                    raise RuntimeError(f"File {i+1} failed: {e}") from e
+                partial = state.get_file(i)
+                if partial is not None and partial.chunks_done == 0:
+                    partial = None
+                echo(
+                    f"  File {i+1} attempt {attempt} failed ({e}); retrying "
+                    f"from chunk "
+                    f"{partial.chunks_done if partial else 0} "
+                    f"({retries - attempt + 1} retr"
+                    f"{'y' if retries - attempt + 1 == 1 else 'ies'} left)"
+                )
 
         echo(
             f"  File {i+1} complete: Score={res.score}, Bases={res.total_bases}, "

@@ -78,3 +78,22 @@ def test_variant_prep_flag_matrix(capsys, monkeypatch, fixtures):
     out = _run(base + ["--vcf-out", "m.vcf"], capsys, monkeypatch, fixtures)
     vcf = (fixtures["tmp"] / "m.vcf").read_text()
     assert "##contig=<ID=chrT,length=600>" in vcf
+
+
+def test_kmer_checkpoint_flags(capsys, monkeypatch, fixtures):
+    f = fixtures
+    args = ["--kmer", f["r1"], "-k", "15",
+            "--kmer-checkpoint", "kc.npz", "--kmer-checkpoint-every", "1"]
+    _run(args, capsys, monkeypatch, fixtures, expect="Distinct 15-mers:")
+    assert (fixtures["tmp"] / "kc.npz").exists()
+    # second invocation resumes from the snapshot and still reports totals
+    _run(args, capsys, monkeypatch, fixtures, expect="Distinct 15-mers:")
+
+
+def test_variant_prep_checkpoint_flags(capsys, monkeypatch, fixtures):
+    f = fixtures
+    args = ["--variant-prep", f["r1"], "--reference", f["fa"],
+            "--prep-checkpoint", "pc.npz", "--prep-checkpoint-every", "1"]
+    _run(args, capsys, monkeypatch, fixtures, expect="Candidate variant sites:")
+    assert (fixtures["tmp"] / "pc.npz").exists()
+    _run(args, capsys, monkeypatch, fixtures, expect="Candidate variant sites:")

@@ -314,3 +314,41 @@ def test_device_memory_guard(monkeypatch):
         "mini_parallel_tpu.utils.system_info.get_system_info", lambda: info2
     )
     alignment.check_device_budget(1 << 40)
+
+
+def test_full_wgs_retries_recover_transient_failure(tmp_path, cfg, rng,
+                                                    monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    reads = [random_dna(rng, 300) for _ in range(20)]  # 4 chunks per file
+    for lane in (1, 2):
+        make_lane(tmp_path, f"TEST_L{lane:03d}_R1_001.fastq.gz", reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+
+    real_iter = fastq.iter_read_chunks
+    fails = {"left": 1}  # transient: fail once, then heal
+
+    def flaky_iter(path, chunk_size, progress=None):
+        for i, chunk in enumerate(real_iter(path, chunk_size, progress=progress)):
+            if i == 3 and fails["left"]:
+                fails["left"] -= 1
+                raise RuntimeError("transient tunnel error")
+            yield chunk
+
+    monkeypatch.setattr(fastq, "iter_read_chunks", flaky_iter)
+    out = []
+    results = process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
+                                       echo=out.append,
+                                       checkpoint_every_chunks=2, retries=2)
+    assert any("attempt 1 failed" in line and "retrying" in line
+               for line in out)
+    assert [r.score for r in results] == [8, 8]  # bit-exact despite the crash
+    assert all(r.total_reads == 20 for r in results)
+
+    # retries=0 keeps the reference's abort semantics
+    fails["left"] = 1
+    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(), "kadane")
+    os.remove(str(tmp_path / f"checkpoint_{run_id}.json"))
+    with pytest.raises(RuntimeError, match="File 1 failed"):
+        process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
+                                 echo=lambda *_: None,
+                                 checkpoint_every_chunks=2, retries=0)
