@@ -56,3 +56,19 @@ def test_autotune_smoke(capsys):
     assert rc == 0
     assert "best: block=128 unroll=2" in out
     assert "MPT_SW_BLOCK=128" in out
+
+
+def test_roofline_measures_on_cpu(monkeypatch):
+    # tiny shapes so the CPU run is fast; validates the measurement plumbing
+    from mini_parallel_tpu.tools import roofline
+
+    monkeypatch.setattr(roofline, "CHAIN", 8)
+    monkeypatch.setattr(roofline, "TILE", (64, 64))
+    monkeypatch.setattr(roofline, "BLK", 32)
+    monkeypatch.setattr(roofline, "READS", 32)
+    monkeypatch.setattr(roofline, "READ_LEN", 24)
+    monkeypatch.setattr(roofline, "PAD", 24)
+    peak = roofline.measure_peak_chain()
+    assert peak > 0
+    gcups, positions, dt = roofline.measure_sw()
+    assert gcups > 0 and positions > 0 and dt > 0
