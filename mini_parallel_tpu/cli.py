@@ -92,6 +92,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exhaustive-SW rescue of seed-unmapped reads for "
                    "--variant-prep (full-sensitivity mapping; costs "
                    "O(reads x reference) DP on device)")
+    p.add_argument("--genotype", action="store_true",
+                   help="Pair-HMM diploid genotype likelihoods (GT/GQ/PL) "
+                   "for the --variant-prep SNP candidates (second mapping "
+                   "pass + batched Pair-HMM forward on device)")
+    p.add_argument("--gt-window", type=int, default=50, metavar="W",
+                   help="haplotype half-window around each site for "
+                   "--genotype (default 50)")
+    p.add_argument("--gt-max-reads", type=int, default=64, metavar="N",
+                   help="max reads scored per site for --genotype "
+                   "(default 64)")
     p.add_argument("--prep-checkpoint", metavar="NPZ", default=None,
                    help="crash-resumable --variant-prep runs: snapshot the "
                    "pileup to this .npz and resume from it if it exists "
@@ -254,6 +264,11 @@ def main(argv: list[str] | None = None, echo=print) -> int:
                                     sam_out=args.sam_out,
                                     checkpoint_path=args.prep_checkpoint,
                                     checkpoint_every=args.prep_checkpoint_every)
+            if args.genotype:
+                res = veng.genotype_candidates(
+                    args.variant_prep, res, window=args.gt_window,
+                    max_reads_per_site=args.gt_max_reads, progress=echo,
+                )
         except (OSError, IOError, ValueError) as e:
             echo(f"ERROR: {e}")
             return 1
@@ -262,8 +277,9 @@ def main(argv: list[str] | None = None, echo=print) -> int:
              f"({100*res.mapping_rate:.1f} %)")
         echo(f"Candidate variant sites: {len(res.candidates)}")
         for c in res.candidates[:10]:
+            extra = f" GT={c.gt} GQ={c.gq}" if c.gt else ""
             echo(f"  {c.contig}:{c.pos+1}: {c.ref_base}->{c.alt_base} "
-                 f"depth={c.depth} alt={c.alt_count}")
+                 f"depth={c.depth} alt={c.alt_count}{extra}")
         if args.vcf_out:
             write_candidates_vcf(args.vcf_out, res)
             echo(f"Candidates written to {args.vcf_out}")

@@ -77,6 +77,11 @@ class Candidate:
     depth: int
     alt_count: int
     contig: str = "ref"
+    # Pair-HMM genotyping (genotype_candidates): (RR, RA, AA) log10
+    # likelihoods, the argmax genotype string, and its Phred-scaled quality
+    gl: tuple | None = None
+    gt: str | None = None
+    gq: int | None = None
 
     @property
     def alt_fraction(self) -> float:
@@ -264,18 +269,14 @@ def _revcomp_codes(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     return _reverse_prefix(encode.complement_code(codes), lengths)
 
 
-def _map_packed_batch(pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
-                      k, rescue, rescue_min_frac):
-    """Shared mapping preamble of the fused steps: unpack 2-bit reads, try
-    forward then reverse-complement seeds, optionally rescue seed-misses
-    with the exhaustive vs-ref kernel. -> (final_codes, final_starts,
-    final_mapped, flipped) where flipped marks rows whose codes are the
-    reverse complement of the input read (per-base side-channels like
-    quality masks must be reversed for those rows)."""
-    from mini_parallel_tpu.ops import packed as packedmod
-
-    ascii_ = packedmod.unpack_device(pk, ec, ev, lens, int(encode.PAD_A))
-    codes = encode.ascii_to_code(ascii_)
+def _map_codes_batch(codes, lens, sorted_keys, sorted_pos, ref_ascii,
+                     k, rescue, rescue_min_frac):
+    """Mapping preamble on already-decoded read codes: try forward then
+    reverse-complement seeds, optionally rescue seed-misses with the
+    exhaustive vs-ref kernel. -> (final_codes, final_starts, final_mapped,
+    flipped) where flipped marks rows whose codes are the reverse
+    complement of the input read (per-base side-channels like quality
+    masks must be reversed for those rows)."""
     starts, mapped = _map_reads(codes, lens, sorted_keys, sorted_pos, k)
     rc_codes = _revcomp_codes(codes, lens)
     rc_starts, rc_mapped = _map_reads(rc_codes, lens, sorted_keys, sorted_pos, k)
@@ -291,6 +292,32 @@ def _map_packed_batch(pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
         )
         flipped = flipped | rc_used
     return final_codes, final_starts, final_mapped, flipped
+
+
+def _map_packed_batch(pk, ec, ev, lens, sorted_keys, sorted_pos, ref_ascii,
+                      k, rescue, rescue_min_frac):
+    """Packed-wire variant of the mapping preamble: unpack 2-bit reads,
+    then _map_codes_batch."""
+    from mini_parallel_tpu.ops import packed as packedmod
+
+    ascii_ = packedmod.unpack_device(pk, ec, ev, lens, int(encode.PAD_A))
+    codes = encode.ascii_to_code(ascii_)
+    return _map_codes_batch(codes, lens, sorted_keys, sorted_pos, ref_ascii,
+                            k, rescue, rescue_min_frac)
+
+
+@partial(jax.jit, static_argnames=("k", "rescue", "rescue_min_frac"))
+def _genotype_map_step(arr, lens, sorted_keys, sorted_pos, ref_ascii,
+                       k: int = SEED_K, rescue: bool = False,
+                       rescue_min_frac: float = 0.6):
+    """Second-pass mapping for genotyping: just (starts, mapped, flipped) —
+    the host re-orients read bytes and qualities itself."""
+    codes = encode.ascii_to_code(arr)
+    _, starts, mapped, flipped = _map_codes_batch(
+        codes, lens, sorted_keys, sorted_pos, ref_ascii, k, rescue,
+        rescue_min_frac,
+    )
+    return starts, mapped, flipped
 
 
 def _orient_qual_ok(qb, lens, L, flipped):
@@ -868,6 +895,116 @@ class VariantPrepEngine:
         res.seconds = time.perf_counter() - t0
         return res
 
+    def genotype_candidates(self, path: str, res: VariantPrepResult,
+                            window: int = 50, max_reads_per_site: int = 64,
+                            progress=None) -> VariantPrepResult:
+        """Diploid genotype likelihoods for the SNP candidates via the
+        Pair-HMM forward kernel (ops/pairhmm_pallas.py) — the likelihood
+        model behind GATK/DeepVariant-style callers (SURVEY.md §2 #14).
+
+        Second streaming pass over the FASTQ: reads are re-mapped with the
+        same seed mapper, assigned to the candidate sites they cover
+        (capped at ``max_reads_per_site``), and ONE batched Pair-HMM call
+        scores every (read, ref-window) and (read, alt-window) pair — ideal
+        TPU shape regardless of per-site depth skew. Sets Candidate.gl =
+        (RR, RA, AA) log10, .gt ('0/0'|'0/1'|'1/1'), and .gq (Phred).
+        Indel candidates (<DEL>/<INS>) are left ungenotyped here.
+        """
+        from mini_parallel_tpu.ops import pairhmm
+        from mini_parallel_tpu.ops.pairhmm_pallas import pairhmm_log10_batch
+
+        snps = [c for c in res.candidates if len(c.alt_base) == 1]
+        if not snps:
+            return res
+        off_by_name = dict(zip(self.contig_names,
+                               (int(x) for x in self.contig_offsets)))
+        len_by_name = dict(zip(self.contig_names,
+                               (int(x) for x in self.contig_lengths)))
+        abs_pos = np.array(
+            [off_by_name[c.contig] + c.pos for c in snps], np.int64
+        )
+        order = np.argsort(abs_pos, kind="stable")
+        abs_sorted = abs_pos[order]
+        site_reads: list[list] = [[] for _ in snps]
+
+        for chunk, quals in fastq.iter_read_chunks_with_quals(
+            path, self.cfg.chunk_size_reads
+        ):
+            reads = [bytes(r) for r in chunk]
+            arr, lens, _pad = self._prep_batch(reads)
+            starts, mapped, flipped = _genotype_map_step(
+                jnp.asarray(arr), jnp.asarray(lens),
+                self.index.sorted_keys, self.index.sorted_pos,
+                self.index.ref_ascii_dev, rescue=self.rescue,
+                rescue_min_frac=self.rescue_min_frac,
+            )
+            starts, mapped, flipped = jax.device_get(
+                (starts, mapped, flipped)
+            )
+            for r_i, read in enumerate(reads):
+                if not mapped[r_i] or not read:
+                    continue
+                p = int(starts[r_i])
+                lo = int(np.searchsorted(abs_sorted, p, "left"))
+                hi = int(np.searchsorted(abs_sorted, p + len(read), "left"))
+                if lo == hi:
+                    continue
+                q = quals[r_i] if r_i < len(quals) else b""
+                if flipped[r_i]:
+                    rb, qb = read.translate(_RC_TABLE)[::-1], q[::-1]
+                else:
+                    rb, qb = read, q
+                if len(qb) != len(rb):  # missing/mismatched quals -> Q30
+                    qb = bytes([33 + 30]) * len(rb)
+                for j in range(lo, hi):
+                    s_i = int(order[j])
+                    if len(site_reads[s_i]) < max_reads_per_site:
+                        site_reads[s_i].append((rb, qb))
+            if progress:
+                progress(f"  genotyping: {sum(map(len, site_reads))} "
+                         f"read-site assignments")
+
+        ref_bytes = self.index.reference
+        ereads: list[bytes] = []
+        equals: list[bytes] = []
+        ehaps: list[bytes] = []
+        spans: list[tuple[int, int]] = []
+        for s_i, c in enumerate(snps):
+            rs = site_reads[s_i]
+            if not rs:
+                continue
+            o, ln = off_by_name[c.contig], len_by_name[c.contig]
+            s_abs = o + c.pos
+            w0 = max(o, s_abs - window)
+            w1 = min(o + ln, s_abs + window + 1)
+            ref_hap = ref_bytes[w0:w1]
+            i0 = s_abs - w0
+            alt_hap = ref_hap[:i0] + c.alt_base.encode() + ref_hap[i0 + 1:]
+            for rb, qb in rs:
+                ereads += [rb, rb]
+                equals += [qb, qb]
+                ehaps += [ref_hap, alt_hap]
+            spans.append((s_i, len(rs)))
+        if not ereads:
+            return res
+        lls = pairhmm_log10_batch(ereads, equals, ehaps)
+        pos = 0
+        for s_i, n in spans:
+            block = lls[pos : pos + 2 * n]
+            pos += 2 * n
+            rr, ra, aa = pairhmm.genotype_likelihoods(block[0::2],
+                                                      block[1::2])
+            c = snps[s_i]
+            c.gl = (rr, ra, aa)
+            best = max(rr, ra, aa)
+            pl = [-10.0 * (g - best) for g in (rr, ra, aa)]
+            gt_i = int(np.argmin(pl))
+            c.gt = ("0/0", "0/1", "1/1")[gt_i]
+            c.gq = int(round(min(
+                min(p for i2, p in enumerate(pl) if i2 != gt_i), 99.0
+            )))
+        return res
+
     def _extract_candidates(self, pileup: np.ndarray) -> list[Candidate]:
         bases = "ACGTN"
         ref = self.index.ref_codes
@@ -946,17 +1083,36 @@ def write_candidates_vcf(path: str, res: VariantPrepResult,
     (single-contig runs fall back to one record spanning the reference)."""
     if contigs is None:
         contigs = res.contigs or [("ref", res.reference_length)]
+    genotyped = any(c.gl is not None for c in res.candidates)
     with open(path, "w") as f:
         f.write("##fileformat=VCFv4.2\n")
         for name, length in contigs:
             f.write(f"##contig=<ID={name},length={length}>\n")
-        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        if genotyped:
+            f.write('##FORMAT=<ID=GT,Number=1,Type=String,'
+                    'Description="Genotype">\n')
+            f.write('##FORMAT=<ID=GQ,Number=1,Type=Integer,'
+                    'Description="Genotype quality (Phred)">\n')
+            f.write('##FORMAT=<ID=PL,Number=G,Type=Integer,Description='
+                    '"Phred-scaled genotype likelihoods (Pair-HMM)">\n')
+        cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+        f.write(cols + ("\tFORMAT\tSAMPLE\n" if genotyped else "\n"))
         for c in res.candidates:
-            f.write(
+            line = (
                 f"{c.contig}\t{c.pos + 1}\t.\t{c.ref_base}\t{c.alt_base}"
                 f"\t.\t.\tDP={c.depth};AC={c.alt_count};"
-                f"AF={c.alt_fraction:.3f}\n"
+                f"AF={c.alt_fraction:.3f}"
             )
+            if genotyped:
+                if c.gl is not None:
+                    best = max(c.gl)
+                    pl = ",".join(
+                        str(int(round(-10.0 * (g - best)))) for g in c.gl
+                    )
+                    line += f"\tGT:GQ:PL\t{c.gt}:{c.gq}:{pl}"
+                else:
+                    line += "\tGT:GQ:PL\t./.:.:."
+            f.write(line + "\n")
 
 
 # ---------------------------------------------------------------------------

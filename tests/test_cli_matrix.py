@@ -97,3 +97,12 @@ def test_variant_prep_checkpoint_flags(capsys, monkeypatch, fixtures):
     _run(args, capsys, monkeypatch, fixtures, expect="Candidate variant sites:")
     assert (fixtures["tmp"] / "pc.npz").exists()
     _run(args, capsys, monkeypatch, fixtures, expect="Candidate variant sites:")
+
+
+def test_variant_prep_genotype_flag(capsys, monkeypatch, fixtures):
+    f = fixtures
+    out = _run(["--variant-prep", f["r1"], "--reference", f["fa"],
+                "--genotype", "--gt-window", "30", "--vcf-out", "g.vcf"],
+               capsys, monkeypatch, fixtures,
+               expect="Candidate variant sites:")
+    assert "ERROR" not in out

@@ -585,3 +585,75 @@ def test_variant_prep_checkpoint_with_sam_out_refused(tmp_path, cfg,
         VariantPrepEngine(ref, cfg, gapped=True).process_file(
             path, sam_out=str(tmp_path / "o.sam"),
             checkpoint_path=str(tmp_path / "c.npz"), checkpoint_every=1)
+
+
+# ------------------------------------------------------------- genotyping
+
+def _mutate(ref: bytes, pos: int, alt: bytes) -> bytes:
+    return ref[:pos] + alt + ref[pos + 1:]
+
+
+def test_genotype_candidates_het_and_hom(tmp_path, rng, cfg):
+    ref = random_dna(rng, 2000)
+    het_pos, hom_pos = 600, 1400
+    het_alt = b"A" if ref[het_pos : het_pos + 1] != b"A" else b"C"
+    hom_alt = b"G" if ref[hom_pos : hom_pos + 1] != b"G" else b"T"
+    hap_het = _mutate(ref, het_pos, het_alt)
+    hap_hom = _mutate(ref, hom_pos, hom_alt)
+    reads = []
+    for i in range(40):  # 20 reads per site, het: half carry the alt
+        src = hap_het if (i % 2 == 0) else ref
+        s = het_pos - 20 - (i % 10)
+        reads.append(src[s : s + 60])
+    for i in range(20):  # hom: every read carries the alt
+        s = hom_pos - 20 - (i % 10)
+        reads.append(hap_hom[s : s + 60])
+    path = str(tmp_path / "gt.fastq.gz")
+    fastq.write_fastq(path, reads)
+
+    eng = VariantPrepEngine(ref, cfg, min_depth=3, alt_fraction=0.2)
+    res = eng.process_file(path)
+    res = eng.genotype_candidates(path, res)
+    by_pos = {c.pos: c for c in res.candidates}
+    assert het_pos in by_pos and hom_pos in by_pos
+    het, hom = by_pos[het_pos], by_pos[hom_pos]
+    assert het.gt == "0/1" and hom.gt == "1/1"
+    assert het.gq > 0 and hom.gq > 0
+    # GL ordering matches the genotypes
+    assert het.gl[1] > het.gl[0] and het.gl[1] > het.gl[2]
+    assert hom.gl[2] > hom.gl[1] > hom.gl[0]
+
+    # VCF carries GT:GQ:PL with PL=0 for the called genotype
+    vcf_path = str(tmp_path / "gt.vcf")
+    write_candidates_vcf(vcf_path, res)
+    vcf = open(vcf_path).read()
+    assert "##FORMAT=<ID=PL" in vcf and "\tFORMAT\tSAMPLE" in vcf
+    for line in vcf.splitlines():
+        if line.startswith("#"):
+            continue
+        fields = line.split("\t")
+        assert fields[8] == "GT:GQ:PL"
+        gt, gq, pl = fields[9].split(":")
+        if gt != "./.":
+            pls = [int(x) for x in pl.split(",")]
+            assert min(pls) == 0
+            assert pls[("0/0", "0/1", "1/1").index(gt)] == 0
+
+
+def test_genotype_rc_reads_and_no_coverage(tmp_path, rng, cfg):
+    ref = random_dna(rng, 1200)
+    pos = 500
+    alt = b"T" if ref[pos : pos + 1] != b"T" else b"A"
+    hap = _mutate(ref, pos, alt)
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    reads = []
+    for i in range(20):  # hom-alt site covered ONLY by rc-strand reads
+        s = pos - 25 - (i % 8)
+        reads.append(hap[s : s + 60].translate(rc)[::-1])
+    path = str(tmp_path / "rc.fastq.gz")
+    fastq.write_fastq(path, reads)
+    eng = VariantPrepEngine(ref, cfg, min_depth=3, alt_fraction=0.2)
+    res = eng.process_file(path)
+    res = eng.genotype_candidates(path, res)
+    by_pos = {c.pos: c for c in res.candidates}
+    assert by_pos[pos].gt == "1/1"  # rc orientation + qual reversal correct
