@@ -88,6 +88,36 @@ def main() -> None:
                  .process_file(mapped))
         _emit("variant_prep_gapped", r.total_reads, r.seconds)
 
+        # Pair-HMM forward: B read-vs-haplotype likelihoods per call
+        import jax.numpy as jnp
+
+        from mini_parallel_tpu.ops import encode
+        from mini_parallel_tpu.ops.pairhmm_pallas import pairhmm_batch_pallas
+
+        rng = np.random.default_rng(2)
+        base = np.frombuffer(b"ACGT", np.uint8)
+        B, M, N = 10_000, 150, 304
+        arr_r, la = encode.pad_batch(
+            [bytes(rng.choice(base, M)) for _ in range(B)],
+            pad_to=152, pad_value=int(encode.PAD_A))
+        arr_h, lb = encode.pad_batch(
+            [bytes(rng.choice(base, 300)) for _ in range(B)],
+            pad_to=N, pad_value=int(encode.PAD_B))
+        pargs = (jnp.asarray(arr_r),
+                 jnp.asarray(np.full((B, 152), 1e-3, np.float32)),
+                 jnp.asarray(arr_h), jnp.asarray(la), jnp.asarray(lb))
+        np.asarray(pairhmm_batch_pallas(*pargs))  # compile + drain
+
+        def timed(iters):
+            t0 = time.perf_counter()
+            outs = [pairhmm_batch_pallas(*pargs) for _ in range(iters)]
+            np.asarray(outs[-1])
+            return time.perf_counter() - t0
+
+        dt = min(max((timed(8) - timed(2)) / 6, 1e-9) for _ in range(3))
+        _emit("pairhmm_forward_pairs", B, dt,
+              extra={"gcups": round(B * M * 300 / dt / 1e9, 1)})
+
 
 if __name__ == "__main__":
     main()

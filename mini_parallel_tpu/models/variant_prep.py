@@ -908,12 +908,15 @@ class VariantPrepEngine:
         scores every (read, ref-window) and (read, alt-window) pair — ideal
         TPU shape regardless of per-site depth skew. Sets Candidate.gl =
         (RR, RA, AA) log10, .gt ('0/0'|'0/1'|'1/1'), and .gq (Phred).
-        Indel candidates (<DEL>/<INS>) are left ungenotyped here.
+        SNPs and <DEL> candidates are genotyped (the deletion's alt
+        haplotype drops the site base); <INS> is left ungenotyped — the
+        inserted sequence is unknown without local assembly.
         """
         from mini_parallel_tpu.ops import pairhmm
         from mini_parallel_tpu.ops.pairhmm_pallas import pairhmm_log10_batch
 
-        snps = [c for c in res.candidates if len(c.alt_base) == 1]
+        snps = [c for c in res.candidates
+                if len(c.alt_base) == 1 or c.alt_base == "<DEL>"]
         if not snps:
             return res
         off_by_name = dict(zip(self.contig_names,
@@ -979,7 +982,11 @@ class VariantPrepEngine:
             w1 = min(o + ln, s_abs + window + 1)
             ref_hap = ref_bytes[w0:w1]
             i0 = s_abs - w0
-            alt_hap = ref_hap[:i0] + c.alt_base.encode() + ref_hap[i0 + 1:]
+            if c.alt_base == "<DEL>":
+                alt_hap = ref_hap[:i0] + ref_hap[i0 + 1:]
+            else:
+                alt_hap = (ref_hap[:i0] + c.alt_base.encode()
+                           + ref_hap[i0 + 1:])
             for rb, qb in rs:
                 ereads += [rb, rb]
                 equals += [qb, qb]

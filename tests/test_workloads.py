@@ -657,3 +657,24 @@ def test_genotype_rc_reads_and_no_coverage(tmp_path, rng, cfg):
     res = eng.genotype_candidates(path, res)
     by_pos = {c.pos: c for c in res.candidates}
     assert by_pos[pos].gt == "1/1"  # rc orientation + qual reversal correct
+
+
+def test_genotype_single_base_deletion(tmp_path, rng, cfg):
+    ref = random_dna(rng, 1500)
+    dpos = 700
+    hap = ref[:dpos] + ref[dpos + 1:]  # homozygous 1bp deletion
+    reads = []
+    for i in range(24):
+        s = dpos - 30 - (i % 10)
+        reads.append(hap[s : s + 60])
+    path = str(tmp_path / "del.fastq.gz")
+    fastq.write_fastq(path, reads)
+    eng = VariantPrepEngine(ref, cfg, gapped=True, min_depth=3,
+                            alt_fraction=0.2)
+    res = eng.process_file(path)
+    res = eng.genotype_candidates(path, res)
+    dels = [c for c in res.candidates if c.alt_base == "<DEL>"]
+    assert dels, "gapped pileup should flag the deletion site"
+    called = [c for c in dels if c.gt is not None]
+    assert called and all(c.gt == "1/1" for c in called)
+    assert all(c.gl[2] > c.gl[0] for c in called)
