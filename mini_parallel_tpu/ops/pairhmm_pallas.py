@@ -166,6 +166,33 @@ def pairhmm_batch_pallas(
     return ll
 
 
+def make_pairhmm_sharded(mesh, data_axis: str | None = None,
+                         gap_open_phred: float = DEFAULT_GAP_OPEN_PHRED,
+                         gap_ext_phred: float = DEFAULT_GAP_EXT_PHRED):
+    """shard_map Pair-HMM: the batch axis shards across the mesh, each chip
+    runs the wavefront kernel on its rows (likelihoods are per-lane, so no
+    collective is needed). -> jitted fn(reads, err, haps, la, lb) -> (B,)
+    log10 likelihoods. B must be divisible by the mesh size."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = data_axis or mesh.axis_names[0]
+
+    def local(reads, err, haps, la, lb):
+        return pairhmm_batch_pallas(
+            reads, err, haps, la, lb,
+            gap_open_phred=gap_open_phred, gap_ext_phred=gap_ext_phred,
+        )
+
+    spec2, spec1 = P(axis, None), P(axis)
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        check_vma=False,  # Pallas out_shape has no varying-axis info
+        in_specs=(spec2, spec2, spec2, spec1, spec1),
+        out_specs=spec1,
+    ))
+
+
 def pairhmm_log10_batch(
     reads: list[bytes],
     quals: list[bytes | np.ndarray],

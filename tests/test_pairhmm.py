@@ -103,3 +103,28 @@ def test_genotype_likelihoods_model():
     alt_ll = np.array([-30.0, -3.0, -28.0, -3.2])
     rr, ra, aa = pairhmm.genotype_likelihoods(ref_ll, alt_ll)
     assert ra > rr and ra > aa
+
+
+def test_pairhmm_sharded_matches_local(rng, mesh8):
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.ops import encode
+    from mini_parallel_tpu.ops.pairhmm_pallas import (
+        make_pairhmm_sharded,
+        pairhmm_batch_pallas,
+    )
+
+    B = 16  # 2 rows per device on the 8-device mesh
+    reads, haps = [], []
+    for _ in range(B):
+        hap = random_dna(rng, 48)
+        reads.append(hap[8:40])
+        haps.append(hap)
+    arr_r, la = encode.pad_batch(reads, pad_to=32, pad_value=int(encode.PAD_A))
+    arr_h, lb = encode.pad_batch(haps, pad_to=48, pad_value=int(encode.PAD_B))
+    err = np.full((B, 32), 1e-2, np.float32)
+    args = (jnp.asarray(arr_r), jnp.asarray(err), jnp.asarray(arr_h),
+            jnp.asarray(la), jnp.asarray(lb))
+    local = np.asarray(pairhmm_batch_pallas(*args))
+    sharded = np.asarray(make_pairhmm_sharded(mesh8)(*args))
+    np.testing.assert_allclose(sharded, local, rtol=0, atol=1e-6)
