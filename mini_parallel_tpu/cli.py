@@ -259,7 +259,7 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             veng = VariantPrepEngine(recs, cfg, gapped=args.gapped,
                                      rescue=args.rescue,
                                      min_base_quality=args.min_base_quality,
-                                     gap_model=args.gap_model)
+                                     gap_model=args.gap_model, mesh=mesh)
             res = veng.process_file(args.variant_prep, progress=echo,
                                     sam_out=args.sam_out,
                                     checkpoint_path=args.prep_checkpoint,

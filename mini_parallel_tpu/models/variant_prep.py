@@ -526,7 +526,12 @@ class VariantPrepEngine:
         min_base_quality: int = 0,
         gap_model: str = "linear",
         contig_spacer: int = CONTIG_SPACER_N,
+        mesh=None,
     ):
+        # optional device mesh: read batches shard data-parallel on the
+        # packed path; per-shard pileup contributions merge with one psum
+        self.mesh = mesh
+        self._sharded_fns: dict = {}
         self.cfg = cfg or Config(chunk_size_reads=10_000)
         if isinstance(reference, dict):
             concat, names, offs, lens = concat_contigs(
@@ -647,6 +652,84 @@ class VariantPrepEngine:
                                      pad_value=int(encode.PAD_A))
         return arr, lens, pad
 
+    def _sharded_packed_step(self, G: int, pad: int, has_q: bool):
+        """Cached jitted shard_map step: reads shard on the data axis, each
+        chip runs the SAME fused step on its rows against a zero pileup, and
+        one psum merges the per-shard pileup contributions + mapped counts
+        (scatter-adds commute, so sharded == local exactly)."""
+        key = (self.gapped, G, pad, has_q)
+        fn = self._sharded_fns.get(key)
+        if fn is not None:
+            return fn
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        idx = self.index
+        gapped, rescue, frac = self.gapped, self.rescue, self.rescue_min_frac
+        W, margin = pad + 2 * self.window_margin, self.window_margin
+        gm, go, ge = self.gap_model, self.cfg.gap_open, self.cfg.gap_extend
+
+        def body(pk, ec, ev, lens, qb):
+            zero = jnp.zeros((G, 7), jnp.int32)
+            if gapped:
+                acc, n = _gapped_batch_step(
+                    pk, ec, ev, lens, qb, idx.sorted_keys, idx.sorted_pos,
+                    idx.ref_ascii_dev, zero, G, W, margin, rescue=rescue,
+                    rescue_min_frac=frac, gap_model=gm, gap_open=go,
+                    gap_extend=ge,
+                )
+            else:
+                acc, n = _ungapped_batch_step(
+                    pk, ec, ev, lens, qb, idx.sorted_keys, idx.sorted_pos,
+                    idx.ref_ascii_dev, zero, G, rescue=rescue,
+                    rescue_min_frac=frac,
+                )
+            return jax.lax.psum(acc, axis), jax.lax.psum(n, axis)
+
+        spec2, spec1, rep = P(axis, None), P(axis), P()
+        if has_q:
+            local = body
+            in_specs = (spec2, spec2, spec2, spec1, spec2)
+        else:
+            def local(pk, ec, ev, lens):
+                return body(pk, ec, ev, lens, None)
+
+            in_specs = (spec2, spec2, spec2, spec1)
+        fn = jax.jit(shard_map(
+            local, mesh=self.mesh,
+            check_vma=False,  # Pallas out_shape has no varying-axis info
+            in_specs=in_specs, out_specs=(rep, rep),
+        ))
+        self._sharded_fns[key] = fn
+        return fn
+
+    def _process_batch_sharded(self, pb, qmask, pileup_acc, pad, G):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mini_parallel_tpu.ops import packed as packedmod
+
+        n = self.mesh.devices.size
+        rows = -(-pb.batch // n) * n
+        if qmask is not None and rows != qmask.shape[0]:
+            qmask = np.concatenate(
+                [qmask, np.ones((rows - qmask.shape[0], pad), bool)]
+            )
+        pb = packedmod.pad_rows(pb, rows)
+        args = packedmod.put_sharded(pb, self.mesh)
+        if qmask is not None:
+            axis = self.mesh.axis_names[0]
+            qb = jax.device_put(
+                jnp.asarray(packedmod.pack_bits(qmask)),
+                NamedSharding(self.mesh, P(axis, None)),
+            )
+            contrib, n_mapped = self._sharded_packed_step(G, pad, True)(
+                *args, qb)
+        else:
+            contrib, n_mapped = self._sharded_packed_step(G, pad, False)(
+                *args)
+        return pileup_acc + contrib, n_mapped
+
     def process_reads_batch(self, reads: list[bytes], pileup_acc: jnp.ndarray,
                             quals: list[bytes] | None = None,
                             ) -> tuple[jnp.ndarray, int | jnp.ndarray]:
@@ -659,6 +742,9 @@ class VariantPrepEngine:
             from mini_parallel_tpu.ops import packed as packedmod
 
             pb = packedmod.pack_batch(arr, lens)
+            if self.mesh is not None:
+                return self._process_batch_sharded(pb, qmask, pileup_acc,
+                                                   pad, G)
             qb = (
                 jnp.asarray(packedmod.pack_bits(qmask))
                 if qmask is not None else None

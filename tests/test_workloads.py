@@ -678,3 +678,21 @@ def test_genotype_single_base_deletion(tmp_path, rng, cfg):
     called = [c for c in dels if c.gt is not None]
     assert called and all(c.gt == "1/1" for c in called)
     assert all(c.gl[2] > c.gl[0] for c in called)
+
+
+# ------------------------------------------------------------- mesh sharding
+
+@pytest.mark.parametrize("gapped,minq", [(False, 0), (True, 0), (False, 10)])
+def test_variant_prep_sharded_matches_local(tmp_path, rng, cfg, ref_and_reads,
+                                            mesh8, gapped, minq):
+    ref, reads = ref_and_reads
+    path = str(tmp_path / "reads.fastq.gz")
+    fastq.write_fastq(path, [r for _, r in reads])
+    kw = dict(gapped=gapped, min_base_quality=minq)
+    local = VariantPrepEngine(ref, cfg, **kw).process_file(path)
+    shard = VariantPrepEngine(ref, cfg, mesh=mesh8, **kw).process_file(path)
+    assert shard.total_reads == local.total_reads
+    assert shard.mapped_reads == local.mapped_reads
+    assert (shard.pileup == local.pileup).all()
+    assert [(c.contig, c.pos, c.alt_base) for c in shard.candidates] == \
+           [(c.contig, c.pos, c.alt_base) for c in local.candidates]
