@@ -38,9 +38,9 @@ from mini_parallel_tpu.ops.pairhmm import (
     pairhmm_forward_numpy,
     transition_probs,
 )
-from mini_parallel_tpu.ops.sw_pallas import B_BLK
+from mini_parallel_tpu.ops.sw_pallas import B_BLK, _env_int
 
-UNROLL = 2
+UNROLL = _env_int("MPT_PHMM_UNROLL", 4)  # v5e sweep: 75/85/96/98 GCUPS @ 1/2/4/8
 
 
 def _pairhmm_kernel_factory(tMM: float, tMI: float, tII: float, tIM: float,
