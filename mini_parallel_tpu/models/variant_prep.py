@@ -1080,7 +1080,7 @@ class VariantPrepEngine:
             spans.append((s_i, len(rs)))
         if not ereads:
             return res
-        lls = pairhmm_log10_batch(ereads, equals, ehaps)
+        lls = pairhmm_log10_batch(ereads, equals, ehaps, mesh=self.mesh)
         pos = 0
         for s_i, n in spans:
             block = lls[pos : pos + 2 * n]

@@ -193,16 +193,22 @@ def make_pairhmm_sharded(mesh, data_axis: str | None = None,
     ))
 
 
+_SHARDED_CACHE: dict = {}
+
+
 def pairhmm_log10_batch(
     reads: list[bytes],
     quals: list[bytes | np.ndarray],
     haps: list[bytes],
     gap_open_phred: float = DEFAULT_GAP_OPEN_PHRED,
     gap_ext_phred: float = DEFAULT_GAP_EXT_PHRED,
+    mesh=None,
 ) -> np.ndarray:
     """Host-facing batch API. ``quals``: Phred+33 ASCII bytes or numeric
     Phred arrays, one per read. Lanes that underflow the fp32 kernel are
-    recomputed with the float64 oracle — exact at any quality."""
+    recomputed with the float64 oracle — exact at any quality. With
+    ``mesh``, the batch shards over the data axis (padded to the mesh
+    size; the jitted sharded fn is cached per mesh/scoring)."""
     from mini_parallel_tpu.ops import encode
 
     B = len(reads)
@@ -215,19 +221,32 @@ def pairhmm_log10_batch(
     ]
     M = 1 << max(int(np.ceil(np.log2(max(len(r) for r in reads) or 1))), 3)
     N = 1 << max(int(np.ceil(np.log2(max(len(h) for h in haps) or 1))), 3)
-    arr_r, la = encode.pad_batch(reads, pad_to=M, pad_value=int(PAD_A))
-    arr_h, lb = encode.pad_batch(haps, pad_to=N, pad_value=int(PAD_B))
-    err = np.zeros((B, M), np.float32)
+    Bp = B if mesh is None else -(-B // mesh.devices.size) * mesh.devices.size
+    pad_n = Bp - B
+    arr_r, la = encode.pad_batch(reads + [b""] * pad_n, pad_to=M,
+                                 pad_value=int(PAD_A))
+    arr_h, lb = encode.pad_batch(haps + [b""] * pad_n, pad_to=N,
+                                 pad_value=int(PAD_B))
+    err = np.zeros((Bp, M), np.float32)
     for i, p in enumerate(phreds):
         err[i, : len(p)] = 10.0 ** (-p / 10.0)
+    if mesh is not None:
+        key = (mesh, gap_open_phred, gap_ext_phred)
+        fn = _SHARDED_CACHE.get(key)
+        if fn is None:
+            fn = _SHARDED_CACHE[key] = make_pairhmm_sharded(
+                mesh, gap_open_phred=gap_open_phred,
+                gap_ext_phred=gap_ext_phred,
+            )
+    else:
+        fn = functools.partial(pairhmm_batch_pallas,
+                               gap_open_phred=gap_open_phred,
+                               gap_ext_phred=gap_ext_phred)
     ll = np.asarray(
-        pairhmm_batch_pallas(
-            jnp.asarray(arr_r), jnp.asarray(err), jnp.asarray(arr_h),
-            jnp.asarray(la), jnp.asarray(lb),
-            gap_open_phred=gap_open_phred, gap_ext_phred=gap_ext_phred,
-        ),
+        fn(jnp.asarray(arr_r), jnp.asarray(err), jnp.asarray(arr_h),
+           jnp.asarray(la), jnp.asarray(lb)),
         np.float64,
-    )
+    )[:B]
     for i in np.flatnonzero(~np.isfinite(ll)):
         if len(reads[i]) and len(haps[i]):
             ll[i] = pairhmm_forward_numpy(

@@ -128,3 +128,15 @@ def test_pairhmm_sharded_matches_local(rng, mesh8):
     local = np.asarray(pairhmm_batch_pallas(*args))
     sharded = np.asarray(make_pairhmm_sharded(mesh8)(*args))
     np.testing.assert_allclose(sharded, local, rtol=0, atol=1e-6)
+
+
+def test_pairhmm_log10_batch_mesh_matches_local(rng, mesh8):
+    reads, quals, haps = [], [], []
+    for _ in range(11):  # deliberately not divisible by 8 (padding path)
+        hap = random_dna(rng, 60)
+        reads.append(hap[10:42])
+        quals.append(bytes([33 + 30] * 32))
+        haps.append(hap)
+    local = pairhmm_log10_batch(reads, quals, haps)
+    sharded = pairhmm_log10_batch(reads, quals, haps, mesh=mesh8)
+    np.testing.assert_allclose(sharded, local, rtol=0, atol=1e-6)

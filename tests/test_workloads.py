@@ -696,3 +696,25 @@ def test_variant_prep_sharded_matches_local(tmp_path, rng, cfg, ref_and_reads,
     assert (shard.pileup == local.pileup).all()
     assert [(c.contig, c.pos, c.alt_base) for c in shard.candidates] == \
            [(c.contig, c.pos, c.alt_base) for c in local.candidates]
+
+
+def test_genotype_candidates_sharded_matches_local(tmp_path, rng, cfg, mesh8):
+    ref = random_dna(rng, 1200)
+    pos = 500
+    alt = b"T" if ref[pos : pos + 1] != b"T" else b"A"
+    hap = ref[:pos] + alt + ref[pos + 1:]
+    reads = [hap[pos - 25 - (i % 8) : pos + 35 - (i % 8)] for i in range(16)]
+    path = str(tmp_path / "gts.fastq.gz")
+    fastq.write_fastq(path, reads)
+    kw = dict(min_depth=3, alt_fraction=0.2)
+    local = VariantPrepEngine(ref, cfg, **kw)
+    lres = local.genotype_candidates(path, local.process_file(path))
+    shard = VariantPrepEngine(ref, cfg, mesh=mesh8, **kw)
+    sres = shard.genotype_candidates(path, shard.process_file(path))
+    lc = {c.pos: c for c in lres.candidates}
+    sc = {c.pos: c for c in sres.candidates}
+    assert sc.keys() == lc.keys()
+    for p in lc:
+        assert sc[p].gt == lc[p].gt
+        if lc[p].gl is not None:
+            np.testing.assert_allclose(sc[p].gl, lc[p].gl, atol=1e-6)
