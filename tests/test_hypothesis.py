@@ -84,3 +84,20 @@ def test_kmer_counts_match_golden(seqs, k):
     kmer.merge_device_counts(got, hi, lo, counts)
     got_str = {kmer.key_to_string(h, l, k): c for (h, l), c in got.items()}
     assert got_str == dict(kmer.count_kmers_python(reads, k=k))
+
+
+dna1 = st.text(alphabet="ACGT", min_size=1, max_size=32)
+
+
+@given(dna1, dna1, st.lists(st.integers(5, 42), min_size=32, max_size=32))
+def test_pairhmm_kernel_matches_oracle(read, hap, qlist):
+    from mini_parallel_tpu.ops import pairhmm
+    from mini_parallel_tpu.ops.pairhmm_pallas import pairhmm_log10_batch
+
+    q = np.asarray(qlist[: len(read)], np.float64)
+    want = pairhmm.pairhmm_forward_numpy(read.encode(), q, hap.encode())
+    got = pairhmm_log10_batch([read.encode()], [q], [hap.encode()])[0]
+    if want == float("-inf"):
+        assert got == float("-inf") or got < -70
+    else:
+        assert got == __import__("pytest").approx(want, abs=3e-3)
