@@ -336,5 +336,10 @@ def main(argv: list[str] | None = None, echo=print) -> int:
     return 2
 
 
-if __name__ == "__main__":
+def entrypoint() -> None:
+    """console_scripts hook (pyproject.toml)."""
     sys.exit(main())
+
+
+if __name__ == "__main__":
+    entrypoint()
