@@ -74,12 +74,16 @@ def main() -> None:
 
     # slope method: per-batch compute time net of the fixed host<->device
     # roundtrip latency (which dominates small timings through the tunnel).
-    # best-of-3: the shared dev tunnel adds load-dependent stalls that only
-    # ever INFLATE a measurement, so the minimum slope is the honest one.
+    # median-of-5: tunnel stalls inflate either endpoint, so a single slope
+    # can err in EITHER direction (a stall in timed(lo) — or load dropping
+    # between the endpoints — shrinks the slope and inflates GCUPS; a stall
+    # in timed(hi) does the reverse). The median is robust to both; min
+    # would select the inflated flukes.
     lo, hi = 2, 12
-    dt = min(
-        max((timed(hi) - timed(lo)) / (hi - lo), 1e-9) for _ in range(3)
+    slopes = sorted(
+        max((timed(hi) - timed(lo)) / (hi - lo), 1e-9) for _ in range(5)
     )
+    dt = slopes[len(slopes) // 2]
 
     cells = READS * READ_LEN * READ_LEN
     gcups = cells / dt / 1e9

@@ -33,6 +33,17 @@ int16 state would double vreg packing but does not lower in this Mosaic
 (i1 mask relayout to (16,128) packing fails; vector arith.maxsi on i16 is
 not legalized) — revisit on newer toolchains.
 
+Negative result (measured, do not retry blindly): a row-BLOCKED wavefront
+(sweep R-row blocks carrying the block's bottom H row in VMEM as the next
+block's boundary) eliminates most of the anti-diagonal ramp waste
+(M x (M+N-1) positions for M x N useful cells -> (R+N-1)/N), but measured
+3x SLOWER on v5e (R=32/unroll=8: 220 GCUPS vs 618 for this kernel in the
+same idle window; R=8: 91) and miscompiled under Mosaic (interpret-mode
+exact, on-chip mismatches). Small (R,128) tiles leave the VPU idle between
+fori_loop iterations and the per-diagonal dynamic boundary-row load/store
+adds a second addressing chain — big-tile few-iteration sweeps win on this
+hardware even at 2x the raw op count.
+
 Scoring: match +2 / mismatch -1 / gap -2, local alignment (floor 0), exactly
 ops/sw.py's semantics; validated against it (and the NumPy golden) in tests.
 """

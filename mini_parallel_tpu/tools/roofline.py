@@ -42,10 +42,11 @@ READ_LEN = 150
 PAD = 152
 
 
-def _slope(fn, lo: int = 2, hi: int = 12, reps: int = 3) -> float:
+def _slope(fn, lo: int = 2, hi: int = 12, reps: int = 5) -> float:
     """Per-call seconds net of fixed dispatch latency (bench.py discipline:
-    dispatch N, fetch once; min over reps since tunnel stalls only inflate).
-    """
+    dispatch N, fetch once; median over reps — tunnel stalls can inflate
+    either endpoint, so single slopes err in both directions and min would
+    select the inflated flukes)."""
 
     def timed(iters: int) -> float:
         t0 = time.perf_counter()
@@ -53,8 +54,9 @@ def _slope(fn, lo: int = 2, hi: int = 12, reps: int = 3) -> float:
         np.asarray(outs[-1])
         return time.perf_counter() - t0
 
-    return min(max((timed(hi) - timed(lo)) / (hi - lo), 1e-12)
-               for _ in range(reps))
+    slopes = sorted(max((timed(hi) - timed(lo)) / (hi - lo), 1e-12)
+                    for _ in range(reps))
+    return slopes[len(slopes) // 2]
 
 
 def measure_peak_chain() -> float:
