@@ -181,8 +181,8 @@ def main(argv: list[str] | None = None, echo=print) -> int:
                     process_full_wgs_distributed,
                 )
 
-                results, merged = process_full_wgs_distributed(engine, cfg,
-                                                               echo=echo)
+                results, merged = process_full_wgs_distributed(
+                    engine, cfg, echo=echo, retries=args.retries)
                 echo(f"Global totals: {merged}")
             else:
                 from mini_parallel_tpu.models.wgs import process_full_wgs_dataset

@@ -69,6 +69,7 @@ def process_full_wgs_distributed(
     cfg: Config | None = None,
     checkpoint_dir: str = ".",
     echo=print,
+    retries: int = 0,
 ) -> tuple[list[FileResult], DistributedTotals]:
     """Run --full-wgs across all JAX processes; returns (local results,
     globally merged totals)."""
@@ -88,6 +89,7 @@ def process_full_wgs_distributed(
         checkpoint_dir=checkpoint_dir,
         echo=echo,
         files=my_files,
+        retries=retries,
     )
     local = DistributedTotals(
         files=len(results),
