@@ -1191,9 +1191,15 @@ def write_candidates_vcf(path: str, res: VariantPrepResult,
         cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
         f.write(cols + ("\tFORMAT\tSAMPLE\n" if genotyped else "\n"))
         for c in res.candidates:
+            # QUAL = Phred confidence that ANY variant is present, i.e. the
+            # 0/0 genotype's PL (capped like GQ); "." when not genotyped
+            qual = "."
+            if c.gl is not None:
+                qual = str(int(round(min(-10.0 * (c.gl[0] - max(c.gl)),
+                                         9999.0))))
             line = (
                 f"{c.contig}\t{c.pos + 1}\t.\t{c.ref_base}\t{c.alt_base}"
-                f"\t.\t.\tDP={c.depth};AC={c.alt_count};"
+                f"\t{qual}\t.\tDP={c.depth};AC={c.alt_count};"
                 f"AF={c.alt_fraction:.3f}"
             )
             if genotyped:

@@ -103,7 +103,8 @@ def _pairhmm_kernel_factory(tMM: float, tMI: float, tII: float, tIM: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap_open_phred", "gap_ext_phred", "interpret"),
+    static_argnames=("gap_open_phred", "gap_ext_phred", "interpret",
+                     "unroll"),
 )
 def pairhmm_batch_pallas(
     reads: jnp.ndarray,  # (B, M) uint8 ASCII, padded with PAD_A
@@ -114,12 +115,14 @@ def pairhmm_batch_pallas(
     gap_open_phred: float = DEFAULT_GAP_OPEN_PHRED,
     gap_ext_phred: float = DEFAULT_GAP_EXT_PHRED,
     interpret: bool | None = None,
+    unroll: int | None = None,
 ) -> jnp.ndarray:
     """-> (B,) float32 log10 P(read | hap); -inf where empty or underflowed."""
     B, M = reads.shape
     N = haps.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    unroll = unroll or UNROLL
     tMM, tMI, tII, tIM = transition_probs(gap_open_phred, gap_ext_phred)
     Bp = -(-B // B_BLK) * B_BLK
     Mp = -(-M // 8) * 8
@@ -133,7 +136,7 @@ def pairhmm_batch_pallas(
     lbt = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(hap_lens)
 
     out = pl.pallas_call(
-        _pairhmm_kernel_factory(tMM, tMI, tII, tIM, UNROLL),
+        _pairhmm_kernel_factory(tMM, tMI, tII, tIM, unroll),
         grid=(Bp // B_BLK,),
         in_specs=[
             pl.BlockSpec((Mp, B_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),

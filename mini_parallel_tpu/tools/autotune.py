@@ -102,6 +102,47 @@ def main(argv=None) -> int:
     print(f"\nbest: block={blk} unroll={unr} ({g:.1f} GCUPS; affine and "
           f"vs-ref kernels validated)")
     print(f"export MPT_SW_BLOCK={blk} MPT_SW_UNROLL={unr}")
+
+    # --- Pair-HMM forward: sweep its own unroll (MPT_PHMM_UNROLL) ---------
+    from mini_parallel_tpu.ops import pairhmm
+    from mini_parallel_tpu.ops.pairhmm_pallas import pairhmm_batch_pallas
+
+    hap_len = 2 * args.read_len
+    arr_h = np.full((args.reads, -(-hap_len // 8) * 8), encode.PAD_B, np.uint8)
+    arr_h[:, :hap_len] = rng.choice(base, size=(args.reads, hap_len))
+    h = jnp.asarray(arr_h)
+    err = jnp.full((args.reads, pad), 1e-3, jnp.float32)
+    la = jnp.full((args.reads,), args.read_len, jnp.int32)
+    lb = jnp.full((args.reads,), hap_len, jnp.int32)
+    # oracle spot-check lanes (use real mismatch content: slice of the hap)
+    oreads = [bytes(arr_h[i, 5 : 5 + 24]) for i in range(4)]
+    want_ll = np.array([
+        pairhmm.pairhmm_forward_numpy(r, np.full(24, 30.0), bytes(
+            arr_h[i, :hap_len])) for i, r in enumerate(oreads)
+    ])
+    cells_ph = args.reads * args.read_len * hap_len
+    best_ph = None
+    for unr in args.unrolls:
+        fn = lambda: pairhmm_batch_pallas(a, err, h, la, lb, unroll=unr)
+        try:
+            from mini_parallel_tpu.ops import encode as enc
+            oa, ola = enc.pad_batch(oreads, pad_to=24, pad_value=int(enc.PAD_A))
+            got_ll = np.asarray(pairhmm_batch_pallas(
+                jnp.asarray(oa), jnp.full((4, 24), 1e-3, jnp.float32),
+                h[:4], jnp.asarray(ola), lb[:4], unroll=unr))
+            if not np.allclose(got_ll, want_ll, atol=5e-3):
+                raise ValueError("WRONG RESULT")
+            np.asarray(fn())
+            dt = min(max((timed(fn, 7) - timed(fn, 2)) / 5, 1e-9)
+                     for _ in range(2))
+            g_ph = cells_ph / dt / 1e9
+            print(f"pairhmm unroll={unr}: {g_ph:7.1f} GCUPS")
+            if best_ph is None or g_ph > best_ph[0]:
+                best_ph = (g_ph, unr)
+        except Exception as e:  # noqa: BLE001
+            print(f"pairhmm unroll={unr}: FAILED {str(e)[-120:]}")
+    if best_ph is not None:
+        print(f"export MPT_PHMM_UNROLL={best_ph[1]}")
     return 0
 
 

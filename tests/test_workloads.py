@@ -638,6 +638,8 @@ def test_genotype_candidates_het_and_hom(tmp_path, rng, cfg):
             pls = [int(x) for x in pl.split(",")]
             assert min(pls) == 0
             assert pls[("0/0", "0/1", "1/1").index(gt)] == 0
+            # QUAL == the 0/0 PL (Phred confidence a variant exists)
+            assert int(fields[5]) == min(pls[0], 9999)
 
 
 def test_genotype_rc_reads_and_no_coverage(tmp_path, rng, cfg):
