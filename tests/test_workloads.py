@@ -720,3 +720,34 @@ def test_genotype_candidates_sharded_matches_local(tmp_path, rng, cfg, mesh8):
         assert sc[p].gt == lc[p].gt
         if lc[p].gl is not None:
             np.testing.assert_allclose(sc[p].gl, lc[p].gl, atol=1e-6)
+
+
+def test_genotype_multi_contig_and_edge_window(tmp_path, rng):
+    """Genotyping with two contigs: haplotype windows use contig-local
+    bounds (never crossing the N spacer), including a SNP 5bp from a
+    contig's start where the window clips."""
+    c1 = random_dna(rng, 700)
+    c2 = random_dna(rng, 500)
+    edge_pos = 5  # near the start of contig2: window must clip at 0
+    alt = b"G" if c2[edge_pos : edge_pos + 1] != b"G" else b"T"
+    hap2 = c2[:edge_pos] + alt + c2[edge_pos + 1:]
+    reads = []
+    for i in range(30):  # background on contig1
+        s = int(rng.integers(0, 600))
+        reads.append(c1[s : s + 100])
+    for i in range(20):  # hom-alt coverage of the edge SNP
+        reads.append(hap2[0 : 60 + (i % 7)])
+    path = str(tmp_path / "mcgt.fastq.gz")
+    fastq.write_fastq(path, reads)
+    eng = VariantPrepEngine(
+        {"chr1": c1, "chr2": c2},
+        Config(chunk_size_reads=16, read_pad=112),
+        min_depth=3, alt_fraction=0.5,
+    )
+    res = eng.process_file(path)
+    res = eng.genotype_candidates(path, res, window=50)
+    hits = [(c.contig, c.pos) for c in res.candidates]
+    assert ("chr2", edge_pos) in hits
+    c = next(c for c in res.candidates
+             if c.contig == "chr2" and c.pos == edge_pos)
+    assert c.gt == "1/1" and c.gl[2] > c.gl[0]
