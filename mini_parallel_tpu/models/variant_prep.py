@@ -994,15 +994,23 @@ class VariantPrepEngine:
         scores every (read, ref-window) and (read, alt-window) pair — ideal
         TPU shape regardless of per-site depth skew. Sets Candidate.gl =
         (RR, RA, AA) log10, .gt ('0/0'|'0/1'|'1/1'), and .gq (Phred).
-        SNPs and <DEL> candidates are genotyped (the deletion's alt
-        haplotype drops the site base); <INS> is left ungenotyped — the
-        inserted sequence is unknown without local assembly.
+        SNPs, <DEL>, and <INS> candidates are genotyped. Deletions drop the
+        site base from the alt haplotype. For insertions the inserted
+        SEQUENCE is first inferred from the covering reads' gapped
+        traceback positions (the run of unaligned bases anchored between
+        ref positions site-1 and site, majority-voted, >=2 supporting
+        reads); on success the candidate is rewritten to the VCF anchor
+        convention (POS=site-1, REF=anchor base, ALT=anchor+inserted) and
+        genotyped like any other allele. Inference failures stay symbolic
+        <INS> with gl=None. Use gap_model="affine" for canonical insertion
+        alleles: linear-gap tracebacks may split a multi-base insertion
+        into score-equivalent adjacent single-base events.
         """
         from mini_parallel_tpu.ops import pairhmm
         from mini_parallel_tpu.ops.pairhmm_pallas import pairhmm_log10_batch
 
         snps = [c for c in res.candidates
-                if len(c.alt_base) == 1 or c.alt_base == "<DEL>"]
+                if len(c.alt_base) == 1 or c.alt_base in ("<DEL>", "<INS>")]
         if not snps:
             return res
         off_by_name = dict(zip(self.contig_names,
@@ -1048,10 +1056,12 @@ class VariantPrepEngine:
                 for j in range(lo, hi):
                     s_i = int(order[j])
                     if len(site_reads[s_i]) < max_reads_per_site:
-                        site_reads[s_i].append((rb, qb))
+                        site_reads[s_i].append((rb, qb, p))
             if progress:
                 progress(f"  genotyping: {sum(map(len, site_reads))} "
                          f"read-site assignments")
+
+        ins_seqs = self._infer_insertions(snps, site_reads, abs_pos)
 
         ref_bytes = self.index.reference
         ereads: list[bytes] = []
@@ -1070,10 +1080,20 @@ class VariantPrepEngine:
             i0 = s_abs - w0
             if c.alt_base == "<DEL>":
                 alt_hap = ref_hap[:i0] + ref_hap[i0 + 1:]
+            elif c.alt_base == "<INS>":
+                seq = ins_seqs.get(s_i)
+                if seq is None or i0 == 0:  # no consensus / no anchor base
+                    continue
+                # inserted run sits between ref positions s-1 and s; rewrite
+                # to the VCF anchor convention
+                alt_hap = ref_hap[:i0] + seq + ref_hap[i0:]
+                c.pos -= 1
+                c.ref_base = chr(ref_hap[i0 - 1])
+                c.alt_base = c.ref_base + seq.decode()
             else:
                 alt_hap = (ref_hap[:i0] + c.alt_base.encode()
                            + ref_hap[i0 + 1:])
-            for rb, qb in rs:
+            for rb, qb, _p in rs:
                 ereads += [rb, rb]
                 equals += [qb, qb]
                 ehaps += [ref_hap, alt_hap]
@@ -1097,6 +1117,55 @@ class VariantPrepEngine:
                 min(p for i2, p in enumerate(pl) if i2 != gt_i), 99.0
             )))
         return res
+
+    def _infer_insertions(self, sites: list, site_reads: list,
+                          abs_pos: np.ndarray) -> dict:
+        """For <INS> candidates, infer the inserted sequence from the gapped
+        traceback of the covering reads: bases with reference position -1
+        anchored between positions site-1 and site (the pileup records
+        insertion evidence at anchor+1, _pileup_positions). Majority vote
+        across reads, >=2 supporting -> {site index: inserted bytes}."""
+        from collections import Counter, defaultdict
+
+        ins_idx = [s_i for s_i, c in enumerate(sites)
+                   if c.alt_base == "<INS>" and site_reads[s_i]]
+        if not ins_idx:
+            return {}
+        flat_reads: list[bytes] = []
+        flat_starts: list[int] = []
+        owner: list[int] = []
+        for s_i in ins_idx:
+            for rb, _qb, p in site_reads[s_i]:
+                flat_reads.append(rb)
+                flat_starts.append(p)
+                owner.append(s_i)
+        arr, lens, _pad = self._prep_batch(flat_reads)
+        codes_np = np.asarray(encode.ascii_to_code(jnp.asarray(arr)))
+        positions = self._gapped_positions(
+            codes_np, np.asarray(lens), np.asarray(flat_starts, np.int32),
+            np.ones(len(flat_reads), bool),
+        )
+        votes: dict = defaultdict(Counter)
+        for r_i, s_i in enumerate(owner):
+            s_abs = int(abs_pos[s_i])
+            p = positions[r_i]
+            hit = np.nonzero(p == s_abs - 1)[0]  # left anchor
+            if hit.size != 1:
+                continue
+            k = int(hit[0]) + 1
+            read = flat_reads[r_i]
+            ins = bytearray()
+            while k < len(read) and p[k] == -1:
+                ins.append(read[k])
+                k += 1
+            if ins and k < len(read) and p[k] == s_abs:
+                votes[s_i][bytes(ins)] += 1
+        out = {}
+        for s_i, ctr in votes.items():
+            seq, cnt = ctr.most_common(1)[0]
+            if cnt >= 2:
+                out[s_i] = seq
+        return out
 
     def _extract_candidates(self, pileup: np.ndarray) -> list[Candidate]:
         bases = "ACGTN"

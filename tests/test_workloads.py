@@ -751,3 +751,37 @@ def test_genotype_multi_contig_and_edge_window(tmp_path, rng):
     c = next(c for c in res.candidates
              if c.contig == "chr2" and c.pos == edge_pos)
     assert c.gt == "1/1" and c.gl[2] > c.gl[0]
+
+
+def test_genotype_insertion_inference(tmp_path, rng, cfg):
+    ref = random_dna(rng, 1500)
+    anchor = 700  # homozygous 3bp insertion between ref[700] and ref[701]
+    ins = b"TGA"
+    hap = ref[: anchor + 1] + ins + ref[anchor + 1:]
+    reads = []
+    for i in range(24):
+        s = anchor - 30 - (i % 10)
+        reads.append(hap[s : s + 64])
+    path = str(tmp_path / "ins.fastq.gz")
+    fastq.write_fastq(path, reads)
+    # affine gaps: one consolidated insertion event (linear-gap tracebacks
+    # may split a multi-base insertion into score-equivalent adjacent events)
+    eng = VariantPrepEngine(ref, cfg, gapped=True, min_depth=3,
+                            alt_fraction=0.2, gap_model="affine")
+    res = eng.process_file(path)
+    assert any(c.alt_base == "<INS>" for c in res.candidates)
+    res = eng.genotype_candidates(path, res)
+    called = [c for c in res.candidates
+              if c.gt is not None and len(c.alt_base) > 1
+              and not c.alt_base.startswith("<")]
+    assert called, "insertion should be inferred and genotyped"
+    c = called[0]
+    assert c.pos == anchor
+    assert c.ref_base == chr(ref[anchor])
+    assert c.alt_base == c.ref_base + ins.decode()
+    assert c.gt == "1/1" and c.gl[2] > c.gl[0]
+
+    # VCF carries the explicit inserted allele
+    vcf_path = str(tmp_path / "ins.vcf")
+    write_candidates_vcf(vcf_path, res)
+    assert f"\t{c.ref_base}\t{c.alt_base}\t" in open(vcf_path).read()
