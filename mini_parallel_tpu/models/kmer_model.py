@@ -274,10 +274,12 @@ class KmerEngine:
             return hi, lo, ct
         return agg.items_arrays()
 
-    def _load_resume(self, checkpoint_path: str | None, res: KmerResult):
+    def _load_resume(self, checkpoint_path: str | None, res: KmerResult,
+                     file_path: str | None = None):
         """-> (base arrays, start_chunk); validates the checkpoint matches
-        this engine's parameters (resuming with a different k / canonical /
-        chunk size would silently corrupt counts)."""
+        this engine's parameters AND the input file (resuming a different
+        FASTQ — or different k / canonical / chunk size — would silently
+        corrupt counts)."""
         base, start_chunk = _EMPTY_ARRAYS, 0
         if not checkpoint_path:
             return base, start_chunk
@@ -286,11 +288,12 @@ class KmerEngine:
             return base, start_chunk
         base, meta = loaded
         for key, val in (("k", self.k), ("canonical", self.canonical),
-                         ("chunk_size_reads", self.cfg.chunk_size_reads)):
+                         ("chunk_size_reads", self.cfg.chunk_size_reads),
+                         ("file_path", file_path)):
             if meta.get(key) != val:
                 raise ValueError(
                     f"k-mer checkpoint {checkpoint_path} has {key}="
-                    f"{meta.get(key)!r} but the engine uses {key}={val!r}"
+                    f"{meta.get(key)!r} but this run uses {key}={val!r}"
                 )
         start_chunk = int(meta["chunks_done"])
         res.total_reads = int(meta["total_reads"])
@@ -365,7 +368,8 @@ class KmerEngine:
         is written every N chunks, and a rerun resumes from it exactly."""
         res = KmerResult(file_path=path, k=self.k, canonical=self.canonical)
         t0 = time.perf_counter()
-        base, start_chunk = self._load_resume(checkpoint_path, res)
+        base, start_chunk = self._load_resume(checkpoint_path, res,
+                                              file_path=path)
         if self._use_device_acc():
             self._count_file_device(
                 path, res, progress, start_chunk=start_chunk, base=base,

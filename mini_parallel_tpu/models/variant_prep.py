@@ -769,30 +769,13 @@ class VariantPrepEngine:
         codes = encode.ascii_to_code(jnp.asarray(arr))
         lens_j = jnp.asarray(lens)
 
-        starts, mapped = _map_reads(
-            codes, lens_j, self.index.sorted_keys, self.index.sorted_pos
+        # same fwd/rc/rescue merge as the packed fused steps — one source of
+        # truth for the orientation + rescue semantics
+        final_codes, final_starts, final_mapped, flipped = _map_codes_batch(
+            codes, lens_j, self.index.sorted_keys, self.index.sorted_pos,
+            self.index.ref_ascii_dev, SEED_K, self.rescue,
+            self.rescue_min_frac,
         )
-        # reverse-complement attempt for unmapped reads
-        rc_reads = [r.translate(_RC_TABLE)[::-1] for r in reads]
-        rc_arr, rc_lens = encode.pad_batch(
-            rc_reads, pad_to=pad, pad_value=int(encode.PAD_A)
-        )
-        rc_codes = encode.ascii_to_code(jnp.asarray(rc_arr))
-        rc_starts, rc_mapped = _map_reads(
-            rc_codes, jnp.asarray(rc_lens), self.index.sorted_keys,
-            self.index.sorted_pos,
-        )
-        use_rc = (~mapped) & rc_mapped
-        final_codes = jnp.where(use_rc[:, None], rc_codes, codes)
-        final_starts = jnp.where(use_rc, rc_starts, starts)
-        final_mapped = mapped | rc_mapped
-        flipped = use_rc
-        if self.rescue:
-            final_codes, final_starts, final_mapped, rc_used = _rescue_unmapped(
-                final_codes, rc_codes, lens_j, self.index.ref_ascii_dev,
-                final_starts, final_mapped, self.rescue_min_frac,
-            )
-            flipped = flipped | rc_used
 
         qual_ok = None
         if qmask is not None:
@@ -803,9 +786,8 @@ class VariantPrepEngine:
             )
         if self.gapped:
             codes_np = np.asarray(final_codes)
-            lens_np = np.where(np.asarray(use_rc), np.asarray(rc_lens), lens)
             positions = self._gapped_positions(
-                codes_np, lens_np, np.asarray(final_starts),
+                codes_np, lens, np.asarray(final_starts),
                 np.asarray(final_mapped),
             )
             pileup_acc = pileup_acc + _pileup_positions(
@@ -817,10 +799,13 @@ class VariantPrepEngine:
             )
         return pileup_acc, int(np.asarray(final_mapped).sum())
 
-    def _checkpoint_meta(self, res: VariantPrepResult, chunks_done: int) -> dict:
-        """Resume-safety fingerprint: resuming with a different reference,
-        scoring config, or chunk geometry would corrupt the pileup."""
+    def _checkpoint_meta(self, res: VariantPrepResult, chunks_done: int,
+                         file_path: str | None = None) -> dict:
+        """Resume-safety fingerprint: resuming with a different input file,
+        reference, scoring config, or chunk geometry would corrupt the
+        pileup."""
         return {
+            "file_path": file_path,
             "reference_length": len(self.index.ref_codes),
             "contigs": [(n, int(l)) for n, l in self.contig_table()],
             "chunk_size_reads": self.cfg.chunk_size_reads,
@@ -831,7 +816,7 @@ class VariantPrepEngine:
         }
 
     def _load_resume(self, checkpoint_path: str | None,
-                     res: VariantPrepResult):
+                     res: VariantPrepResult, file_path: str | None = None):
         import json
 
         if not checkpoint_path or not os.path.exists(checkpoint_path):
@@ -839,9 +824,10 @@ class VariantPrepEngine:
         with np.load(checkpoint_path) as z:
             pileup = z["pileup"]
             meta = json.loads(str(z["meta"]))
-        want = self._checkpoint_meta(res, 0)
-        for key in ("reference_length", "contigs", "chunk_size_reads",
-                    "gapped", "gap_model", "rescue", "min_base_quality"):
+        want = self._checkpoint_meta(res, 0, file_path=file_path)
+        for key in ("file_path", "reference_length", "contigs",
+                    "chunk_size_reads", "gapped", "gap_model", "rescue",
+                    "min_base_quality"):
             got = meta.get(key)
             if key == "contigs":
                 got = [tuple(c) for c in (got or [])]
@@ -892,7 +878,8 @@ class VariantPrepEngine:
         t0 = time.perf_counter()
         G = len(self.index.ref_codes)
         res = VariantPrepResult(reference_length=G)
-        saved_pileup, start_chunk = self._load_resume(checkpoint_path, res)
+        saved_pileup, start_chunk = self._load_resume(checkpoint_path, res,
+                                                      file_path=path)
         pileup = (jnp.asarray(saved_pileup) if saved_pileup is not None
                   else jnp.zeros((G, 7), jnp.int32))
         deferred: list = []  # device scalars from the fused ungapped path
@@ -921,7 +908,7 @@ class VariantPrepEngine:
                 deferred.clear()
                 self._save_checkpoint(
                     checkpoint_path, np.asarray(pileup),
-                    self._checkpoint_meta(res, idx + 1),
+                    self._checkpoint_meta(res, idx + 1, file_path=path),
                 )
             if progress:
                 shown = (

@@ -74,13 +74,19 @@ def pairhmm_forward_numpy(read: bytes, qual_phred: np.ndarray, hap: bytes,
     return float(np.log10(total)) if total > 0 else float("-inf")
 
 
+LL_FLOOR = -300.0  # per-read log10 floor: even float64 can underflow to -inf
+# (a read mismatching both haplotypes badly enough); flooring keeps the
+# genotype algebra finite — a read that explains NEITHER haplotype carries
+# no genotype information, so the exact value below the floor is irrelevant
+
+
 def genotype_likelihoods(read_ll_ref: np.ndarray, read_ll_alt: np.ndarray,
                          ) -> tuple[float, float, float]:
     """Diploid genotype log10-likelihoods (RR, RA, AA) from per-read
     log10 P(read|ref-hap) and P(read|alt-hap) (GATK's model: each read drawn
     from one of the two genotype haplotypes with probability 1/2)."""
-    ref = np.asarray(read_ll_ref, np.float64)
-    alt = np.asarray(read_ll_alt, np.float64)
+    ref = np.maximum(np.asarray(read_ll_ref, np.float64), LL_FLOOR)
+    alt = np.maximum(np.asarray(read_ll_alt, np.float64), LL_FLOOR)
     rr = float(ref.sum())
     aa = float(alt.sum())
     # log10((10^ref + 10^alt) / 2) per read, summed — stable via max-factoring

@@ -224,7 +224,12 @@ def pairhmm_log10_batch(
     ]
     M = 1 << max(int(np.ceil(np.log2(max(len(r) for r in reads) or 1))), 3)
     N = 1 << max(int(np.ceil(np.log2(max(len(h) for h in haps) or 1))), 3)
-    Bp = B if mesh is None else -(-B // mesh.devices.size) * mesh.devices.size
+    # bucket B too: the assignment count is data-dependent, and every new
+    # shape is a remote compile (CLAUDE.md) — pad lanes are empty -> -inf,
+    # sliced off below
+    Bp = 1 << max(int(np.ceil(np.log2(B))), 7)
+    if mesh is not None:
+        Bp = -(-Bp // mesh.devices.size) * mesh.devices.size
     pad_n = Bp - B
     arr_r, la = encode.pad_batch(reads + [b""] * pad_n, pad_to=M,
                                  pad_value=int(PAD_A))

@@ -286,3 +286,17 @@ def test_kmer_checkpoint_param_mismatch_refuses(tmp_path, rng):
     with pytest.raises(ValueError, match="chunk_size_reads"):
         KmerEngine(cfg2, k=21).count_file(path, checkpoint_path=ckpt,
                                           checkpoint_every=1)
+
+
+def test_kmer_checkpoint_file_mismatch_refuses(tmp_path, rng):
+    lane1 = str(tmp_path / "l1.fastq.gz")
+    lane2 = str(tmp_path / "l2.fastq.gz")
+    fastq.write_fastq(lane1, [random_dna(rng, 40) for _ in range(10)])
+    fastq.write_fastq(lane2, [random_dna(rng, 40) for _ in range(10)])
+    cfg = Config(chunk_size_reads=5, read_pad=64)
+    ckpt = str(tmp_path / "c.npz")
+    KmerEngine(cfg, k=21).count_file(lane1, checkpoint_path=ckpt,
+                                     checkpoint_every=1)
+    with pytest.raises(ValueError, match="file_path"):
+        KmerEngine(cfg, k=21).count_file(lane2, checkpoint_path=ckpt,
+                                         checkpoint_every=1)

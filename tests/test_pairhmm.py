@@ -140,3 +140,13 @@ def test_pairhmm_log10_batch_mesh_matches_local(rng, mesh8):
     local = pairhmm_log10_batch(reads, quals, haps)
     sharded = pairhmm_log10_batch(reads, quals, haps, mesh=mesh8)
     np.testing.assert_allclose(sharded, local, rtol=0, atol=1e-6)
+
+
+def test_genotype_likelihoods_survives_double_underflow():
+    # a read that explains NEITHER haplotype (-inf from both) must not
+    # produce NaN genotype likelihoods (it carries no GT information)
+    ref_ll = np.array([-3.0, -np.inf])
+    alt_ll = np.array([-30.0, -np.inf])
+    rr, ra, aa = pairhmm.genotype_likelihoods(ref_ll, alt_ll)
+    assert np.isfinite([rr, ra, aa]).all()
+    assert rr > aa  # the informative read still dominates

@@ -785,3 +785,18 @@ def test_genotype_insertion_inference(tmp_path, rng, cfg):
     vcf_path = str(tmp_path / "ins.vcf")
     write_candidates_vcf(vcf_path, res)
     assert f"\t{c.ref_base}\t{c.alt_base}\t" in open(vcf_path).read()
+
+
+def test_variant_prep_checkpoint_file_mismatch_refuses(tmp_path, rng, cfg,
+                                                       ref_and_reads):
+    ref, reads = ref_and_reads
+    p1 = str(tmp_path / "a.fastq.gz")
+    p2 = str(tmp_path / "b.fastq.gz")
+    fastq.write_fastq(p1, [r for _, r in reads])
+    fastq.write_fastq(p2, [r for _, r in reads])
+    ckpt = str(tmp_path / "c.npz")
+    VariantPrepEngine(ref, cfg).process_file(p1, checkpoint_path=ckpt,
+                                             checkpoint_every=1)
+    with pytest.raises(ValueError, match="file_path"):
+        VariantPrepEngine(ref, cfg).process_file(p2, checkpoint_path=ckpt,
+                                                 checkpoint_every=1)
