@@ -300,7 +300,7 @@ def main(argv: list[str] | None = None, echo=print) -> int:
                 checkpoint_path=args.kmer_checkpoint,
                 checkpoint_every=args.kmer_checkpoint_every,
             )
-        except (OSError, IOError) as e:
+        except (OSError, IOError, ValueError) as e:
             echo(f"ERROR: {e}")
             return 1
         echo(f"Total {res.k}-mers: {res.total_kmers}")

@@ -493,12 +493,18 @@ class AlignmentEngine:
 
         res = FileResult(file_path=path)
         start_chunk = 0
+        prior_seconds = 0.0
         if resume is not None:
             start_chunk = int(getattr(resume, "chunks_done", 0))
             res.score = resume.score
             res.total_bases = resume.total_bases
             res.total_reads = resume.total_reads
             res.chunks = start_chunk
+            # carry elapsed time across attempts so per-file timing covers
+            # every attempt, not just the last one
+            ms = getattr(resume, "processing_time_ms", None)
+            prior_seconds = (ms / 1000.0 if ms is not None
+                             else getattr(resume, "seconds", 0.0))
         t0 = time.perf_counter()
         pending: list[bytes] = []
         # device-side score accumulation: each flush contributes one device
@@ -564,7 +570,7 @@ class AlignmentEngine:
             if deferred:
                 res.score += sum(int(s) for s in jax.device_get(deferred))
                 deferred.clear()
-            res.seconds = time.perf_counter() - t0
+            res.seconds = prior_seconds + (time.perf_counter() - t0)
             on_checkpoint(res)
 
         for idx, chunk in enumerate(fastq.iter_read_chunks(
@@ -623,7 +629,7 @@ class AlignmentEngine:
         # batch's sum in one device_get (per-scalar np.asarray would pay a
         # host<->device round trip each)
         res.score += sum(int(s) for s in jax.device_get(deferred))
-        res.seconds = time.perf_counter() - t0
+        res.seconds = prior_seconds + (time.perf_counter() - t0)
         return res
 
     def pair_align_files(self, file1: str, file2: str, progress=None) -> PairResult:

@@ -52,7 +52,8 @@ def process_full_wgs_dataset(
     echo(f"Mode: {engine.mode}")
     echo(info.banner())
 
-    run_id = deterministic_run_id(cfg.sample_id, files, engine.mode)
+    run_id = deterministic_run_id(cfg.sample_id, files, engine.mode,
+                                  chunk_size=cfg.chunk_size_reads)
     state = CheckpointState.load(run_id, checkpoint_dir)
     if state is not None:
         echo(f"Found existing checkpoint: {state.completed_files} files completed")
@@ -60,6 +61,9 @@ def process_full_wgs_dataset(
         echo("No existing checkpoint found, starting fresh run")
         state = CheckpointState(run_id=run_id, total_files=total_files,
                                 directory=checkpoint_dir)
+    # benchmark deltas: a resumed run must report THIS run's throughput,
+    # not prior runs' work divided by this run's wall time
+    f0, r0, b0, s0 = state.totals()
 
     tracker = BenchmarkTracker(
         workload="full_wgs",
@@ -110,8 +114,8 @@ def process_full_wgs_dataset(
                     f"current score: {res.score}"
                 )
                 f, r, b, s = state.totals(exclude_index=_i)
-                tracker.update(f, r + res.total_reads, b + res.total_bases,
-                               s + res.score)
+                tracker.update(f - f0, r + res.total_reads - r0,
+                               b + res.total_bases - b0, s + res.score - s0)
 
         def on_checkpoint(res: FileResult, _i=i, _path=path):
             state.add_file_result(
@@ -176,7 +180,7 @@ def process_full_wgs_dataset(
         results.append(res)
 
     f, r, b, s = state.totals()  # aligner.rs:342-347
-    tracker.update(f, r, b, s)
+    tracker.update(f - f0, r - r0, b - b0, s - s0)
     bench = tracker.finish(host_info={"banner": info.banner()})
     echo("BENCHMARK RESULTS:")
     echo("=" * 21)

@@ -50,6 +50,13 @@ def pack_kmers(
     W = L - k + 1
     if W <= 0:
         raise ValueError(f"read pad {L} shorter than k={k}")
+    if not 1 <= k <= 31:
+        # k=32 fills BOTH int32 halves: the all-T k-mer packs to (-1, -1),
+        # colliding with the run-detection init and losing its count; k>32
+        # overflows the hi word and aliases distinct k-mers. The native
+        # store documents the same bound (kmer_store.cpp: "k <= 31").
+        raise ValueError(f"k={k} out of range: 2-bit packed keys support "
+                         f"1 <= k <= 31")
     c = codes.astype(jnp.int32)
     k_hi = (k + 1) // 2  # bases in the hi word (<= 16 -> <= 32 bits)
 
@@ -110,12 +117,24 @@ def unique_counts_batch(
     okf = ok.reshape(n)
 
     hi_s, lo_s, ok_s = jax.lax.sort((hi, lo, okf), num_keys=2)
+    return _rle_compact(hi_s, lo_s, ok_s.astype(jnp.int32), ok_s)
+
+
+def _rle_compact(hi_s, lo_s, weights, valid):
+    """Collapse runs of equal (hi, lo) keys in SORTED key arrays.
+
+    -> (key_hi, key_lo, counts, n_unique): unique keys compacted to the
+    front (invalid tail = _SENTINEL keys, zero counts); counts[i] sums the
+    ``weights`` of run i. The single source of truth for the sort-free part
+    of the sorted-dedup used by unique_counts_batch AND _sorted_merge."""
+    n = hi_s.shape[0]
     prev_hi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), hi_s[:-1]])
     prev_lo = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lo_s[:-1]])
-    is_start = ok_s & ((hi_s != prev_hi) | (lo_s != prev_lo))
+    is_start = valid & ((hi_s != prev_hi) | (lo_s != prev_lo))
     seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # unique index per slot
     counts = jax.ops.segment_sum(
-        ok_s.astype(jnp.int32), jnp.where(ok_s, seg, n - 1), num_segments=n
+        jnp.where(valid, weights, 0), jnp.where(valid, seg, n - 1),
+        num_segments=n,
     )
     # place unique keys at their segment index
     key_hi = jnp.full((n,), _SENTINEL, jnp.int32)
@@ -176,23 +195,8 @@ def _sorted_merge(hi_a, lo_a, ct_a, hi_b, lo_b, ct_b):
     hi = jnp.concatenate([hi_a, hi_b])
     lo = jnp.concatenate([lo_a, lo_b])
     ct = jnp.concatenate([ct_a, ct_b])
-    n = hi.shape[0]
     hi, lo, ct = jax.lax.sort((hi, lo, ct), num_keys=2)
-    valid = ct > 0
-    prev_hi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), hi[:-1]])
-    prev_lo = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lo[:-1]])
-    is_start = valid & ((hi != prev_hi) | (lo != prev_lo))
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    seg = jnp.where(valid, seg, n - 1)
-    counts = jax.ops.segment_sum(jnp.where(valid, ct, 0), seg, num_segments=n)
-    out_hi = jnp.full((n,), _SENTINEL, jnp.int32)
-    out_lo = jnp.full((n,), _SENTINEL, jnp.int32)
-    idx = jnp.where(is_start, jnp.cumsum(is_start.astype(jnp.int32)) - 1, n - 1)
-    out_hi = out_hi.at[idx].set(jnp.where(is_start, hi, _SENTINEL))
-    out_lo = out_lo.at[idx].set(jnp.where(is_start, lo, _SENTINEL))
-    n_unique = is_start.sum(dtype=jnp.int32)
-    counts = counts * (jnp.arange(n) < n_unique)
-    return out_hi, out_lo, counts, n_unique
+    return _rle_compact(hi, lo, ct, ct > 0)
 
 
 class DeviceKmerAccumulator:
@@ -240,9 +244,11 @@ class DeviceKmerAccumulator:
         elif n != self._slot:
             # shape change (e.g. final partial chunk bucketed differently):
             # fold what we have, then restart staging at the new slot size
-            self.flush()
+            # (reset_staging=False: the old-geometry staging arrays would be
+            # reallocated only to be discarded here — a ~3x slot*batches
+            # transient HBM spike at production sizes)
+            self.flush(reset_staging=False)
             self._slot = n
-            self._staging = None
         if self._staging is None:
             self._reset_staging()
         sh, sl, sc = self._staging
@@ -261,13 +267,23 @@ class DeviceKmerAccumulator:
 
     _INT32_SAFE = (1 << 31) - (1 << 26)  # headroom > any single staging fold
 
-    def flush(self) -> None:
+    def _after_fold(self, reset_staging: bool) -> None:
+        if reset_staging:
+            self._reset_staging()
+        else:  # caller is about to change slot geometry: drop, don't realloc
+            self._staging = None
+            self._off = 0
+            self._pending = 0
+
+    def flush(self, reset_staging: bool = True) -> None:
         """Fold staging into the store (one sorted merge in HBM).
 
         Fully asynchronous while the added-slots bound proves the store
         cannot overflow; only past that bound does it pay one scalar fetch
         per fold to check the true unique count."""
         if self._staging is None or self._pending == 0:
+            if self._staging is not None and not reset_staging:
+                self._after_fold(False)
             return
         sh, sl, sc = self._staging
         if self._store is None:
@@ -278,7 +294,7 @@ class DeviceKmerAccumulator:
             # count can exceed added -> no overflow check needed (no sync)
             self._store = (hi[: self.capacity], lo[: self.capacity],
                            ct[: self.capacity])
-            self._reset_staging()
+            self._after_fold(reset_staging)
             return
         if self._added > self._INT32_SAFE or int(nu) > self.capacity:
             # overflow: spill the FULL merged result (pre-truncation) to the
@@ -289,7 +305,7 @@ class DeviceKmerAccumulator:
         else:
             self._store = (hi[: self.capacity], lo[: self.capacity],
                            ct[: self.capacity])
-        self._reset_staging()
+        self._after_fold(reset_staging)
 
     def _spill(self, hi, lo, ct) -> None:
         hi, lo, ct = np.asarray(hi), np.asarray(lo), np.asarray(ct)

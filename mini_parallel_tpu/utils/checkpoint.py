@@ -111,8 +111,16 @@ class CheckpointState:
         )
 
 
-def deterministic_run_id(sample_id: str, files: list[str], mode: str) -> str:
-    """Stable across restarts for the same dataset+mode — the fix for the
-    reference's timestamped run_id (aligner.rs:219) that broke resume."""
-    h = hashlib.sha256(("|".join(files) + "|" + mode).encode()).hexdigest()[:8]
+def deterministic_run_id(sample_id: str, files: list[str], mode: str,
+                         chunk_size: int | None = None) -> str:
+    """Stable across restarts for the same dataset+mode+chunking — the fix
+    for the reference's timestamped run_id (aligner.rs:219) that broke
+    resume. chunk_size participates in the hash because chunk-level resume
+    points (FileCheckpoint.chunks_done) are indexed in chunk units: loading
+    them under a different CHUNK_SIZE_READS would skip the wrong reads and
+    silently corrupt scores."""
+    payload = "|".join(files) + "|" + mode
+    if chunk_size is not None:
+        payload += f"|chunk{chunk_size}"
+    h = hashlib.sha256(payload.encode()).hexdigest()[:8]
     return f"wgs_{sample_id}_{mode}_{h}"

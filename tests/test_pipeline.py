@@ -106,7 +106,8 @@ def test_full_wgs_with_checkpoint_resume(tmp_path, rng, cfg, monkeypatch):
     assert len(results) == 2
     assert all(r.score == 4 for r in results)
 
-    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(), "kadane")
+    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(),
+                              "kadane", chunk_size=cfg.chunk_size_reads)
     state = CheckpointState.load(run_id, str(tmp_path))
     assert state is not None and state.completed_files == 2
 
@@ -117,11 +118,14 @@ def test_full_wgs_with_checkpoint_resume(tmp_path, rng, cfg, monkeypatch):
     assert len(results2) == 2 and all(r.score == 4 for r in results2)
     assert sum("Skipping file" in line for line in out2) == 2
 
-    # benchmark JSON written with real totals
+    # benchmark JSON written with real totals for the run that did the work
     legacy = json.loads((tmp_path / "benchmark_results.json").read_text())
-    assert legacy[-1]["total_reads"] == 20
-    assert legacy[-1]["total_bases"] == 6000
-    assert legacy[-1]["total_score"] == 8
+    assert legacy[-2]["total_reads"] == 20
+    assert legacy[-2]["total_bases"] == 6000
+    assert legacy[-2]["total_score"] == 8
+    # the pure-resume run did NO new work and must say so (a resumed run's
+    # throughput is this run's deltas, not prior work over this run's time)
+    assert legacy[-1]["total_reads"] == 0
 
 
 def test_self_align_file_chunk_resume_bit_exact(tmp_path, rng, cfg):
@@ -192,7 +196,8 @@ def test_full_wgs_mid_file_failure_resumes_from_chunk(tmp_path, cfg, rng,
         process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
                                  echo=lambda *_: None,
                                  checkpoint_every_chunks=2)
-    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(), "kadane")
+    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(),
+                              "kadane", chunk_size=cfg.chunk_size_reads)
     state = CheckpointState.load(run_id, str(tmp_path))
     partial = state.get_file(0)
     assert partial is not None and not partial.completed
@@ -219,7 +224,8 @@ def test_full_wgs_failure_saves_partial_checkpoint(tmp_path, cfg, rng, monkeypat
     with pytest.raises(RuntimeError, match="File 2 failed"):
         process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
                                  echo=lambda *_: None)
-    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(), "kadane")
+    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(),
+                              "kadane", chunk_size=cfg.chunk_size_reads)
     state = CheckpointState.load(run_id, str(tmp_path))
     assert state is not None
     assert state.is_file_completed(0) and not state.is_file_completed(1)
@@ -346,7 +352,8 @@ def test_full_wgs_retries_recover_transient_failure(tmp_path, cfg, rng,
 
     # retries=0 keeps the reference's abort semantics
     fails["left"] = 1
-    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(), "kadane")
+    run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(),
+                              "kadane", chunk_size=cfg.chunk_size_reads)
     os.remove(str(tmp_path / f"checkpoint_{run_id}.json"))
     with pytest.raises(RuntimeError, match="File 1 failed"):
         process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
