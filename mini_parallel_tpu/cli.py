@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k for --kmer (default 21)")
     p.add_argument("--canonical", action="store_true",
                    help="fold k-mers with their reverse complements")
+    p.add_argument("--kmer-out", metavar="PATH", default=None,
+                   help="write all distinct k-mer counts as '<kmer>\\t<count>' "
+                   "lines (gzip when PATH ends in .gz)")
     p.add_argument("--kmer-checkpoint", metavar="NPZ", default=None,
                    help="crash-resumable --kmer runs: snapshot merged counts "
                    "to this .npz and resume from it if it exists")
@@ -308,6 +311,9 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         echo(f"Reads: {res.total_reads}, time: {res.seconds:.2f} s")
         for s, c in res.top(10):
             echo(f"  {s}  {c}")
+        if args.kmer_out:
+            n = res.write_counts(args.kmer_out)
+            echo(f"Counts: {n} records -> {args.kmer_out}")
         return 0
 
     if args.files:  # main.rs:170-182

@@ -18,6 +18,7 @@ Transfer discipline (the pipeline is wire-bound, not compute-bound):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -61,6 +62,26 @@ class KmerResult:
             (kmer.key_to_string(int(hi[i]), int(lo[i]), self.k), int(ct[i]))
             for i in order
         ]
+
+    def write_counts(self, path: str) -> int:
+        """Dump every distinct k-mer as "<kmer>\\t<count>" lines, sorted by
+        key (gzip when path ends in .gz) — the Jellyfish-style dump format
+        downstream tools consume. Returns the number of records written."""
+        import gzip
+
+        if not self.arrays:
+            open(path, "wb").close()
+            return 0
+        hi, lo, ct = self.arrays
+        order = np.lexsort((lo, hi))
+        opener = gzip.open if path.endswith(".gz") else open
+        tmp = path + ".tmp"
+        with opener(tmp, "wt") as f:
+            for i in order:
+                f.write(f"{kmer.key_to_string(int(hi[i]), int(lo[i]), self.k)}"
+                        f"\t{int(ct[i])}\n")
+        os.replace(tmp, path)
+        return int(hi.size)
 
 
 def _fetch_bucket(n: int, cap: int) -> int:

@@ -106,3 +106,10 @@ def test_variant_prep_genotype_flag(capsys, monkeypatch, fixtures):
                capsys, monkeypatch, fixtures,
                expect="Candidate variant sites:")
     assert "ERROR" not in out
+
+
+def test_kmer_out_flag(capsys, monkeypatch, fixtures):
+    f = fixtures
+    out = _run(["--kmer", f["r1"], "-k", "15", "--kmer-out", "k.tsv"],
+               capsys, monkeypatch, fixtures, expect="records -> k.tsv")
+    assert (fixtures["tmp"] / "k.tsv").exists()

@@ -300,3 +300,20 @@ def test_kmer_checkpoint_file_mismatch_refuses(tmp_path, rng):
     with pytest.raises(ValueError, match="file_path"):
         KmerEngine(cfg, k=21).count_file(lane2, checkpoint_path=ckpt,
                                          checkpoint_every=1)
+
+
+def test_kmer_write_counts_dump(tmp_path, rng):
+    reads = [random_dna(rng, 40) for _ in range(12)]
+    path = str(tmp_path / "lane.fastq.gz")
+    fastq.write_fastq(path, reads)
+    res = KmerEngine(Config(chunk_size_reads=5, read_pad=64), k=21).count_file(path)
+    out = str(tmp_path / "counts.tsv.gz")
+    n = res.write_counts(out)
+    assert n == res.distinct_kmers
+    import gzip
+
+    lines = gzip.open(out, "rt").read().splitlines()
+    golden = kmer.count_kmers_python(reads, k=21)
+    got = {l.split("\t")[0]: int(l.split("\t")[1]) for l in lines}
+    assert got == dict(golden)
+    assert lines == sorted(lines)  # key-sorted dump
