@@ -14,7 +14,8 @@ def read_fasta(path: str) -> dict[str, bytes]:
         if line.startswith(b">"):
             if name is not None:
                 out[name] = b"".join(parts)
-            name = line[1:].split()[0].decode() if len(line) > 1 else ""
+            fields = line[1:].split()
+            name = fields[0].decode() if fields else ""
             parts = []
         elif name is not None:
             parts.append(line.strip().upper())

@@ -37,9 +37,18 @@ def open_lines(path: str, engine: str = "auto") -> Iterator[bytes]:
             # zcat child-process path, kept for parity with aligner.rs:111-120
             proc = subprocess.Popen(["zcat", path], stdout=subprocess.PIPE)
             assert proc.stdout is not None
-            stream: io.BufferedIOBase = proc.stdout
-        else:
-            stream = gzip.open(path, "rb")  # type: ignore[assignment]
+            try:
+                for line in proc.stdout:
+                    yield line.rstrip(b"\r\n")
+            finally:
+                proc.stdout.close()
+                rc = proc.wait()  # reap; the reference leaked zombies here
+            if rc != 0:
+                # a missing/corrupt .gz must fail like the gzip path does,
+                # not read as an empty file
+                raise IOError(f"zcat exited {rc} for {path}")
+            return
+        stream: io.BufferedIOBase = gzip.open(path, "rb")  # type: ignore[assignment]
     else:
         stream = open(path, "rb")
     try:
@@ -63,15 +72,21 @@ def iter_read_chunks(
     generator instead of a callback, which composes with prefetching.
     """
     if engine in ("auto", "native"):
+        yielded = False
         try:
             from mini_parallel_tpu.native import fastq_native
 
-            yield from fastq_native.iter_reads_native(path, chunk_size_reads)
+            for chunk in fastq_native.iter_reads_native(path, chunk_size_reads):
+                yielded = True
+                yield chunk
             return
         except IOError:
             raise
         except Exception:
-            if engine == "native":
+            if engine == "native" or yielded:
+                # once anything reached the consumer, falling through to the
+                # Python path would re-read from the start and silently
+                # double-count every already-yielded chunk
                 raise
             # native plane unavailable: fall through to the Python path
 

@@ -57,12 +57,15 @@ class LineSource {
   bool eof() const { return eof_ && pos_ >= buf_len_; }
 
   // Returns false at EOF or error; line excludes the trailing \n / \r\n.
+  // On a stream ERROR any partial line is dropped (returning it would hand
+  // the consumer a truncated sequence as if it were complete); only a clean
+  // EOF returns a final newline-less line.
   bool next_line(std::string* line) {
     line->clear();
     while (true) {
       if (pos_ >= buf_len_) {
-        if (eof_) return !line->empty();
-        if (!fill()) return !line->empty();
+        if (eof_) return ok() && !line->empty();
+        if (!fill()) return ok() && !line->empty();
       }
       const char* start = buf_.data() + pos_;
       const char* nl = static_cast<const char*>(
@@ -119,8 +122,11 @@ class LineSource {
 struct Reader {
   std::unique_ptr<LineSource> src;
   int64_t chunk_size_reads = 0;
-  int64_t line_count = 0;
-  int64_t total_reads = 0;
+  // atomics: mutated by the worker thread, read by fq_line_count /
+  // fq_total_reads on the consumer thread (values reflect producer
+  // readahead — up to kMaxQueue chunks ahead of what was consumed)
+  std::atomic<int64_t> line_count{0};
+  std::atomic<int64_t> total_reads{0};
 
   // readahead
   std::thread worker;
@@ -168,7 +174,14 @@ struct Reader {
         }
       }
     }
-    if (chunk->offsets.size() > 1) push(std::move(chunk));
+    bool had_error;
+    {
+      std::lock_guard<std::mutex> l(mu);
+      had_error = !error.empty();
+    }
+    // never hand the consumer a chunk cut short by a stream error: the
+    // caller must see the -1/error, not a silently truncated batch
+    if (!had_error && chunk->offsets.size() > 1) push(std::move(chunk));
     std::lock_guard<std::mutex> l(mu);
     done = true;
     cv_consume.notify_all();

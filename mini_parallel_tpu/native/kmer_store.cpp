@@ -19,7 +19,8 @@ namespace {
 
 struct Slot {
   uint64_t key;
-  uint64_t count;  // count==0 marks an empty slot; keys use key+1 internally
+  uint64_t count;  // count==0 marks an empty slot (keys are stored
+                   // verbatim; key 0 is protected by the count flag)
 };
 
 struct Store {

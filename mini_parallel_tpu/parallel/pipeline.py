@@ -18,7 +18,6 @@ one long sequence sharded over the ``seq`` axis via the Kadane monoid.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +71,6 @@ def _local_wgs_step(reads_a, reads_b, len_a, len_b, data_axis):
     codes = encode.ascii_to_code(reads_a)
     pos = jnp.arange(reads_a.shape[1], dtype=jnp.int32)[None, :]
     vmask = pos < len_a[:, None]
-    hist = jnp.zeros((5,), jnp.int32)
     one_hot = (codes[..., None] == jnp.arange(5)[None, None, :]) & vmask[..., None]
     hist = one_hot.sum(axis=(0, 1), dtype=jnp.int32)
 

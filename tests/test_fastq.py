@@ -76,3 +76,19 @@ def test_truncated_gz_raises(tmp_path):
         f.write(blob[: len(blob) // 2])
     with pytest.raises((IOError, EOFError)):
         list(fastq.iter_read_chunks(path, 10))
+
+
+def test_zcat_engine_missing_file_raises(tmp_path):
+    import pytest
+
+    with pytest.raises(IOError, match="zcat exited"):
+        list(fastq.open_lines(str(tmp_path / "nope.fastq.gz"), engine="zcat"))
+
+
+def test_zcat_engine_corrupt_gz_raises(tmp_path):
+    import pytest
+
+    bad = tmp_path / "bad.fastq.gz"
+    bad.write_bytes(b"this is not gzip data")
+    with pytest.raises(IOError, match="zcat exited"):
+        list(fastq.open_lines(str(bad), engine="zcat"))

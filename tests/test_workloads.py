@@ -800,3 +800,10 @@ def test_variant_prep_checkpoint_file_mismatch_refuses(tmp_path, rng, cfg,
     with pytest.raises(ValueError, match="file_path"):
         VariantPrepEngine(ref, cfg).process_file(p2, checkpoint_path=ckpt,
                                                  checkpoint_every=1)
+
+
+def test_fasta_header_whitespace_only(tmp_path):
+    p = tmp_path / "odd.fa"
+    p.write_bytes(b"> \nACGT\n>chr2 desc\nTTTT\n")
+    recs = fasta.read_fasta(str(p))
+    assert recs == {"": b"ACGT", "chr2": b"TTTT"}
