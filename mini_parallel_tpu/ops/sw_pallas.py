@@ -71,7 +71,10 @@ def _env_int(name: str, default: int) -> int:
     if not raw:
         return default
     try:
-        return int(raw)
+        val = int(raw)
+        if val <= 0:
+            raise ValueError(raw)
+        return val
     except ValueError:
         import warnings
 

@@ -83,7 +83,10 @@ def sw_align_numpy(a, b) -> Alignment:
                 move[i, j] = UP
             else:
                 move[i, j] = LEFT
-            if h > best:
+            # tie-break matches the batched scan (sw_moves_batch): first
+            # diagonal reaching the max, then smallest i within it
+            if h > best or (h == best and h > 0
+                            and (i + j, i) < (bi + bj, bi)):
                 best, bi, bj = h, i, j
     # walk
     ops = []
@@ -237,7 +240,8 @@ E_SRC, F_SRC = 2, 3  # H-source codes (STOP=0, DIAG=1 shared with linear)
 _NEG_TB = -(2**24)
 
 
-def sw_affine_align_numpy(a, b, gap_open: int = -2, gap_extend: int = -1,
+def sw_affine_align_numpy(a, b, gap_open: int | None = None,
+                          gap_extend: int | None = None,
                           match: int = MATCH_SCORE,
                           mismatch: int = MISMATCH_PENALTY) -> Alignment:
     """Golden Gotoh scoring + traceback (host-only, tests). Tie conventions
@@ -247,6 +251,9 @@ def sw_affine_align_numpy(a, b, gap_open: int = -2, gap_extend: int = -1,
         a = a.encode("ascii")
     if isinstance(b, str):
         b = b.encode("ascii")
+    # defaults come from the one place the batched path reads them too
+    gap_open = GAP_OPEN if gap_open is None else gap_open
+    gap_extend = GAP_EXTEND if gap_extend is None else gap_extend
     a = np.frombuffer(bytes(a), np.uint8)
     b = np.frombuffer(bytes(b), np.uint8)
     m, n = len(a), len(b)
@@ -278,7 +285,10 @@ def sw_affine_align_numpy(a, b, gap_open: int = -2, gap_extend: int = -1,
                 hsrc[i, j] = E_SRC
             else:
                 hsrc[i, j] = F_SRC
-            if h > best:
+            # tie-break matches sw_affine_moves_batch: first diagonal
+            # reaching the max, then smallest i within it
+            if h > best or (h == best and h > 0
+                            and (i + j, i) < (bi + bj, bi)):
                 best, bi, bj = h, i, j
     if best <= 0:
         return Alignment(0, 0, 0, 0, 0, "")

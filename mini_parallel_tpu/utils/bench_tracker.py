@@ -44,8 +44,9 @@ class BenchmarkResult:
 
 
 def next_run_number(results_dir: str = "benchmark_results") -> int:
-    """Max existing run number + 1, scanned from disk — stable across
-    processes, unlike the reference's in-memory counter (benchmark.rs:429)."""
+    """Max existing run number + 1, scanned from disk (pure query; trackers
+    use claim_run_number, which reserves). Unlike the reference's in-memory
+    counter (benchmark.rs:429), repeated queries don't drift."""
     if not os.path.isdir(results_dir):
         return 1
     best = 0
@@ -54,6 +55,23 @@ def next_run_number(results_dir: str = "benchmark_results") -> int:
         if m:
             best = max(best, int(m.group(1)))
     return best + 1
+
+
+def claim_run_number(results_dir: str = "benchmark_results") -> int:
+    """Smallest unclaimed run number, RESERVED atomically: the per-run file
+    is exclusively created (O_EXCL) as a placeholder, so two trackers
+    scanning concurrently cannot claim the same number and clobber each
+    other's results — a plain scan-then-write keeps that race."""
+    os.makedirs(results_dir, exist_ok=True)
+    n = next_run_number(results_dir)
+    while True:
+        path = os.path.join(results_dir, f"run_{n}_benchmark_results.json")
+        try:
+            with open(path, "x") as f:
+                f.write("{}")  # placeholder; finish() overwrites
+            return n
+        except FileExistsError:
+            n += 1
 
 
 class BenchmarkTracker:
@@ -67,7 +85,7 @@ class BenchmarkTracker:
     ):
         self.results_dir = results_dir
         self.result = BenchmarkResult(
-            run_number=next_run_number(results_dir),
+            run_number=claim_run_number(results_dir),
             workload=workload,
             chunk_size_reads=chunk_size_reads,
             device=device,
@@ -111,8 +129,12 @@ class BenchmarkTracker:
         )
         with open(per_run, "w") as f:
             json.dump(payload, f, indent=2)
-        # legacy aggregate list (benchmark.rs:165-208)
-        legacy = "benchmark_results.json"
+        # legacy aggregate list (benchmark.rs:165-208): lives NEXT TO the
+        # results dir (for the default "benchmark_results" that is the CWD,
+        # matching the reference), never an unrelated CWD when results_dir
+        # is absolute
+        legacy = os.path.join(os.path.dirname(self.results_dir.rstrip("/"))
+                              or ".", "benchmark_results.json")
         history: list = []
         if os.path.exists(legacy):
             try:

@@ -70,3 +70,29 @@ def test_legacy_aggregate_appends(tmp_path, monkeypatch):
     assert isinstance(history, list) and len(history) == 2
     assert history[0]["run_number"] == 1
     assert history[1]["run_number"] == 2
+
+
+def test_claim_run_number_reserves_atomically(tmp_path):
+    from mini_parallel_tpu.utils.bench_tracker import claim_run_number
+
+    d = str(tmp_path / "r")
+    # concurrent claims never collide: each claim reserves its file
+    assert claim_run_number(d) == 1
+    assert claim_run_number(d) == 2
+    assert claim_run_number(d) == 3
+    import os
+
+    assert sorted(os.listdir(d)) == [
+        f"run_{n}_benchmark_results.json" for n in (1, 2, 3)
+    ]
+
+
+def test_legacy_aggregate_follows_results_dir(tmp_path):
+    from mini_parallel_tpu.utils.bench_tracker import BenchmarkTracker
+
+    d = tmp_path / "deep" / "results"
+    t = BenchmarkTracker("wgs", 100, device="cpu", results_dir=str(d))
+    t.update(1, 10, 1000, 2)
+    t.finish()
+    # legacy aggregate lands NEXT TO the results dir, not in an unrelated CWD
+    assert (tmp_path / "deep" / "benchmark_results.json").exists()
