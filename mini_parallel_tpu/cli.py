@@ -139,6 +139,11 @@ def _require_accelerator(allow_cpu: bool, echo=print) -> None:
 def main(argv: list[str] | None = None, echo=print) -> int:
     args = build_parser().parse_args(argv)
     config_mod.load_dotenv(args.env)  # main.rs:50
+    # multi-host bring-up MUST precede any backend use (get_system_info,
+    # mesh construction, compile-cache probing all touch jax.devices())
+    from mini_parallel_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
     # persistent compile cache: the TPU analogue of NOT rebuilding the kernel
     # per launch (the reference recompiled its OpenCL program on every chunk,
     # aligner.rs:504-508 — its top measured bottleneck)
@@ -170,7 +175,9 @@ def main(argv: list[str] | None = None, echo=print) -> int:
     if cfg.mesh_shape:  # MPT_MESH_SHAPE: shard batches over local chips
         from mini_parallel_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(cfg.mesh_shape, axis_names=("data",) * len(cfg.mesh_shape))
+        # default axis names: ("data",) or ("data", "seq") — duplicate
+        # names would silently collapse the Mesh's named shape
+        mesh = make_mesh(cfg.mesh_shape)
     engine = AlignmentEngine(cfg, mesh=mesh)
 
     if args.full_wgs:  # main.rs:72-124

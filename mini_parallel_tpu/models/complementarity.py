@@ -46,6 +46,9 @@ class ComplementarityResult:
     comp_score_sum: int = 0
     perfect_pairs: int = 0
     seconds: float = 0.0
+    # reads with no mate (unequal R1/R2 lane sizes — a data-integrity
+    # signal, e.g. a truncated download); excluded from the pair metrics
+    unpaired_reads: int = 0
 
     @property
     def pct_non_complementary(self) -> float:
@@ -172,11 +175,14 @@ class ComplementarityEngine:
                           ) -> ComplementarityResult:
         res = ComplementarityResult(file1=file1, file2=file2)
         t0 = time.perf_counter()
+        from itertools import zip_longest
+
         it1 = fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads)
         it2 = fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads)
         deferred: list = []  # (n, direct_sum, comp_sum, perfect) device scalars
-        for c1, c2 in zip(it1, it2):
+        for c1, c2 in zip_longest(it1, it2, fillvalue=[]):
             n = min(len(c1), len(c2))
+            res.unpaired_reads += max(len(c1), len(c2)) - n
             if n == 0:
                 continue
             stats = self._batch_stats(
@@ -186,6 +192,9 @@ class ComplementarityEngine:
             res.pairs += n
             if progress:
                 progress(f"  {res.pairs} pairs queued")
+        if res.unpaired_reads and progress:
+            progress(f"  WARNING: {res.unpaired_reads} unpaired reads "
+                     f"(unequal lane sizes) excluded from pair metrics")
         # single drain: host decode overlapped the queued device work above;
         # one device_get fetches every batch's 3 scalars together (per-scalar
         # np.asarray would pay a host<->device round trip each)

@@ -77,7 +77,7 @@ def process_full_wgs_distributed(
 
     from mini_parallel_tpu.models.wgs import process_full_wgs_dataset
 
-    initialize_distributed()
+    initialize_distributed()  # idempotent; the CLI already ran it at startup
     pid, nproc = jax.process_index(), jax.process_count()
     files = cfg.wgs_file_list() if cfg else engine.cfg.wgs_file_list()
     my_files = shard_files(files, pid, nproc)

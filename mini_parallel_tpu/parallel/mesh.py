@@ -12,21 +12,44 @@ DATA_AXIS = "data"  # read-batch (data-parallel) axis
 SEQ_AXIS = "seq"  # sequence-position (sequence-parallel) axis
 
 
+_distributed_initialized = False
+
+
 def initialize_distributed() -> bool:
     """Multi-host bring-up via jax.distributed, driven by env vars.
 
-    Call once per process on a pod slice. Controlled by standard JAX envs
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) so single-
-    host runs need nothing. Returns True if distributed mode was initialized.
+    MUST run before anything touches a JAX backend (jax.devices(), any
+    computation) — jax.distributed.initialize refuses afterwards. The CLI
+    calls this first thing in main(); library users on a pod slice should
+    call it at startup. Idempotent. Controlled by standard JAX envs
+    (JAX_COORDINATOR_ADDRESS required; JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    optional — JAX auto-detects when unset). Returns True when running in
+    distributed mode.
     """
+    global _distributed_initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coord:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coord,
-        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=int(os.environ["JAX_PROCESS_ID"]),
-    )
+    if _distributed_initialized:
+        return True
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
+        )
+    except RuntimeError as e:
+        if "already initialized" in str(e):
+            # a backend came up before us: distributed mode is impossible now
+            raise RuntimeError(
+                "jax.distributed must initialize before any JAX backend use; "
+                "call mini_parallel_tpu.parallel.mesh.initialize_distributed()"
+                " at process startup (the CLI does this automatically)"
+            ) from e
+        raise
+    _distributed_initialized = True
     return True
 
 

@@ -108,7 +108,16 @@ def get_config(env: dict | None = None, require_chunk_size: bool = True) -> Conf
                 f"Invalid GPU_CHUNK_SIZE_READS value '{chunk_raw}': {e}"  # aligner.rs:14
             )
     mesh_raw = env.get("MPT_MESH_SHAPE", "")
-    mesh = tuple(int(x) for x in mesh_raw.replace("x", " ").split()) if mesh_raw else ()
+    try:
+        mesh = tuple(
+            int(x) for x in
+            mesh_raw.lower().replace("x", " ").replace(",", " ").split()
+        ) if mesh_raw else ()
+    except ValueError as e:
+        raise ConfigError(
+            f"Invalid MPT_MESH_SHAPE value '{mesh_raw}' (want e.g. '8' or "
+            f"'4x2'): {e}"
+        )
     return Config(
         wgs_data_dir=env.get("WGS_DATA_DIR", "/path/to/wgs/data"),
         sample_id=env.get("WGS_SAMPLE_ID", "SAMPLE_ID"),

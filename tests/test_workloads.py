@@ -807,3 +807,17 @@ def test_fasta_header_whitespace_only(tmp_path):
     p.write_bytes(b"> \nACGT\n>chr2 desc\nTTTT\n")
     recs = fasta.read_fasta(str(p))
     assert recs == {"": b"ACGT", "chr2": b"TTTT"}
+
+
+def test_complementarity_unequal_lanes_surfaced(tmp_path, rng, cfg):
+    r1 = [random_dna(rng, 40) for _ in range(20)]
+    r2 = [revcomp(r) for r in r1[:13]]  # 7 unpaired R1 reads
+    f1, f2 = str(tmp_path / "u1.fastq.gz"), str(tmp_path / "u2.fastq.gz")
+    fastq.write_fastq(f1, r1)
+    fastq.write_fastq(f2, r2)
+    logs = []
+    res = ComplementarityEngine(cfg, mode="sw").analyze_lane_pair(
+        f1, f2, progress=logs.append)
+    assert res.pairs == 13 and res.unpaired_reads == 7
+    assert res.perfect_pairs == 13
+    assert any("unpaired" in line for line in logs)
