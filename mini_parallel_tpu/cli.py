@@ -52,8 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scoring mode: kadane=reference parity (default), "
                    "sw=true Smith-Waterman, sw-affine=affine gaps (Gotoh), "
                    "contiguous=exact contiguous Kadane")
-    p.add_argument("--kmer", metavar="FASTQ",
-                   help="count k-mers in a FASTQ(.gz) file (k_mer workload)")
+    p.add_argument("--kmer", metavar="FASTQ[,FASTQ...]",
+                   help="count k-mers in FASTQ(.gz) file(s); comma-separate "
+                   "lanes to count a whole sample (k_mer workload)")
     p.add_argument("-k", "--kmer-size", type=int, default=21,
                    help="k for --kmer (default 21)")
     p.add_argument("--canonical", action="store_true",
@@ -70,9 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--complementarity", action="store_true",
                    help="direct+complementary mate-pair analysis of -1/-2 "
                    "lane files (%% non-complementary metric)")
-    p.add_argument("--variant-prep", metavar="FASTQ",
+    p.add_argument("--variant-prep", metavar="FASTQ[,FASTQ...]",
                    help="map reads to --reference, build pileup, emit "
-                   "candidate variant sites (variant_calling workload)")
+                   "candidate variant sites; comma-separate lanes to process "
+                   "a whole sample (variant_calling workload)")
     p.add_argument("--reference", metavar="FASTA",
                    help="reference FASTA(.gz) for --variant-prep")
     p.add_argument("--vcf-out", metavar="PATH", default=None,
@@ -270,13 +272,16 @@ def main(argv: list[str] | None = None, echo=print) -> int:
                                      rescue=args.rescue,
                                      min_base_quality=args.min_base_quality,
                                      gap_model=args.gap_model, mesh=mesh)
-            res = veng.process_file(args.variant_prep, progress=echo,
-                                    sam_out=args.sam_out,
-                                    checkpoint_path=args.prep_checkpoint,
-                                    checkpoint_every=args.prep_checkpoint_every)
+            vp_paths = args.variant_prep.split(",")
+            res = veng.process_file(
+                vp_paths if len(vp_paths) > 1 else vp_paths[0], progress=echo,
+                sam_out=args.sam_out,
+                checkpoint_path=args.prep_checkpoint,
+                checkpoint_every=args.prep_checkpoint_every)
             if args.genotype:
                 res = veng.genotype_candidates(
-                    args.variant_prep, res, window=args.gt_window,
+                    vp_paths if len(vp_paths) > 1 else vp_paths[0],
+                    res, window=args.gt_window,
                     max_reads_per_site=args.gt_max_reads, progress=echo,
                 )
         except (OSError, IOError, ValueError) as e:
@@ -305,8 +310,9 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         eng = KmerEngine(cfg, k=args.kmer_size, canonical=args.canonical,
                          mesh=mesh)
         try:
+            km_paths = args.kmer.split(",")
             res = eng.count_file(
-                args.kmer, progress=echo,
+                km_paths if len(km_paths) > 1 else km_paths[0], progress=echo,
                 checkpoint_path=args.kmer_checkpoint,
                 checkpoint_every=args.kmer_checkpoint_every,
             )

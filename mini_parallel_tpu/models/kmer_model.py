@@ -84,6 +84,19 @@ class KmerResult:
         return int(hi.size)
 
 
+def _as_paths(path) -> list[str]:
+    """Normalize a str | list[str] input to a list of paths."""
+    return [path] if isinstance(path, (str, bytes)) else list(path)
+
+
+def _iter_chunks_multi(paths: list[str], chunk_size: int, progress=None):
+    """Chunk stream over a FILE LIST: files concatenate in order, so
+    chunk indices (and therefore checkpoint resume points) are global
+    across the sample's lanes."""
+    for p in paths:
+        yield from fastq.iter_read_chunks(p, chunk_size, progress=progress)
+
+
 def _fetch_bucket(n: int, cap: int) -> int:
     """Power-of-two fetch size >= n (bounds the fetch-slice compile count)."""
     b = 1 << 10
@@ -321,7 +334,7 @@ class KmerEngine:
         res.total_kmers = int(meta["total_kmers"])
         return base, start_chunk
 
-    def _count_file_device(self, path: str, res: KmerResult, progress,
+    def _count_file_device(self, paths: list, res: KmerResult, progress,
                            start_chunk: int = 0, base: tuple = _EMPTY_ARRAYS,
                            checkpoint_path: str | None = None,
                            checkpoint_every: int = 0) -> None:
@@ -343,7 +356,7 @@ class KmerEngine:
         totals: list = []
         chunk_size = self.cfg.chunk_size_reads
         for idx, chunk in enumerate(
-            fastq.iter_read_chunks(path, chunk_size, progress=progress)
+            _iter_chunks_multi(paths, chunk_size, progress=progress)
         ):
             if idx < start_chunk:  # resume: counted in a prior run
                 continue
@@ -373,35 +386,40 @@ class KmerEngine:
                 )
                 save_kmer_checkpoint(
                     checkpoint_path, base,
-                    self._checkpoint_meta(path, res, idx + 1),
+                    self._checkpoint_meta("|".join(paths), res, idx + 1),
                 )
         res.total_kmers += sum(int(t) for t in jax.device_get(totals))
         hi, lo, ct = merge_sorted_arrays(base, acc.drain())
         res.arrays = (hi, lo, ct)
         res.distinct_kmers = int(hi.size)
 
-    def count_file(self, path: str, progress=None,
+    def count_file(self, path, progress=None,
                    checkpoint_path: str | None = None,
                    checkpoint_every: int = 0) -> KmerResult:
-        """Count one FASTQ lane. ``checkpoint_path`` + ``checkpoint_every``
-        enable crash-resumable counting (beyond the reference, which had no
-        k-mer implementation at all): an .npz snapshot of the merged counts
-        is written every N chunks, and a rerun resumes from it exactly."""
-        res = KmerResult(file_path=path, k=self.k, canonical=self.canonical)
+        """Count one FASTQ lane — or a whole sample: ``path`` may be a LIST
+        of lane files, streamed in order into one aggregate (chunk indices,
+        and therefore checkpoint resume points, are global across the
+        list). ``checkpoint_path`` + ``checkpoint_every`` enable
+        crash-resumable counting (beyond the reference, which had no k-mer
+        implementation at all): an .npz snapshot of the merged counts is
+        written every N chunks, and a rerun resumes from it exactly."""
+        paths = _as_paths(path)
+        joined = "|".join(paths)
+        res = KmerResult(file_path=joined, k=self.k, canonical=self.canonical)
         t0 = time.perf_counter()
         base, start_chunk = self._load_resume(checkpoint_path, res,
-                                              file_path=path)
+                                              file_path=joined)
         if self._use_device_acc():
             self._count_file_device(
-                path, res, progress, start_chunk=start_chunk, base=base,
+                paths, res, progress, start_chunk=start_chunk, base=base,
                 checkpoint_path=checkpoint_path,
                 checkpoint_every=checkpoint_every,
             )
             res.seconds = time.perf_counter() - t0
             return res
         agg = self.make_store()
-        for idx, chunk in enumerate(fastq.iter_read_chunks(
-            path, self.cfg.chunk_size_reads, progress=progress
+        for idx, chunk in enumerate(_iter_chunks_multi(
+            paths, self.cfg.chunk_size_reads, progress=progress
         )):
             if idx < start_chunk:  # resume: counted in a prior run
                 continue
@@ -414,7 +432,7 @@ class KmerEngine:
                 agg = self.make_store()
                 save_kmer_checkpoint(
                     checkpoint_path, base,
-                    self._checkpoint_meta(path, res, idx + 1),
+                    self._checkpoint_meta(joined, res, idx + 1),
                 )
         hi, lo, ct = merge_sorted_arrays(base, self._agg_arrays(agg))
         res.arrays = (hi, lo, ct)

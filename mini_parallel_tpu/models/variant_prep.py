@@ -854,7 +854,9 @@ class VariantPrepEngine:
                      sam_out: str | None = None,
                      checkpoint_path: str | None = None,
                      checkpoint_every: int = 0) -> VariantPrepResult:
-        """Map + pileup a FASTQ. ``sam_out`` additionally writes SAM 1.6
+        """Map + pileup a FASTQ — or a whole sample: ``path`` may be a
+        LIST of lane files streamed in order into one pileup (checkpoint
+        chunk indices are global across the list). ``sam_out`` additionally writes SAM 1.6
         records from the SAME mapping pass (requires gapped=True and the
         packed path; no second pass over the data).
 
@@ -875,22 +877,27 @@ class VariantPrepEngine:
                                  "supported (SAM resume would need file "
                                  "truncation to the last complete batch)")
             return self._process_file_sam(path, sam_out, progress)
+        paths = [path] if isinstance(path, (str, bytes)) else list(path)
+        joined = "|".join(paths)
         t0 = time.perf_counter()
         G = len(self.index.ref_codes)
         res = VariantPrepResult(reference_length=G)
         saved_pileup, start_chunk = self._load_resume(checkpoint_path, res,
-                                                      file_path=path)
+                                                      file_path=joined)
         pileup = (jnp.asarray(saved_pileup) if saved_pileup is not None
                   else jnp.zeros((G, 7), jnp.int32))
         deferred: list = []  # device scalars from the fused ungapped path
         if self.min_base_quality > 0:
-            batches = fastq.iter_read_chunks_with_quals(
-                path, self.cfg.chunk_size_reads
+            batches = (
+                bq for p in paths
+                for bq in fastq.iter_read_chunks_with_quals(
+                    p, self.cfg.chunk_size_reads)
             )
         else:
             batches = (
                 (chunk, None)
-                for chunk in fastq.iter_read_chunks(path, self.cfg.chunk_size_reads)
+                for p in paths
+                for chunk in fastq.iter_read_chunks(p, self.cfg.chunk_size_reads)
             )
         for idx, (chunk, quals) in enumerate(batches):
             if idx < start_chunk:  # resume: already in the saved pileup
@@ -908,7 +915,7 @@ class VariantPrepEngine:
                 deferred.clear()
                 self._save_checkpoint(
                     checkpoint_path, np.asarray(pileup),
-                    self._checkpoint_meta(res, idx + 1, file_path=path),
+                    self._checkpoint_meta(res, idx + 1, file_path=joined),
                 )
             if progress:
                 shown = (
@@ -1011,8 +1018,11 @@ class VariantPrepEngine:
         abs_sorted = abs_pos[order]
         site_reads: list[list] = [[] for _ in snps]
 
-        for chunk, quals in fastq.iter_read_chunks_with_quals(
-            path, self.cfg.chunk_size_reads
+        paths = [path] if isinstance(path, (str, bytes)) else list(path)
+        for chunk, quals in (
+            bq for p in paths
+            for bq in fastq.iter_read_chunks_with_quals(
+                p, self.cfg.chunk_size_reads)
         ):
             reads = [bytes(r) for r in chunk]
             arr, lens, _pad = self._prep_batch(reads)

@@ -317,3 +317,42 @@ def test_kmer_write_counts_dump(tmp_path, rng):
     got = {l.split("\t")[0]: int(l.split("\t")[1]) for l in lines}
     assert got == dict(golden)
     assert lines == sorted(lines)  # key-sorted dump
+
+
+def test_kmer_multi_file_sample(tmp_path, rng):
+    r1 = [random_dna(rng, 40) for _ in range(12)]
+    r2 = [random_dna(rng, 40) for _ in range(9)]
+    p1, p2 = str(tmp_path / "l1.fastq.gz"), str(tmp_path / "l2.fastq.gz")
+    fastq.write_fastq(p1, r1)
+    fastq.write_fastq(p2, r2)
+    cfg = Config(chunk_size_reads=5, read_pad=64)
+    res = KmerEngine(cfg, k=21).count_file([p1, p2])
+    golden = kmer.count_kmers_python(r1 + r2, k=21)
+    assert res.total_reads == 21
+    assert res.total_kmers == sum(golden.values())
+    as_str = {kmer.key_to_string(h, l, 21): c
+              for (h, l), c in res.counts.items()}
+    assert as_str == dict(golden)
+
+    # crash-resume across the file boundary is exact
+    ckpt = str(tmp_path / "mc.npz")
+    real_iter = fastq.iter_read_chunks
+    fails = {"left": 1}
+
+    def dying(p, n, progress=None):
+        for i, c in enumerate(real_iter(p, n, progress=progress)):
+            if p == p2 and i == 0 and fails["left"]:
+                fails["left"] -= 1
+                raise RuntimeError("boom")
+            yield c
+
+    fastq.iter_read_chunks = dying
+    try:
+        with pytest.raises(RuntimeError):
+            KmerEngine(cfg, k=21).count_file([p1, p2], checkpoint_path=ckpt,
+                                             checkpoint_every=1)
+    finally:
+        fastq.iter_read_chunks = real_iter
+    res2 = KmerEngine(cfg, k=21).count_file([p1, p2], checkpoint_path=ckpt,
+                                            checkpoint_every=1)
+    assert res2.counts == res.counts and res2.total_reads == 21

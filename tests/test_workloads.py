@@ -821,3 +821,17 @@ def test_complementarity_unequal_lanes_surfaced(tmp_path, rng, cfg):
     assert res.pairs == 13 and res.unpaired_reads == 7
     assert res.perfect_pairs == 13
     assert any("unpaired" in line for line in logs)
+
+
+def test_variant_prep_multi_file_sample(tmp_path, rng, cfg, ref_and_reads):
+    ref, reads = ref_and_reads
+    half = len(reads) // 2
+    p1, p2 = str(tmp_path / "s1.fastq.gz"), str(tmp_path / "s2.fastq.gz")
+    fastq.write_fastq(p1, [r for _, r in reads[:half]])
+    fastq.write_fastq(p2, [r for _, r in reads[half:]])
+    pall = str(tmp_path / "all.fastq.gz")
+    fastq.write_fastq(pall, [r for _, r in reads])
+    multi = VariantPrepEngine(ref, cfg).process_file([p1, p2])
+    single = VariantPrepEngine(ref, cfg).process_file(pall)
+    assert multi.total_reads == single.total_reads
+    assert (multi.pileup == single.pileup).all()
