@@ -317,12 +317,24 @@ class DeviceKmerAccumulator:
         self.spilled = True
 
     def drain(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Final fetch: (hi, lo, counts) of every distinct k-mer."""
+        """Final fetch: (hi, lo, counts) of every distinct k-mer.
+
+        Fetches only the used prefix of the store: one scalar round trip
+        for the distinct count, then power-of-two-bucketed slices — the
+        full capacity slab is 3 x 128 MB at the default 1<<25, a drain-time
+        wall on thin links when the data is repetitive (distinct <<
+        capacity)."""
         self.flush()
         if self._store is not None:
-            hi, lo, ct = (np.asarray(x) for x in self._store)
-            m = int((ct > 0).sum())
-            hi, lo, ct = hi[:m], lo[:m], ct[:m].astype(np.int64)
+            hi_d, lo_d, ct_d = self._store
+            m = int((ct_d > 0).sum())
+            b = 1 << 10
+            while b < m:
+                b <<= 1
+            b = min(b, self.capacity)
+            hi = np.asarray(hi_d[:b])[:m]
+            lo = np.asarray(lo_d[:b])[:m]
+            ct = np.asarray(ct_d[:b])[:m].astype(np.int64)
         else:
             hi = np.empty(0, np.int32)
             lo, ct = hi.copy(), np.empty(0, np.int64)
