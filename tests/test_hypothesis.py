@@ -15,7 +15,11 @@ from hypothesis import given, settings, strategies as st
 from mini_parallel_tpu.ops import encode, kadane, packed, sw
 
 settings.register_profile("ci", max_examples=25, deadline=None)
-settings.load_profile("ci")
+settings.register_profile("deep", max_examples=200, deadline=None)
+# MPT_HYPOTHESIS_PROFILE=deep for an extended fuzz burst (e.g. round end)
+import os  # noqa: E402
+
+settings.load_profile(os.environ.get("MPT_HYPOTHESIS_PROFILE", "ci"))
 
 dna = st.text(alphabet="ACGT", min_size=0, max_size=48)
 messy = st.text(
