@@ -118,6 +118,37 @@ def main() -> None:
         _emit("pairhmm_forward_pairs", B, dt,
               extra={"gcups": round(B * M * 300 / dt / 1e9, 1)})
 
+        # end-to-end genotyping: plant SNPs, map + pileup + Pair-HMM GT
+        rng2 = np.random.default_rng(5)
+        alpha2 = np.frombuffer(b"ACGT", np.uint8)
+        gref = bytes(rng2.choice(alpha2, 20_000))
+        n_sites = 40
+        sites = sorted(rng2.choice(
+            np.arange(200, 19_800, 120), n_sites, replace=False))
+        hap = bytearray(gref)
+        for s in sites:
+            hap[s] = ord("ACGT"[(b"ACGT".index(gref[s:s+1]) + 1) % 4])
+        hap = bytes(hap)
+        greads = []
+        for s in sites:
+            for i in range(24):
+                src = hap if i % 2 == 0 else gref  # het everywhere
+                st = int(s) - 40 - (i % 12)
+                greads.append(src[st:st + 100])
+        gpath = os.path.join(tmp, "gt.fastq.gz")
+        with gzip.open(gpath, "wt", compresslevel=1) as f:
+            for i, r in enumerate(greads):
+                f.write(f"@g{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+        geng = VariantPrepEngine(gref, Config(chunk_size_reads=2_000),
+                                 min_depth=3, alt_fraction=0.2)
+        gres = geng.process_file(gpath)
+        t0 = time.perf_counter()
+        gres = geng.genotype_candidates(gpath, gres)
+        gdt = time.perf_counter() - t0
+        called = sum(1 for c in gres.candidates if c.gt is not None)
+        _emit("genotype_sites", called, gdt,
+              extra={"reads": len(greads), "sites": len(gres.candidates)})
+
 
 if __name__ == "__main__":
     main()

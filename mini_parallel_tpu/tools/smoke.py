@@ -56,6 +56,8 @@ def main(argv=None) -> int:
     ap.add_argument("--keep", action="store_true",
                     help="keep the fixture dir (prints its path)")
     ap.add_argument("--chunk", type=int, default=40)
+    ap.add_argument("--allow-cpu", action="store_true",
+                    help="append --allow-cpu to every mode (no accelerator)")
     args = ap.parse_args(argv)
 
     from mini_parallel_tpu.cli import main as cli_main
@@ -93,6 +95,8 @@ def main(argv=None) -> int:
     failures = 0
     try:
         for name, argv_m in modes:
+            if args.allow_cpu:
+                argv_m = argv_m + ["--allow-cpu"]
             sink: list = []
             try:
                 rc = cli_main(argv_m, echo=sink.append)
