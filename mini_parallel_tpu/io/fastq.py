@@ -208,3 +208,25 @@ def write_fastq(path: str, reads: list[bytes | str], quality_char: str = "I") ->
             if isinstance(r, bytes):
                 r = r.decode("ascii")
             f.write(f"@read_{i}\n{r}\n+\n{quality_char * len(r)}\n")
+
+
+def as_paths(path) -> list[str]:
+    """Normalize a str | list[str] input to a list of paths."""
+    return [path] if isinstance(path, (str, bytes)) else list(path)
+
+
+def iter_read_chunks_multi(paths, chunk_size_reads: int, progress=None,
+                           **kw):
+    """Chunk stream over a FILE LIST: files concatenate in order, so chunk
+    indices (and therefore checkpoint resume points) are global across a
+    sample's lanes."""
+    for p in as_paths(paths):
+        yield from iter_read_chunks(p, chunk_size_reads, progress=progress,
+                                    **kw)
+
+
+def iter_read_chunks_with_quals_multi(paths, chunk_size_reads: int, **kw):
+    """(sequences, quals) chunk stream over a file list (see
+    iter_read_chunks_multi)."""
+    for p in as_paths(paths):
+        yield from iter_read_chunks_with_quals(p, chunk_size_reads, **kw)

@@ -84,19 +84,6 @@ class KmerResult:
         return int(hi.size)
 
 
-def _as_paths(path) -> list[str]:
-    """Normalize a str | list[str] input to a list of paths."""
-    return [path] if isinstance(path, (str, bytes)) else list(path)
-
-
-def _iter_chunks_multi(paths: list[str], chunk_size: int, progress=None):
-    """Chunk stream over a FILE LIST: files concatenate in order, so
-    chunk indices (and therefore checkpoint resume points) are global
-    across the sample's lanes."""
-    for p in paths:
-        yield from fastq.iter_read_chunks(p, chunk_size, progress=progress)
-
-
 def _fetch_bucket(n: int, cap: int) -> int:
     """Power-of-two fetch size >= n (bounds the fetch-slice compile count)."""
     b = 1 << 10
@@ -356,7 +343,7 @@ class KmerEngine:
         totals: list = []
         chunk_size = self.cfg.chunk_size_reads
         for idx, chunk in enumerate(
-            _iter_chunks_multi(paths, chunk_size, progress=progress)
+            fastq.iter_read_chunks_multi(paths, chunk_size, progress=progress)
         ):
             if idx < start_chunk:  # resume: counted in a prior run
                 continue
@@ -403,7 +390,7 @@ class KmerEngine:
         crash-resumable counting (beyond the reference, which had no k-mer
         implementation at all): an .npz snapshot of the merged counts is
         written every N chunks, and a rerun resumes from it exactly."""
-        paths = _as_paths(path)
+        paths = fastq.as_paths(path)
         joined = "|".join(paths)
         res = KmerResult(file_path=joined, k=self.k, canonical=self.canonical)
         t0 = time.perf_counter()
@@ -418,7 +405,7 @@ class KmerEngine:
             res.seconds = time.perf_counter() - t0
             return res
         agg = self.make_store()
-        for idx, chunk in enumerate(_iter_chunks_multi(
+        for idx, chunk in enumerate(fastq.iter_read_chunks_multi(
             paths, self.cfg.chunk_size_reads, progress=progress
         )):
             if idx < start_chunk:  # resume: counted in a prior run

@@ -865,6 +865,8 @@ class VariantPrepEngine:
         compressed .npz every N chunks, and a rerun resumes from the last
         snapshot exactly (batch pileups are additive and independent).
         """
+        paths = fastq.as_paths(path)
+        joined = "|".join(paths)
         if sam_out is not None:
             if not self.gapped:
                 raise ValueError("sam_out requires gapped=True (SAM CIGARs "
@@ -876,9 +878,7 @@ class VariantPrepEngine:
                 raise ValueError("checkpointing with sam_out is not "
                                  "supported (SAM resume would need file "
                                  "truncation to the last complete batch)")
-            return self._process_file_sam(path, sam_out, progress)
-        paths = [path] if isinstance(path, (str, bytes)) else list(path)
-        joined = "|".join(paths)
+            return self._process_file_sam(paths, sam_out, progress)
         t0 = time.perf_counter()
         G = len(self.index.ref_codes)
         res = VariantPrepResult(reference_length=G)
@@ -888,16 +888,13 @@ class VariantPrepEngine:
                   else jnp.zeros((G, 7), jnp.int32))
         deferred: list = []  # device scalars from the fused ungapped path
         if self.min_base_quality > 0:
-            batches = (
-                bq for p in paths
-                for bq in fastq.iter_read_chunks_with_quals(
-                    p, self.cfg.chunk_size_reads)
-            )
+            batches = fastq.iter_read_chunks_with_quals_multi(
+                paths, self.cfg.chunk_size_reads)
         else:
             batches = (
                 (chunk, None)
-                for p in paths
-                for chunk in fastq.iter_read_chunks(p, self.cfg.chunk_size_reads)
+                for chunk in fastq.iter_read_chunks_multi(
+                    paths, self.cfg.chunk_size_reads)
             )
         for idx, (chunk, quals) in enumerate(batches):
             if idx < start_chunk:  # resume: already in the saved pileup
@@ -930,7 +927,7 @@ class VariantPrepEngine:
         res.seconds = time.perf_counter() - t0
         return res
 
-    def _process_file_sam(self, path: str, sam_out: str,
+    def _process_file_sam(self, paths: list, sam_out: str,
                           progress) -> VariantPrepResult:
         """One mapping pass feeding both the pileup and the SAM writer."""
         from mini_parallel_tpu.ops import packed as packedmod
@@ -942,8 +939,8 @@ class VariantPrepEngine:
         rid = 0
         with open(sam_out, "w") as f:
             _write_sam_header(f, self.contig_table())
-            for chunk in fastq.iter_read_chunks(
-                path, self.cfg.chunk_size_reads, progress=progress
+            for chunk in fastq.iter_read_chunks_multi(
+                paths, self.cfg.chunk_size_reads, progress=progress
             ):
                 reads = [bytes(r) for r in chunk]
                 arr, lens, pad = self._prep_batch(reads)
@@ -1018,11 +1015,8 @@ class VariantPrepEngine:
         abs_sorted = abs_pos[order]
         site_reads: list[list] = [[] for _ in snps]
 
-        paths = [path] if isinstance(path, (str, bytes)) else list(path)
-        for chunk, quals in (
-            bq for p in paths
-            for bq in fastq.iter_read_chunks_with_quals(
-                p, self.cfg.chunk_size_reads)
+        for chunk, quals in fastq.iter_read_chunks_with_quals_multi(
+            path, self.cfg.chunk_size_reads
         ):
             reads = [bytes(r) for r in chunk]
             arr, lens, _pad = self._prep_batch(reads)

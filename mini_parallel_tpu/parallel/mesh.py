@@ -41,7 +41,9 @@ def initialize_distributed() -> bool:
             process_id=int(pid) if pid else None,
         )
     except RuntimeError as e:
-        if "already initialized" in str(e):
+        msg = str(e)
+        if ("must be called before" in msg or "backend" in msg
+                or "only be called once" in msg):
             # a backend came up before us: distributed mode is impossible now
             raise RuntimeError(
                 "jax.distributed must initialize before any JAX backend use; "

@@ -64,11 +64,13 @@ def main(argv=None) -> int:
 
     tmp = tempfile.mkdtemp(prefix="mpt_smoke_")
     fx = _fixtures(tmp)
+    # hermetic: force-assign so inherited shell WGS_* can never point the
+    # full-wgs/test-wgs modes at a real (multi-GB) dataset
     os.environ["GPU_CHUNK_SIZE_READS"] = str(args.chunk)
-    os.environ.setdefault("WGS_DATA_DIR", tmp)
-    os.environ.setdefault("WGS_SAMPLE_ID", "SMK")
-    os.environ.setdefault("WGS_LANES", "2")
-    os.environ.setdefault("WGS_READS_PER_LANE", "2")
+    os.environ["WGS_DATA_DIR"] = tmp
+    os.environ["WGS_SAMPLE_ID"] = "SMK"
+    os.environ["WGS_LANES"] = "2"
+    os.environ["WGS_READS_PER_LANE"] = "2"
     cwd = os.getcwd()
     os.chdir(tmp)
 
@@ -111,6 +113,10 @@ def main(argv=None) -> int:
         os.chdir(cwd)
     if args.keep or failures:
         print(f"fixtures: {tmp}")
+    else:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     print(f"{len(modes) - failures}/{len(modes)} modes passed")
     return 1 if failures else 0
 

@@ -835,3 +835,17 @@ def test_variant_prep_multi_file_sample(tmp_path, rng, cfg, ref_and_reads):
     single = VariantPrepEngine(ref, cfg).process_file(pall)
     assert multi.total_reads == single.total_reads
     assert (multi.pileup == single.pileup).all()
+
+
+def test_variant_prep_multi_file_sam(tmp_path, rng, cfg, ref_and_reads):
+    ref, reads = ref_and_reads
+    half = len(reads) // 2
+    p1, p2 = str(tmp_path / "m1.fastq.gz"), str(tmp_path / "m2.fastq.gz")
+    fastq.write_fastq(p1, [r for _, r in reads[:half]])
+    fastq.write_fastq(p2, [r for _, r in reads[half:]])
+    sam = str(tmp_path / "multi.sam")
+    res = VariantPrepEngine(ref, cfg, gapped=True).process_file(
+        [p1, p2], sam_out=sam)
+    assert res.total_reads == len(reads)
+    records = [l for l in open(sam) if not l.startswith("@")]
+    assert len(records) == len(reads)
