@@ -132,11 +132,29 @@ def iter_read_chunks_with_quals(
 ) -> Iterator[tuple[list[bytes], list[bytes]]]:
     """Yield (sequences, quality_strings) chunks (FASTQ lines 2 and 4).
 
-    Python decode path only (the native decoder extracts sequence lines;
-    quality-aware workloads opt into this slower reader via
-    min_base_quality). Records with mismatched seq/qual lengths are yielded
-    as-is — downstream masking treats missing quals as passing.
+    Uses the native decoder's quals mode when built (background C++ decode
+    thread, same speedup as the sequence-only path); the Python path is the
+    always-available fallback. Records with mismatched seq/qual lengths are
+    yielded as-is — downstream masking treats missing quals as passing.
     """
+    if engine in ("auto", "native"):
+        yielded = False
+        try:
+            from mini_parallel_tpu.native import fastq_native
+
+            for pair in fastq_native.iter_reads_with_quals_native(
+                path, chunk_size_reads
+            ):
+                yielded = True
+                yield pair
+            return
+        except IOError:
+            raise
+        except Exception:
+            if engine == "native" or yielded:
+                raise  # see iter_read_chunks: never re-read after yielding
+            # native plane unavailable: fall through to the Python path
+
     seqs: list[bytes] = []
     quals: list[bytes] = []
     line_count = 0

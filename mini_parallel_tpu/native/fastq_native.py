@@ -34,6 +34,18 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.fq_open_q.restype = ctypes.c_void_p
+    lib.fq_open_q.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32]
+    lib.fq_next_chunk_q.restype = ctypes.c_int64
+    lib.fq_next_chunk_q.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.fq_error.restype = ctypes.c_char_p
     lib.fq_error.argtypes = [ctypes.c_void_p]
     lib.fq_total_reads.restype = ctypes.c_int64
@@ -101,3 +113,56 @@ def iter_reads_native(path: str, chunk_size_reads: int) -> Iterator[list[bytes]]
     for flat, offs in iter_read_chunks_native(path, chunk_size_reads):
         data = flat.tobytes()
         yield [data[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+
+
+def iter_reads_with_quals_native(
+    path: str, chunk_size_reads: int, avg_read_len_hint: int = 256
+) -> Iterator[tuple[list[bytes], list[bytes]]]:
+    """(sequences, quality_strings) chunks from the native decoder —
+    the quals-aware counterpart of iter_reads_native (records complete at
+    their quality line; a truncated final record gets an empty qual)."""
+    lib = _load()
+    h = lib.fq_open_q(path.encode(), chunk_size_reads, 1)
+    if not h:
+        raise IOError(f"cannot open {path}")
+    bytes_cap = max(chunk_size_reads * avg_read_len_hint, 1 << 20)
+    try:
+        buf = np.empty(bytes_cap, np.uint8)
+        qbuf = np.empty(bytes_cap, np.uint8)
+        offs = np.empty(chunk_size_reads + 2, np.int64)
+        qoffs = np.empty(chunk_size_reads + 2, np.int64)
+        need_b = ctypes.c_int64()
+        need_r = ctypes.c_int64()
+        need_q = ctypes.c_int64()
+        while True:
+            n = lib.fq_next_chunk_q(
+                h,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), offs.size,
+                qbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), qbuf.size,
+                qoffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), qoffs.size,
+                ctypes.byref(need_b), ctypes.byref(need_r),
+                ctypes.byref(need_q),
+            )
+            if n == 0:
+                return
+            if n == -1:
+                raise IOError(
+                    f"Error reading {path}: "
+                    f"{lib.fq_error(h).decode(errors='replace')}"
+                )
+            if n == -2:  # grow buffers and retry
+                buf = np.empty(max(need_b.value, buf.size * 2), np.uint8)
+                qbuf = np.empty(max(need_q.value, qbuf.size * 2), np.uint8)
+                offs = np.empty(max(need_r.value + 2, offs.size * 2), np.int64)
+                qoffs = np.empty(offs.size, np.int64)
+                continue
+            n = int(n)
+            data = buf[: offs[n]].tobytes()
+            qdata = qbuf[: qoffs[n]].tobytes()
+            yield (
+                [data[offs[i] : offs[i + 1]] for i in range(n)],
+                [qdata[qoffs[i] : qoffs[i + 1]] for i in range(n)],
+            )
+    finally:
+        lib.fq_close(h)

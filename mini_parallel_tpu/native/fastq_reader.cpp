@@ -35,6 +35,8 @@ constexpr size_t kInflateBuf = 1 << 20;
 struct Chunk {
   std::vector<uint8_t> bytes;    // concatenated read bytes
   std::vector<int64_t> offsets;  // size n_reads+1; read i = [off[i], off[i+1])
+  std::vector<uint8_t> qbytes;   // concatenated qual bytes (want_quals mode)
+  std::vector<int64_t> qoffsets;
   bool final_chunk = false;
   std::string error;
 };
@@ -122,6 +124,7 @@ class LineSource {
 struct Reader {
   std::unique_ptr<LineSource> src;
   int64_t chunk_size_reads = 0;
+  bool want_quals = false;  // also capture line 4 of each record
   // atomics: mutated by the worker thread, read by fq_line_count /
   // fq_total_reads on the consumer thread (values reflect producer
   // readahead — up to kMaxQueue chunks ahead of what was consumed)
@@ -141,6 +144,7 @@ struct Reader {
   void run() {
     auto chunk = std::make_unique<Chunk>();
     chunk->offsets.push_back(0);
+    if (want_quals) chunk->qoffsets.push_back(0);
     std::string line;
     while (true) {
       {
@@ -162,16 +166,35 @@ struct Reader {
         break;
       }
       ++line_count;
-      if (line_count % 4 == 2) {  // sequence line (aligner.rs:138)
+      int64_t m = line_count % 4;
+      if (m == 2) {  // sequence line (aligner.rs:138)
         chunk->bytes.insert(chunk->bytes.end(), line.begin(), line.end());
         chunk->offsets.push_back(static_cast<int64_t>(chunk->bytes.size()));
         ++total_reads;
-        if (static_cast<int64_t>(chunk->offsets.size()) - 1 >=
-            chunk_size_reads) {
+        // without quals, a record is complete at its sequence line
+        if (!want_quals &&
+            static_cast<int64_t>(chunk->offsets.size()) - 1 >=
+                chunk_size_reads) {
           push(std::move(chunk));
           chunk = std::make_unique<Chunk>();
           chunk->offsets.push_back(0);
         }
+      } else if (m == 0 && want_quals) {  // quality line completes a record
+        chunk->qbytes.insert(chunk->qbytes.end(), line.begin(), line.end());
+        chunk->qoffsets.push_back(static_cast<int64_t>(chunk->qbytes.size()));
+        if (static_cast<int64_t>(chunk->qoffsets.size()) - 1 >=
+            chunk_size_reads) {
+          push(std::move(chunk));
+          chunk = std::make_unique<Chunk>();
+          chunk->offsets.push_back(0);
+          chunk->qoffsets.push_back(0);
+        }
+      }
+    }
+    if (want_quals) {  // truncated final record: pad missing quals as empty
+      while (chunk->qoffsets.size() < chunk->offsets.size()) {
+        chunk->qoffsets.push_back(
+            static_cast<int64_t>(chunk->qbytes.size()));
       }
     }
     bool had_error;
@@ -210,15 +233,21 @@ struct Reader {
 
 extern "C" {
 
-void* fq_open(const char* path, int64_t chunk_size_reads) {
+void* fq_open_q(const char* path, int64_t chunk_size_reads,
+                int32_t want_quals) {
   auto* r = new Reader();
   r->src = std::make_unique<LineSource>(path);
+  r->want_quals = want_quals != 0;
   r->chunk_size_reads = chunk_size_reads > 0 ? chunk_size_reads : 1;
   if (!r->src->ok()) {
     // keep the handle so fq_error can report; worker marks done immediately
   }
   r->worker = std::thread([r] { r->run(); });
   return r;
+}
+
+void* fq_open(const char* path, int64_t chunk_size_reads) {
+  return fq_open_q(path, chunk_size_reads, 0);
 }
 
 // Copies the next chunk into caller buffers.
@@ -245,6 +274,41 @@ int64_t fq_next_chunk(void* handle, uint8_t* bytes, int64_t bytes_cap,
   }
   memcpy(bytes, c->bytes.data(), static_cast<size_t>(n_bytes));
   memcpy(offsets, c->offsets.data(),
+         static_cast<size_t>((n_reads + 1) * sizeof(int64_t)));
+  return n_reads;
+}
+
+// Quals variant: additionally copies the quality lines. Same return
+// contract as fq_next_chunk; -2 also sets *needed_qbytes.
+int64_t fq_next_chunk_q(void* handle, uint8_t* bytes, int64_t bytes_cap,
+                        int64_t* offsets, int64_t offsets_cap,
+                        uint8_t* qbytes, int64_t qbytes_cap,
+                        int64_t* qoffsets, int64_t qoffsets_cap,
+                        int64_t* needed_bytes, int64_t* needed_reads,
+                        int64_t* needed_qbytes) {
+  auto* r = static_cast<Reader*>(handle);
+  auto c = r->pop();
+  if (c == nullptr) {
+    std::lock_guard<std::mutex> l(r->mu);
+    return r->error.empty() ? 0 : -1;
+  }
+  int64_t n_reads = static_cast<int64_t>(c->offsets.size()) - 1;
+  int64_t n_bytes = static_cast<int64_t>(c->bytes.size());
+  int64_t n_qbytes = static_cast<int64_t>(c->qbytes.size());
+  if (needed_bytes) *needed_bytes = n_bytes;
+  if (needed_reads) *needed_reads = n_reads;
+  if (needed_qbytes) *needed_qbytes = n_qbytes;
+  if (n_bytes > bytes_cap || n_reads + 1 > offsets_cap ||
+      n_qbytes > qbytes_cap || n_reads + 1 > qoffsets_cap) {
+    std::lock_guard<std::mutex> l(r->mu);
+    r->queue.push_front(std::move(c));
+    return -2;
+  }
+  memcpy(bytes, c->bytes.data(), static_cast<size_t>(n_bytes));
+  memcpy(offsets, c->offsets.data(),
+         static_cast<size_t>((n_reads + 1) * sizeof(int64_t)));
+  memcpy(qbytes, c->qbytes.data(), static_cast<size_t>(n_qbytes));
+  memcpy(qoffsets, c->qoffsets.data(),
          static_cast<size_t>((n_reads + 1) * sizeof(int64_t)));
   return n_reads;
 }

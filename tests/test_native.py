@@ -101,3 +101,53 @@ def test_kmer_store_growth(rng):
     assert ks.total() == n
     items = ks.items()
     assert items == dict(golden)
+
+
+def test_native_quals_matches_python(tmp_path, rng):
+    import gzip
+
+    from mini_parallel_tpu.io import fastq
+    from mini_parallel_tpu.native import available, fastq_native
+
+    if not available():
+        import pytest
+
+        pytest.skip("native plane not built")
+    # varied read lengths + varied quals
+    path = str(tmp_path / "q.fastq.gz")
+    with gzip.open(path, "wt") as f:
+        for i in range(23):
+            n = 20 + (i * 7) % 50
+            seq = "".join("ACGT"[(i + j) % 4] for j in range(n))
+            qual = "".join(chr(33 + (i + j) % 40) for j in range(n))
+            f.write(f"@r{i}\n{seq}\n+\n{qual}\n")
+    native = list(fastq_native.iter_reads_with_quals_native(path, 5))
+    python = []
+    seqs, quals = [], []
+    for s, q in fastq.iter_read_chunks_with_quals(path, 5, engine="python"):
+        python.append((s, q))
+    assert len(native) == len(python)
+    for (ns, nq), (ps, pq) in zip(native, python):
+        assert ns == ps and nq == pq
+    # the public iterator prefers the native path and matches too
+    pub = list(fastq.iter_read_chunks_with_quals(path, 5))
+    assert pub == python
+
+
+def test_native_quals_truncated_final_record(tmp_path):
+    import gzip
+
+    from mini_parallel_tpu.io import fastq
+    from mini_parallel_tpu.native import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native plane not built")
+    path = str(tmp_path / "trunc.fastq.gz")
+    with gzip.open(path, "wt") as f:
+        f.write("@a\nACGTACGT\n+\nIIIIIIII\n@b\nTTTTGGGG\n")  # no qual for b
+    chunks = list(fastq.iter_read_chunks_with_quals(path, 10))
+    (seqs, quals), = chunks
+    assert seqs == [b"ACGTACGT", b"TTTTGGGG"]
+    assert quals == [b"IIIIIIII", b""]  # padded empty -> downstream passes
