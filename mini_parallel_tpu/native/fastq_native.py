@@ -24,7 +24,12 @@ def _load():
     path = _ensure_built("libfastq.so")
     if path is None:
         raise NativeUnavailable("libfastq.so not built (no C++ toolchain?)")
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError as e:  # wrong arch / missing deps: a LOADER error, not
+        # file I/O — must surface as NativeUnavailable so callers fall back
+        # to the Python decoder instead of aborting the read
+        raise NativeUnavailable(f"cannot load {path}: {e}") from e
     lib.fq_open.restype = ctypes.c_void_p
     lib.fq_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.fq_next_chunk.restype = ctypes.c_int64
@@ -34,18 +39,25 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
-    lib.fq_open_q.restype = ctypes.c_void_p
-    lib.fq_open_q.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32]
-    lib.fq_next_chunk_q.restype = ctypes.c_int64
-    lib.fq_next_chunk_q.argtypes = [
-        ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-    ]
+    # quals symbols may be absent from a stale prebuilt .so: degrade only
+    # the quals feature, keep the sequence-only fast path native
+    if getattr(lib, "fq_open_q", None) is not None:
+        lib.fq_open_q.restype = ctypes.c_void_p
+        lib.fq_open_q.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.c_int32]
+        lib.fq_next_chunk_q.restype = ctypes.c_int64
+        lib.fq_next_chunk_q.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._has_quals = True
+    else:
+        lib._has_quals = False
     lib.fq_error.restype = ctypes.c_char_p
     lib.fq_error.argtypes = [ctypes.c_void_p]
     lib.fq_total_reads.restype = ctypes.c_int64
@@ -122,6 +134,9 @@ def iter_reads_with_quals_native(
     the quals-aware counterpart of iter_reads_native (records complete at
     their quality line; a truncated final record gets an empty qual)."""
     lib = _load()
+    if not getattr(lib, "_has_quals", False):
+        raise NativeUnavailable("libfastq.so predates the quals ABI; "
+                                "rebuild (make -C mini_parallel_tpu/native)")
     h = lib.fq_open_q(path.encode(), chunk_size_reads, 1)
     if not h:
         raise IOError(f"cannot open {path}")

@@ -151,3 +151,20 @@ def test_native_quals_truncated_final_record(tmp_path):
     (seqs, quals), = chunks
     assert seqs == [b"ACGTACGT", b"TTTTGGGG"]
     assert quals == [b"IIIIIIII", b""]  # padded empty -> downstream passes
+
+
+def test_quals_iter_falls_back_when_native_unavailable(tmp_path, monkeypatch):
+    # a LOADER failure (NativeUnavailable) must fall through to the Python
+    # decoder; only real file-I/O errors abort
+    from mini_parallel_tpu.io import fastq
+    from mini_parallel_tpu.native import fastq_native
+
+    path = str(tmp_path / "x.fastq.gz")
+    fastq.write_fastq(path, [b"ACGTACGT", b"TTTTCCCC"])
+
+    def boom(*a, **k):
+        raise fastq_native.NativeUnavailable("stale .so")
+
+    monkeypatch.setattr(fastq_native, "iter_reads_with_quals_native", boom)
+    chunks = list(fastq.iter_read_chunks_with_quals(path, 10))
+    assert chunks[0][0] == [b"ACGTACGT", b"TTTTCCCC"]
