@@ -114,7 +114,12 @@ def main() -> None:
             np.asarray(outs[-1])
             return time.perf_counter() - t0
 
-        dt = min(max((timed(8) - timed(2)) / 6, 1e-9) for _ in range(3))
+        # median-of-5 slopes, matching bench.py: min selects tunnel-load-drop
+        # inflation flukes (see bench.py:77-81)
+        slopes = sorted(
+            max((timed(8) - timed(2)) / 6, 1e-9) for _ in range(5)
+        )
+        dt = slopes[len(slopes) // 2]
         _emit("pairhmm_forward_pairs", B, dt,
               extra={"gcups": round(B * M * 300 / dt / 1e9, 1)})
 

@@ -69,12 +69,16 @@ class KmerResult:
         downstream tools consume. Returns the number of records written."""
         import gzip
 
+        opener = gzip.open if path.endswith(".gz") else open
         if not self.arrays:
-            open(path, "wb").close()
+            # a .gz path must still be a valid (empty) gzip member, not 0 bytes
+            tmp = path + ".tmp"
+            with opener(tmp, "wt"):
+                pass
+            os.replace(tmp, path)
             return 0
         hi, lo, ct = self.arrays
         order = np.lexsort((lo, hi))
-        opener = gzip.open if path.endswith(".gz") else open
         tmp = path + ".tmp"
         with opener(tmp, "wt") as f:
             for i in order:

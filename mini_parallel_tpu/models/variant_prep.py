@@ -811,6 +811,8 @@ class VariantPrepEngine:
             "chunk_size_reads": self.cfg.chunk_size_reads,
             "gapped": self.gapped, "gap_model": self.gap_model,
             "rescue": self.rescue, "min_base_quality": self.min_base_quality,
+            "window_margin": self.window_margin,
+            "rescue_min_frac": self.rescue_min_frac,
             "chunks_done": chunks_done, "total_reads": res.total_reads,
             "mapped_reads": res.mapped_reads,
         }
@@ -827,7 +829,7 @@ class VariantPrepEngine:
         want = self._checkpoint_meta(res, 0, file_path=file_path)
         for key in ("file_path", "reference_length", "contigs",
                     "chunk_size_reads", "gapped", "gap_model", "rescue",
-                    "min_base_quality"):
+                    "min_base_quality", "window_margin", "rescue_min_frac"):
             got = meta.get(key)
             if key == "contigs":
                 got = [tuple(c) for c in (got or [])]
@@ -1000,8 +1002,11 @@ class VariantPrepEngine:
         from mini_parallel_tpu.ops import pairhmm
         from mini_parallel_tpu.ops.pairhmm_pallas import pairhmm_log10_batch
 
+        # skip already-genotyped sites: the <INS> branch rewrites pos/alleles
+        # in place, so re-running on them would shift pos again
         snps = [c for c in res.candidates
-                if len(c.alt_base) == 1 or c.alt_base in ("<DEL>", "<INS>")]
+                if c.gl is None
+                and (len(c.alt_base) == 1 or c.alt_base in ("<DEL>", "<INS>"))]
         if not snps:
             return res
         off_by_name = dict(zip(self.contig_names,
@@ -1107,6 +1112,12 @@ class VariantPrepEngine:
             c.gq = int(round(min(
                 min(p for i2, p in enumerate(pl) if i2 != gt_i), 99.0
             )))
+        # <INS> rewrites moved pos back by one; restore VCF sort order
+        contig_rank = {n: i for i, n in enumerate(self.contig_names)}
+        res.candidates.sort(
+            key=lambda c: (contig_rank.get(c.contig, len(contig_rank)),
+                           c.pos)
+        )
         return res
 
     def _infer_insertions(self, sites: list, site_reads: list,
@@ -1354,8 +1365,9 @@ def _write_sam_batch(f, reads, positions, codes, mapped, flipped,
         rid += 1
         cigar, start = positions_to_cigar(positions[b], n)
         if not mapped[b] or start < 0:
+            # SAM requires '*' (not empty) for an absent sequence
             f.write(f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t"
-                    f"{read.decode()}\t*\n")
+                    f"{read.decode() or '*'}\t*\n")
             continue
         n_mapped += 1
         ci = int(np.searchsorted(offsets, start, "right")) - 1
