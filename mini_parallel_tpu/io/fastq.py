@@ -106,7 +106,9 @@ def iter_read_chunks(
             # bad line. A Python stream error (gzip corruption, I/O failure)
             # is not resumable — the generator is dead — so it aborts the
             # file immediately; per-line tolerance lives in the native C++
-            # decoder, which can skip malformed records.
+            # decoder (fastq_reader.cpp), which skips malformed (non-UTF-8)
+            # lines without advancing the line counter, exactly like the
+            # reference's Err arm, and aborts after >10 of them.
             del error_count, max_errors
             raise IOError(f"Error reading {path} at line {line_count}: {e}") from e
         line_count += 1

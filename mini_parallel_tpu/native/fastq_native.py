@@ -64,6 +64,10 @@ def _load():
     lib.fq_total_reads.argtypes = [ctypes.c_void_p]
     lib.fq_line_count.restype = ctypes.c_int64
     lib.fq_line_count.argtypes = [ctypes.c_void_p]
+    # error-tolerance counter may be absent from a stale prebuilt .so
+    if getattr(lib, "fq_error_count", None) is not None:
+        lib.fq_error_count.restype = ctypes.c_int64
+        lib.fq_error_count.argtypes = [ctypes.c_void_p]
     lib.fq_close.argtypes = [ctypes.c_void_p]
     lib.fq_count_lines.restype = ctypes.c_int64
     lib.fq_count_lines.argtypes = [ctypes.c_char_p]

@@ -121,6 +121,43 @@ class LineSource {
   std::string error_;
 };
 
+// Is `line` valid UTF-8?  The reference reads lines via Rust's
+// BufRead::lines(), which yields Err exactly when a line is not valid
+// UTF-8 (aligner.rs:132); the per-line error tolerance below keys off the
+// same predicate so "malformed line" means the same thing in both.
+bool utf8_valid(const std::string& line) {
+  const auto* p = reinterpret_cast<const unsigned char*>(line.data());
+  const unsigned char* end = p + line.size();
+  while (p < end) {
+    unsigned char c = *p;
+    if (c < 0x80) {
+      ++p;
+    } else if ((c & 0xE0) == 0xC0) {
+      if (end - p < 2 || (p[1] & 0xC0) != 0x80 || c < 0xC2) return false;
+      p += 2;
+    } else if ((c & 0xF0) == 0xE0) {
+      if (end - p < 3 || (p[1] & 0xC0) != 0x80 || (p[2] & 0xC0) != 0x80)
+        return false;
+      if (c == 0xE0 && p[1] < 0xA0) return false;  // overlong
+      if (c == 0xED && p[1] >= 0xA0) return false;  // surrogate
+      p += 3;
+    } else if ((c & 0xF8) == 0xF0) {
+      if (end - p < 4 || (p[1] & 0xC0) != 0x80 || (p[2] & 0xC0) != 0x80 ||
+          (p[3] & 0xC0) != 0x80)
+        return false;
+      if (c == 0xF0 && p[1] < 0x90) return false;   // overlong
+      if (c == 0xF4 && p[1] >= 0x90) return false;  // > U+10FFFF
+      if (c > 0xF4) return false;
+      p += 4;
+    } else {
+      return false;
+    }
+  }
+  return true;
+}
+
+constexpr int64_t kMaxLineErrors = 10;  // aligner.rs:161: abort when >10
+
 struct Reader {
   std::unique_ptr<LineSource> src;
   int64_t chunk_size_reads = 0;
@@ -130,6 +167,7 @@ struct Reader {
   // readahead — up to kMaxQueue chunks ahead of what was consumed)
   std::atomic<int64_t> line_count{0};
   std::atomic<int64_t> total_reads{0};
+  std::atomic<int64_t> error_count{0};
 
   // readahead
   std::thread worker;
@@ -164,6 +202,20 @@ struct Reader {
           error = src->error();
         }
         break;
+      }
+      // Per-line error tolerance (aligner.rs:155-163): a malformed
+      // (non-UTF-8) line is skipped WITHOUT advancing line_count — the
+      // reference's Err arm does not bump its counter either, so record
+      // framing shifts identically — and >10 such lines abort the file.
+      if (!utf8_valid(line)) {
+        int64_t errs = ++error_count;
+        if (errs > kMaxLineErrors) {
+          std::lock_guard<std::mutex> l(mu);
+          error = "Too many read errors (>10), stopping at line " +
+                  std::to_string(line_count.load());
+          break;
+        }
+        continue;
       }
       ++line_count;
       int64_t m = line_count % 4;
@@ -325,6 +377,12 @@ int64_t fq_total_reads(void* handle) {
 
 int64_t fq_line_count(void* handle) {
   return static_cast<Reader*>(handle)->line_count;
+}
+
+// Malformed (skipped) line count — the reference's error_count
+// (aligner.rs:130,156); >10 aborts the stream with fq_error set.
+int64_t fq_error_count(void* handle) {
+  return static_cast<Reader*>(handle)->error_count;
 }
 
 void fq_close(void* handle) {

@@ -168,3 +168,79 @@ def test_quals_iter_falls_back_when_native_unavailable(tmp_path, monkeypatch):
     monkeypatch.setattr(fastq_native, "iter_reads_with_quals_native", boom)
     chunks = list(fastq.iter_read_chunks_with_quals(path, 10))
     assert chunks[0][0] == [b"ACGTACGT", b"TTTTCCCC"]
+
+
+def _open_handle(path, chunk):
+    """Low-level handle for counter assertions (the iterators hide it)."""
+    import ctypes
+
+    lib = fastq_native._load()
+    h = lib.fq_open(str(path).encode(), chunk)
+    assert h
+    return lib, h
+
+
+def test_native_skips_malformed_lines(tmp_path):
+    """<=10 non-UTF-8 lines are skipped without advancing the line counter
+    (aligner.rs:155-163 parity: the Err arm does not bump line_count, so
+    framing shifts by exactly the skipped lines)."""
+    reads = [b"ACGTACGT", b"GGGGCCCC", b"TTTTAAAA"]
+    path = tmp_path / "bad.fastq"
+    with open(path, "wb") as f:
+        for i, r in enumerate(reads):
+            if i == 1:
+                f.write(b"\xff\xfe garbage \x80\n")  # invalid UTF-8: skipped
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, r, b"I" * len(r)))
+    got = [r for c in fastq_native.iter_reads_native(str(path), 10)
+           for r in c]
+    assert got == reads
+
+    lib, h = _open_handle(path, 10)
+    try:
+        # drain
+        import ctypes
+
+        buf = np.empty(1 << 16, np.uint8)
+        offs = np.empty(64, np.int64)
+        nb, nr = ctypes.c_int64(), ctypes.c_int64()
+        while lib.fq_next_chunk(
+            h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), offs.size,
+            ctypes.byref(nb), ctypes.byref(nr),
+        ) > 0:
+            pass
+        if getattr(lib, "fq_error_count", None) is not None:
+            assert lib.fq_error_count(h) == 1
+        assert lib.fq_line_count(h) == 12  # 3 records; bad line not counted
+    finally:
+        lib.fq_close(h)
+
+
+def test_native_aborts_after_ten_errors(tmp_path):
+    """>10 malformed lines abort the file with an error (aligner.rs:161)."""
+    path = tmp_path / "verybad.fastq"
+    with open(path, "wb") as f:
+        f.write(b"@r0\nACGT\n+\nIIII\n")
+        for _ in range(11):
+            f.write(b"\xffjunk\n")
+        f.write(b"@r1\nGGGG\n+\nIIII\n")
+    with pytest.raises(IOError, match="Too many read errors"):
+        list(fastq_native.iter_reads_native(str(path), 10))
+
+
+def test_native_corrupt_gzip_aborts(tmp_path):
+    """A corrupted gzip STREAM is not a per-line error: zlib cannot resync,
+    so the read aborts (stricter than the reference, whose zcat child dying
+    silently truncates the stream)."""
+    import gzip
+
+    path = tmp_path / "trunc.fastq.gz"
+    payload = b"".join(
+        b"@r%d\n%s\n+\n%s\n" % (i, b"ACGT" * 30, b"I" * 120)
+        for i in range(200)
+    )
+    blob = gzip.compress(payload)
+    with open(path, "wb") as f:
+        f.write(blob[: len(blob) // 2])  # truncate mid-stream
+    with pytest.raises(IOError):
+        list(fastq_native.iter_reads_native(str(path), 10))
