@@ -82,6 +82,13 @@ class FileResult:
     chunks: int = 0
     seconds: float = 0.0
     failed_chunks: int = 0  # skipped per aligner.rs:284-287 semantics
+    # Wall seconds spent BLOCKED draining device results (jax.device_get).
+    # Through the axon tunnel this is the honest measurable lower bound of
+    # device-busy time: dispatch is async, so device compute overlapping
+    # host decode is invisible; only the blocked drain is attributable.
+    # Feeds BenchmarkResult.device_seconds/device_duty_cycle — the measured
+    # replacement for the reference's hardcoded 25% (benchmark.rs:159-163).
+    drain_seconds: float = 0.0
 
 
 @dataclass
@@ -443,9 +450,25 @@ class AlignmentEngine:
     # ------------------------------------------------------------------
     # CLI-facing modes
     # ------------------------------------------------------------------
+    # Above this length, direct sw-mode pairs route to the column-strip
+    # long-sequence engine (ops/sw_long.py) instead of the B=1 batched
+    # kernel: exact same scores, O(M+N) memory, no launch-size cap — the
+    # capability the reference errors out of at aligner.rs:436-456.
+    LONG_PAIR_THRESHOLD = 100_000
+
     def score_strings(self, s1: str | bytes, s2: str | bytes) -> int:
         """Direct two-string mode (main.rs:183-191)."""
         if self.mode == "sw":
+            if isinstance(s1, str):
+                s1 = s1.encode("ascii")
+            if isinstance(s2, str):
+                s2 = s2.encode("ascii")
+            if max(len(s1), len(s2)) > self.LONG_PAIR_THRESHOLD:
+                from mini_parallel_tpu.ops.sw_long import sw_score_long
+
+                # rows stream along the longer side (fewer, fuller strips)
+                a, b = (s1, s2) if len(s1) >= len(s2) else (s2, s1)
+                return sw_score_long(a, b)
             return sw.sw_score_pair(s1, s2)
         if self.mode == "sw-affine":
             from mini_parallel_tpu.ops.encode import PAD_A, PAD_B, pad_batch
@@ -568,7 +591,9 @@ class AlignmentEngine:
                 return
             flush()
             if deferred:
+                td = time.perf_counter()
                 res.score += sum(int(s) for s in jax.device_get(deferred))
+                res.drain_seconds += time.perf_counter() - td
                 deferred.clear()
             res.seconds = prior_seconds + (time.perf_counter() - t0)
             on_checkpoint(res)
@@ -628,7 +653,9 @@ class AlignmentEngine:
         # single drain: forces all queued device work and fetches every
         # batch's sum in one device_get (per-scalar np.asarray would pay a
         # host<->device round trip each)
+        td = time.perf_counter()
         res.score += sum(int(s) for s in jax.device_get(deferred))
+        res.drain_seconds += time.perf_counter() - td
         res.seconds = prior_seconds + (time.perf_counter() - t0)
         return res
 

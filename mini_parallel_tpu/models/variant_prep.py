@@ -567,7 +567,12 @@ class VariantPrepEngine:
         self, codes_np: np.ndarray, lens: np.ndarray, starts: np.ndarray,
         mapped: np.ndarray,
     ) -> np.ndarray:
-        """Per-base reference positions via windowed SW + CIGAR traceback."""
+        """Per-base reference positions via windowed SW + HOST CIGAR walk.
+
+        Small-subset helper only (insertion-allele inference): the per-chunk
+        batch paths all use the fused on-device _gapped_pileup_step — a
+        Python ``for b in range(B)`` here on a hot path would be the 131x
+        regression the device traceback was built to kill."""
         import functools
 
         from mini_parallel_tpu.ops.sw_traceback import (
@@ -785,18 +790,19 @@ class VariantPrepEngine:
                 jnp.asarray(qmask),
             )
         if self.gapped:
-            codes_np = np.asarray(final_codes)
-            positions = self._gapped_positions(
-                codes_np, lens, np.asarray(final_starts),
-                np.asarray(final_mapped),
+            # on-device traceback pileup — same fused step as the packed
+            # path; the host CIGAR walk (_gapped_positions) survives only
+            # for the small insertion-allele subsets in _infer_insertions
+            return _gapped_pileup_step(
+                final_codes, lens_j, final_starts, final_mapped,
+                self.index.ref_ascii_dev, pileup_acc, G,
+                pad + 2 * self.window_margin, self.window_margin, qual_ok,
+                gap_model=self.gap_model, gap_open=self.cfg.gap_open,
+                gap_extend=self.cfg.gap_extend,
             )
-            pileup_acc = pileup_acc + _pileup_positions(
-                final_codes, jnp.asarray(positions), G, qual_ok
-            )
-        else:
-            pileup_acc = pileup_acc + _pileup_batch(
-                final_codes, lens_j, final_starts, final_mapped, G, qual_ok
-            )
+        pileup_acc = pileup_acc + _pileup_batch(
+            final_codes, lens_j, final_starts, final_mapped, G, qual_ok
+        )
         return pileup_acc, int(np.asarray(final_mapped).sum())
 
     def _checkpoint_meta(self, res: VariantPrepResult, chunks_done: int,

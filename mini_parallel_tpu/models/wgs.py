@@ -169,6 +169,10 @@ def process_full_wgs_dataset(
         if res.failed_chunks:  # aligner.rs:284-287: failures skip, not abort
             echo(f"  WARNING: {res.failed_chunks} chunk(s) failed and were "
                  f"skipped (scored 0)")
+        # measured device time (drain-blocked wall; lower bound through the
+        # async tunnel) — replaces the reference's hardcoded 25% GPU util
+        # (benchmark.rs:159-163) with a real number
+        tracker.add_device_seconds(res.drain_seconds)
         state.add_file_result(
             FileCheckpoint(
                 file_path=path, file_index=i, score=res.score,

@@ -1,0 +1,291 @@
+"""Exact Smith-Waterman for LONG sequence pairs: full-height column strips.
+
+The reference hard-caps a single alignment launch and errors beyond it
+(smith_waterman/src/aligner.rs:436-456: min(16.7M work items, VRAM/3) then
+"Sequence too large for GPU processing"). This module is the TPU answer the
+blueprint calls for (SURVEY.md §5 long-context: "the DP grid is tiled and
+boundary rows/columns are carried between tiles"): one pair of arbitrarily
+long sequences scored EXACTLY, runtime-bound rather than memory-bound.
+
+Design (differs from ops/sw_pallas.py, which batches many short pairs):
+
+- The DP grid (M rows = seq_a, N cols = seq_b) is cut into **column strips**
+  of width W = SB*128 spanning the FULL row range. Within a strip, vector
+  element e = lane*SB + sublane (lane-major) owns **one fixed column**
+  j0+e; at sweep step d it computes cell (i = d - e, j0 + e).
+  Consequences, all wavefront-friendly:
+    * UP neighbor (i-1, j) = same element, previous step — **no shift**;
+    * LEFT (i, j-1) = element e-1, previous step — one shift;
+    * DIAG (i-1, j-1) = element e-1, two steps back — the pre-shifted
+      carry (d1s), exactly as in ops/sw_pallas.py.
+- Because strips are full-height, the top boundary is the true DP edge
+  (zeros) — only the **right boundary column** is carried between strips
+  (rightcol[i] = H[i][j0+W-1]), produced as a kernel output and fed to the
+  next strip as leftcol. The carried column enters at element 0, a FIXED
+  position, via the shift-insert row — no moving-boundary masks (a masked
+  variant measured +128% on v5e; see sw_pallas.py's negative results).
+- Element shifts cross lanes every SB sublanes: shift-by-one = sublane
+  concat + a (1,128) lane-roll of the last sublane row — the carry row.
+- Per-step scalars (window base a[d] in, leftcol[d] in, corner H out) ride
+  **rolling (1,128) rows** consumed/produced at fixed lanes, reloaded/
+  flushed every 128 steps — no dynamic lane extraction (Mosaic-unfriendly).
+- The grid axis streams row blocks of the a/leftcol inputs and the rightcol
+  output through VMEM; DP state persists in scratch across the sequential
+  TPU grid.
+
+Zero ramp waste: all W cells of a step are useful once the wavefront fills
+(ramp fraction W/(M+W) ~ 0 for long M), vs ~2x waste for the batched
+M=N kernel — so this path's per-cell efficiency exceeds the headline
+kernel's despite the extra carry-row ops.
+
+Scoring: match +2 / mismatch -1 / gap -2, local alignment (floor 0) —
+ops/sw.py semantics; validated against a blocked NumPy golden in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mini_parallel_tpu.ops.encode import PAD_A, PAD_B
+from mini_parallel_tpu.ops.sw import GAP_PENALTY, MATCH_SCORE, MISMATCH_PENALTY
+
+LANES = 128
+# v5e sweep (500k x 400k, warm): sb=64 -> 91 GCUPS, 128 -> 172, 256 -> 225,
+# 512 -> 125; unroll 4 beat 2 and 8. Default 256 sublanes = 32768-column
+# strips; sw_score_long narrows sb adaptively when b is shorter.
+DEFAULT_SB = 256
+DEFAULT_BLK = 16_384  # row-block (sweep steps) streamed per grid step
+UNROLL = 4
+
+
+def _strip_kernel(sb: int, blk: int, unroll: int):
+    """Kernel for ONE strip: grid streams row blocks; scratch carries DP
+    state across the sequential grid. Shapes: b strip (sb,128); per-block
+    a rows (blk//128,128); leftcol rows (blk//128,128); outputs rightcol
+    rows (blk//128,128) and running best (1,128)."""
+
+    def kernel(b_ref, a_ref, lc_ref, rc_ref, best_out,
+               w, d1, d1s, best, aw_row, lc_row, rc_row):
+        k = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lane0 = lane == 0
+        lane_last = lane == LANES - 1
+
+        @pl.when(k == 0)
+        def _init():
+            w[:] = jnp.full((sb, LANES), int(PAD_A), jnp.int32)
+            d1[:] = jnp.zeros((sb, LANES), jnp.int32)
+            d1s[:] = jnp.zeros((sb, LANES), jnp.int32)
+            best[:] = jnp.zeros((sb, LANES), jnp.int32)
+
+        b = b_ref[:]
+        zeros = jnp.zeros((sb, LANES), jnp.int32)
+
+        def one_diag(t, st):
+            wv, d1v, d1sv, bestv, awv, lcv, rcv = st
+            # element shift-by-one: sublane concat; the carry row crossing
+            # into lane l comes from the previous lane's last sublane, and
+            # lane 0 receives the injected boundary scalar (rolling rows
+            # keep it at lane 0 — no dynamic extraction)
+            w_carry = jnp.where(lane0, awv, pltpu.roll(wv[sb - 1:sb], 1, 1))
+            wv = jnp.concatenate([w_carry, wv[:-1]], axis=0)
+            s = jnp.where(wv == b, MATCH_SCORE, MISMATCH_PENALTY)
+            diag = d1sv + s
+            s_carry = jnp.where(lane0, lcv, pltpu.roll(d1v[sb - 1:sb], 1, 1))
+            sh = jnp.concatenate([s_carry, d1v[:-1]], axis=0)
+            # up = d1v (same element, previous step); left = sh
+            ud = jnp.maximum(d1v, sh) + GAP_PENALTY
+            cand = jnp.maximum(jnp.maximum(diag, ud), zeros)
+            bestv = jnp.maximum(bestv, cand)
+            # harvest the strip's last column: corner cell sits at the
+            # fixed last element; shift the collector left and insert at
+            # the last lane (after 128 steps lane l holds step t-127+l)
+            last_row = cand[sb - 1:sb]
+            rcv = jnp.where(lane_last, last_row, pltpu.roll(rcv, LANES - 1, 1))
+            # advance the rolling input rows (consumed at lane 0)
+            awv = pltpu.roll(awv, LANES - 1, 1)
+            lcv = pltpu.roll(lcv, LANES - 1, 1)
+            return (wv, cand, sh, bestv, awv, lcv, rcv)
+
+        def window(win, _):
+            # one 128-step window: row I/O at the edges, branch-free core
+            # (per-step pl.when in the hot loop measured pathologically slow)
+            aw_row[:] = a_ref[pl.ds(win, 1), :]
+            lc_row[:] = lc_ref[pl.ds(win, 1), :]
+
+            def inner(q, _):
+                st = (w[:], d1[:], d1s[:], best[:],
+                      aw_row[:], lc_row[:], rc_row[:])
+                for _u in range(unroll):
+                    st = one_diag(0, st)
+                w[:], d1[:], d1s[:], best[:] = st[:4]
+                aw_row[:], lc_row[:], rc_row[:] = st[4:]
+                return ()
+
+            jax.lax.fori_loop(0, LANES // unroll, inner, ())
+            rc_ref[pl.ds(win, 1), :] = rc_row[:]
+            return ()
+
+        jax.lax.fori_loop(0, blk // LANES, window, ())
+        best_out[:] = jnp.max(best[:], axis=0, keepdims=True)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sb", "blk", "unroll", "interpret"))
+def _run_strip(
+    b_tile: jnp.ndarray,       # (sb, 128) int32, column codes of this strip
+    a_rows: jnp.ndarray,       # (T//128, 128) int32, a codes row-major
+    leftcol: jnp.ndarray,      # (T//128, 128) int32, carried boundary column
+    sb: int, blk: int, unroll: int = UNROLL,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sweep one strip over T = a_rows.size steps. Returns (best (1,128),
+    rightcol rows (T//128, 128))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows_per_blk = blk // LANES
+    nblk = a_rows.shape[0] // rows_per_blk
+    rc, best = pl.pallas_call(
+        _strip_kernel(sb, blk, unroll),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((sb, LANES), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, LANES), lambda k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, LANES), lambda k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows_per_blk, LANES), lambda k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(a_rows.shape, jnp.int32),
+            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sb, LANES), jnp.int32),   # w
+            pltpu.VMEM((sb, LANES), jnp.int32),   # d1
+            pltpu.VMEM((sb, LANES), jnp.int32),   # d1s
+            pltpu.VMEM((sb, LANES), jnp.int32),   # best
+            pltpu.VMEM((1, LANES), jnp.int32),    # aw_row
+            pltpu.VMEM((1, LANES), jnp.int32),    # lc_row
+            pltpu.VMEM((1, LANES), jnp.int32),    # rc_row
+        ],
+        interpret=interpret,
+    )(b_tile, a_rows, leftcol)
+    return best, rc
+
+
+def sw_score_long(
+    seq_a: bytes | np.ndarray,
+    seq_b: bytes | np.ndarray,
+    sb: int = DEFAULT_SB,
+    blk: int = DEFAULT_BLK,
+    unroll: int = UNROLL,
+    interpret: bool | None = None,
+    progress=None,
+) -> int:
+    """Exact linear-gap SW score of ONE long pair via column-strip sweeps.
+
+    Capability anchor: the reference errors out above ~16.7M work items
+    (aligner.rs:436-456); this path is bounded only by runtime (O(M*N)
+    cells) and O(M + N) HBM for the carried boundary column — a >=100x cap
+    lift. Memory: sequences as 1-byte codes + one (M,) int32 boundary.
+
+    seq_a/seq_b: ASCII bytes or uint8 arrays. Returns int score.
+    """
+    a = np.frombuffer(seq_a, np.uint8) if isinstance(seq_a, (bytes, bytearray)) \
+        else np.asarray(seq_a, np.uint8)
+    b = np.frombuffer(seq_b, np.uint8) if isinstance(seq_b, (bytes, bytearray)) \
+        else np.asarray(seq_b, np.uint8)
+    M, N = a.size, b.size
+    if M == 0 or N == 0:
+        return 0
+    # narrow the strip to the b length (padding a 32k-wide strip to score a
+    # 9k b would waste ~70% of every sweep step)
+    sb = max(8, min(sb, -(-(-(-N // LANES)) // 8) * 8))
+    W = sb * LANES
+    # sweep length: wavefront needs M + W - 1 steps; round to the block
+    T = -(-(M + W) // blk) * blk
+    a_pad = np.full(T, PAD_A, np.uint8)
+    a_pad[:M] = a
+    # lane-major element order within the strip: element e = l*sb + s owns
+    # column j0 + e  ->  b tile layout [s, l] = b[j0 + l*sb + s]
+    a_rows = jnp.asarray(a_pad.reshape(T // LANES, LANES).astype(np.int32))
+    lc = jnp.zeros((T // LANES, LANES), jnp.int32)
+
+    best_dev = jnp.zeros((), jnp.int32)
+    n_strips = -(-N // W)
+    for si in range(n_strips):
+        j0 = si * W
+        bt = np.full(W, PAD_B, np.uint8)
+        seg = b[j0 : j0 + W]
+        bt[: seg.size] = seg
+        b_tile = jnp.asarray(
+            bt.reshape(LANES, sb).T.astype(np.int32)
+        )  # [s, l] = bt[l*sb + s]
+        best, rc = _run_strip(b_tile, a_rows, lc, sb, blk, unroll=unroll,
+                              interpret=interpret)
+        # wavefront skew: the corner element emits H[d-(W-1)][j_last] at
+        # step d, so rightcol row i sits at flat index i + W - 1; the next
+        # strip consumes leftcol[d'] = H[d'][j_last] -> shift forward W-1
+        lc = _shift_rows(rc, W - 1)
+        best_dev = jnp.maximum(best_dev, jnp.max(best))
+        if progress:
+            progress(f"  sw-long strip {si + 1}/{n_strips} "
+                     f"(cols {j0}-{min(j0 + W, N)})")
+    return int(np.asarray(best_dev))
+
+
+@functools.partial(jax.jit, static_argnames=("shift",))
+def _shift_rows(rc: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """flat[i] = rc_flat[i + shift], zero-padded at the tail (row-major)."""
+    flat = rc.reshape(-1)
+    out = jnp.zeros_like(flat)
+    out = out.at[: flat.size - shift].set(flat[shift:])
+    return out.reshape(rc.shape)
+
+
+def sw_score_numpy_blocked(seq_a: bytes, seq_b: bytes) -> int:
+    """Vectorized NumPy anti-diagonal golden for sizes where the quadratic
+    Python-loop oracle (ops/sw.py:sw_score_numpy) is too slow. O(M+N)
+    memory, numpy-vector ops per diagonal."""
+    a = np.frombuffer(seq_a, np.uint8).astype(np.int64)
+    b = np.frombuffer(seq_b, np.uint8).astype(np.int64)
+    M, N = a.size, b.size
+    if M == 0 or N == 0:
+        return 0
+    # diagonal index d holds cells (i, d - i) for i in [max(0,d-N+1), min(d,M-1)]
+    prev = np.zeros(M + 1, np.int64)   # H on diagonal d-1, indexed by i+1
+    prev2 = np.zeros(M + 1, np.int64)  # H on diagonal d-2
+    best = 0
+    for d in range(M + N - 1):
+        lo = max(0, d - N + 1)
+        hi = min(d, M - 1)
+        i = np.arange(lo, hi + 1)
+        j = d - i
+        s = np.where(a[i] == b[j], MATCH_SCORE, MISMATCH_PENALTY)
+        diag = prev2[i] + s          # H[i-1][j-1]: prev2 index (i-1)+1
+        up = prev[i]                 # H[i-1][j]:   prev index (i-1)+1
+        left = prev[i + 1]           # H[i][j-1]:   prev index i+1
+        h = np.maximum(
+            np.maximum(diag, np.maximum(up, left) + GAP_PENALTY), 0
+        )
+        best = max(best, int(h.max()))
+        prev2 = prev
+        cur = np.zeros(M + 1, np.int64)
+        cur[i + 1] = h
+        prev = cur
+    return best

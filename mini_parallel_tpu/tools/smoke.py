@@ -96,6 +96,23 @@ def main(argv=None) -> int:
     ]
     failures = 0
     try:
+        # row 0: the on-chip kernel parity gate (tools/kernel_check) —
+        # every device kernel bit-exact vs its host oracle ON THE CHIP
+        # (interpret parity does not imply Mosaic correctness)
+        from mini_parallel_tpu.tools import kernel_check
+
+        try:
+            kc_argv = ["--reads", "60"]
+            if args.allow_cpu:
+                kc_argv.append("--allow-cpu")
+            rc = kernel_check.main(kc_argv)
+        except Exception as e:  # noqa: BLE001
+            rc = 99
+            print(f"kernel-check exception: {e}")
+        ok = rc == 0
+        failures += 0 if ok else 1
+        print(f"[{'PASS' if ok else 'FAIL'}] kernel-parity-gate")
+
         for name, argv_m in modes:
             if args.allow_cpu:
                 argv_m = argv_m + ["--allow-cpu"]
@@ -117,7 +134,7 @@ def main(argv=None) -> int:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
-    print(f"{len(modes) - failures}/{len(modes)} modes passed")
+    print(f"{len(modes) + 1 - failures}/{len(modes) + 1} checks passed")
     return 1 if failures else 0
 
 

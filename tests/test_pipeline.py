@@ -105,6 +105,17 @@ def test_full_wgs_with_checkpoint_resume(tmp_path, rng, cfg, monkeypatch):
                                        echo=out.append)
     assert len(results) == 2
     assert all(r.score == 4 for r in results)
+    # measured drain-time (device seconds) must be populated, not null —
+    # the fix for the reference's hardcoded 25% util (benchmark.rs:159-163)
+    assert all(r.drain_seconds > 0 for r in results)
+    import glob
+    import json
+
+    run_files = glob.glob(str(tmp_path / "benchmark_results" / "run_*.json"))
+    payload = json.load(open(sorted(run_files)[-1]))
+    payload = payload[-1] if isinstance(payload, list) else payload
+    assert payload["device_seconds"] is not None
+    assert payload["device_duty_cycle"] is not None
 
     run_id = deterministic_run_id(cfg.sample_id, cfg.wgs_file_list(),
                               "kadane", chunk_size=cfg.chunk_size_reads)

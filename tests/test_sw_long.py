@@ -1,0 +1,89 @@
+"""Long-sequence column-strip SW (ops/sw_long.py) vs golden oracles.
+
+The capability the reference errors out of (aligner.rs:436-456); scores
+must be EXACT vs the quadratic golden at every geometry: single strip,
+multiple strips, multiple row blocks, ragged edges, adversarial inputs.
+Interpret mode (CPU) here; on-chip bit-parity runs in tools/kernel_check.
+"""
+
+import numpy as np
+import pytest
+
+from mini_parallel_tpu.ops.sw import sw_score_numpy
+from mini_parallel_tpu.ops.sw_long import (sw_score_long,
+                                           sw_score_numpy_blocked)
+from tests.conftest import random_dna
+
+# small tiles keep interpret-mode runtime sane; geometry invariance tests
+# confirm results don't depend on (sb, blk)
+SB, BLK = 8, 512  # strip width 1024, block 512
+
+
+def _long(a, b, **kw):
+    kw.setdefault("sb", SB)
+    kw.setdefault("blk", BLK)
+    return sw_score_long(a, b, interpret=True, **kw)
+
+
+def test_blocked_golden_matches_quadratic(rng):
+    for m, n in [(1, 1), (7, 13), (80, 64), (200, 150)]:
+        a, b = random_dna(rng, m), random_dna(rng, n)
+        assert sw_score_numpy_blocked(a, b) == sw_score_numpy(a, b)
+
+
+@pytest.mark.parametrize(
+    "m,n",
+    [
+        (30, 20),          # tiny: wavefront never fills the strip
+        (200, 150),        # single strip, multiple 128-windows
+        (600, 1500),       # multiple strips (width 1024)
+        (1100, 2100),      # strips AND multiple row blocks (blk=512)
+        (513, 1024),       # exact strip-width edge
+        (512, 1025),       # one column past the strip edge
+    ],
+)
+def test_exact_vs_golden(rng, m, n):
+    a, b = random_dna(rng, m), random_dna(rng, n)
+    assert _long(a, b) == sw_score_numpy_blocked(a, b)
+
+
+def test_identical_strings_score_2n(rng):
+    a = random_dna(rng, 3000)
+    assert _long(a, a) == 2 * len(a)
+
+
+def test_embedded_common_segment_crossing_strips(rng):
+    # a strong alignment whose optimal path crosses a strip boundary —
+    # exercises the carried boundary column
+    a = np.frombuffer(random_dna(rng, 2500), np.uint8).copy()
+    b = np.frombuffer(random_dna(rng, 2500), np.uint8).copy()
+    seg = np.frombuffer(random_dna(rng, 400), np.uint8)
+    a[700:1100] = seg
+    b[900:1300] = seg  # spans columns 900-1300: crosses the 1024 boundary
+    got = _long(bytes(a), bytes(b))
+    assert got == sw_score_numpy_blocked(bytes(a), bytes(b))
+    assert got >= 2 * 400 - 50  # sanity: the planted signal dominates
+
+
+def test_geometry_invariance(rng):
+    a, b = random_dna(rng, 900), random_dna(rng, 1700)
+    want = sw_score_numpy_blocked(a, b)
+    assert _long(a, b, sb=8, blk=512) == want
+    assert _long(a, b, sb=8, blk=1024) == want
+    assert _long(a, b, sb=16, blk=512) == want
+
+
+def test_empty_inputs():
+    assert _long(b"", b"ACGT") == 0
+    assert _long(b"ACGT", b"") == 0
+
+
+def test_score_strings_routes_long_pairs(rng, monkeypatch):
+    """AlignmentEngine sw mode must route big pairs to the strip engine
+    instead of raising/choking; scores stay exact."""
+    from mini_parallel_tpu.models import alignment
+
+    eng = alignment.AlignmentEngine(mode="sw")
+    monkeypatch.setattr(eng, "LONG_PAIR_THRESHOLD", 1000)
+    a, b = random_dna(rng, 1600), random_dna(rng, 1200)
+    assert eng.score_strings(a, b) == sw_score_numpy_blocked(a, b)
