@@ -499,6 +499,7 @@ class AlignmentEngine:
         resume=None,
         checkpoint_every: int = 0,
         on_checkpoint=None,
+        chunk_stride: tuple[int, int] | None = None,
     ) -> FileResult:
         """--full-wgs per-file loop: chunked self-alignment
         (aligner.rs:262-295), batching several chunk-concats per device call.
@@ -603,6 +604,14 @@ class AlignmentEngine:
         )):
             if idx < start_chunk:  # resume: already scored in a prior run
                 continue
+            if chunk_stride is not None:
+                # shared-file mode (parallel/distributed.plan_work): this
+                # process owns every nproc-th chunk of a file too large for
+                # one host's shard; chunk scores are independent sums, so
+                # the stripes merge exactly
+                p, n = chunk_stride
+                if idx % n != p:
+                    continue
             res.total_reads += len(chunk)
             res.chunks += 1
             if self.mode in ("sw", "sw-affine"):

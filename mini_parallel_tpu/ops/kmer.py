@@ -34,6 +34,9 @@ from mini_parallel_tpu.ops import encode
 DEFAULT_K = 21
 # sentinel sort key for invalid windows: sorts after every real (hi, lo)
 _SENTINEL = np.int32(2**31 - 1)
+# below this distinct-key count the compressed drain's extra dispatches cost
+# more than the saved wire bytes (tests patch it to 0)
+COMPRESS_MIN_KEYS = 1 << 16
 
 
 def pack_kmers(
@@ -199,6 +202,84 @@ def _sorted_merge(hi_a, lo_a, ct_a, hi_b, lo_b, ct_b):
     return _rle_compact(hi, lo, ct, ct > 0)
 
 
+# ---------------------------------------------------------------------------
+# Compressed drain: the final device->host fetch of the distinct-key store is
+# the k-mer engine's wall on thin links (~36 MB/s through the axon tunnel;
+# 12 bytes/key raw). Keys leave the store SORTED, so consecutive deltas are
+# small: encode each key as a 42..58-bit delta and ship only the byte planes
+# that are anywhere non-zero (typically 3 of 8), plus count byte planes
+# (typically 1 of 4) — ~3x fewer wire bytes, decoded host-side with one
+# numpy cumsum. Pure jnp (no Pallas); plane counts are static args so the
+# pack compiles once per (bucket, kp, cp) geometry.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _delta_limbs(hi, lo, ct):
+    """Per-element key deltas in two uint32 limbs + validity mask."""
+    hi_u = hi.astype(jnp.uint32)
+    lo_u = lo.astype(jnp.uint32)
+    ph = jnp.concatenate([jnp.zeros(1, jnp.uint32), hi_u[:-1]])
+    plo = jnp.concatenate([jnp.zeros(1, jnp.uint32), lo_u[:-1]])
+    d_lo = lo_u - plo
+    borrow = (lo_u < plo).astype(jnp.uint32)
+    d_hi = hi_u - ph - borrow
+    return d_hi, d_lo, ct > 0
+
+
+@jax.jit
+def _plane_maxima(hi, lo, ct):
+    """-> uint32[3]: max over the VALID prefix of (d_lo, d_hi, count)."""
+    d_hi, d_lo, ok = _delta_limbs(hi, lo, ct)
+    z = jnp.uint32(0)
+    return jnp.stack([
+        jnp.max(jnp.where(ok, d_lo, z)),
+        jnp.max(jnp.where(ok, d_hi, z)),
+        jnp.max(jnp.where(ok, ct.astype(jnp.uint32), z)),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("kp", "cp"))
+def _plane_pack(hi, lo, ct, kp: int, cp: int):
+    """-> uint8[(kp+cp)*n]: kp delta byte planes (planes 0-3 from the low
+    limb, 4+ from the high limb) then cp count byte planes, concatenated."""
+    d_hi, d_lo, _ = _delta_limbs(hi, lo, ct)
+    planes = []
+    for pidx in range(kp):
+        src, sh = (d_lo, 8 * pidx) if pidx < 4 else (d_hi, 8 * (pidx - 4))
+        planes.append(((src >> jnp.uint32(sh)) & jnp.uint32(0xFF))
+                      .astype(jnp.uint8))
+    ct_u = ct.astype(jnp.uint32)
+    for pidx in range(cp):
+        planes.append(((ct_u >> jnp.uint32(8 * pidx)) & jnp.uint32(0xFF))
+                      .astype(jnp.uint8))
+    return jnp.concatenate(planes)
+
+
+def _planes_needed(max_val: int) -> int:
+    n = 1
+    while max_val >= (1 << (8 * n)):
+        n += 1
+    return n
+
+
+def _decode_planes(planes: np.ndarray, m: int, kp: int, cp: int):
+    """Inverse of _plane_pack on the host: -> (hi, lo int32, ct int64)."""
+    b = planes.size // (kp + cp)
+    pl = planes.reshape(kp + cp, b)[:, :m]
+    delta = np.zeros(m, np.uint64)
+    for pidx in range(kp):
+        bit = 8 * pidx if pidx < 4 else 32 + 8 * (pidx - 4)
+        delta |= pl[pidx].astype(np.uint64) << bit
+    keys = np.cumsum(delta, dtype=np.uint64)
+    hi = (keys >> np.uint64(32)).astype(np.uint32).astype(np.int32)
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
+    ct = np.zeros(m, np.int64)
+    for pidx in range(cp):
+        ct |= pl[kp + pidx].astype(np.int64) << (8 * pidx)
+    return hi, lo, ct
+
+
 class DeviceKmerAccumulator:
     """Cross-batch k-mer aggregate kept entirely in HBM.
 
@@ -324,6 +405,8 @@ class DeviceKmerAccumulator:
         full capacity slab is 3 x 128 MB at the default 1<<25, a drain-time
         wall on thin links when the data is repetitive (distinct <<
         capacity)."""
+        import os
+
         self.flush()
         if self._store is not None:
             hi_d, lo_d, ct_d = self._store
@@ -332,9 +415,24 @@ class DeviceKmerAccumulator:
             while b < m:
                 b <<= 1
             b = min(b, self.capacity)
-            hi = np.asarray(hi_d[:b])[:m]
-            lo = np.asarray(lo_d[:b])[:m]
-            ct = np.asarray(ct_d[:b])[:m].astype(np.int64)
+            if (m > COMPRESS_MIN_KEYS
+                    and not os.environ.get("MPT_KMER_RAW_DRAIN")):
+                # delta + byte-plane compressed fetch (~3x fewer wire
+                # bytes; see _plane_pack). Deltas wrap mod 2^64 and the
+                # host cumsum unwraps them, so this is exact for ANY key
+                # ordering — only the ratio depends on sortedness.
+                hi_b, lo_b, ct_b = hi_d[:b], lo_d[:b], ct_d[:b]
+                mx = np.asarray(_plane_maxima(hi_b, lo_b, ct_b))
+                mx_lo, mx_hi, mx_ct = (int(x) for x in mx)
+                kp = (4 + _planes_needed(mx_hi)) if mx_hi \
+                    else _planes_needed(mx_lo)
+                cp = _planes_needed(mx_ct)
+                planes = np.asarray(_plane_pack(hi_b, lo_b, ct_b, kp, cp))
+                hi, lo, ct = _decode_planes(planes, m, kp, cp)
+            else:
+                hi = np.asarray(hi_d[:b])[:m]
+                lo = np.asarray(lo_d[:b])[:m]
+                ct = np.asarray(ct_d[:b])[:m].astype(np.int64)
         else:
             hi = np.empty(0, np.int32)
             lo, ct = hi.copy(), np.empty(0, np.int64)

@@ -34,6 +34,76 @@ def shard_files(files: list[str], process_id: int, num_processes: int) -> list[s
 
 
 @dataclass
+class WorkPlan:
+    """Size-aware file->host plan (SURVEY.md §7 hard parts: skewed lanes).
+
+    ``exclusive[p]``: files process p runs alone. ``shared``: files too
+    large for any single host's fair share — every process runs them with
+    ``chunk_stride=(p, nproc)`` (each owns every nproc-th chunk; chunk
+    scores are independent sums, so stripes merge exactly). Greedy LPT on
+    byte sizes bounds the exclusive makespan at 4/3 of optimal; sharing
+    the oversized files bounds the total makespan at ~ideal + one chunk.
+    """
+
+    exclusive: list[list[str]]
+    shared: list[str]
+
+    def makespan_bytes(self, sizes: dict[str, int]) -> int:
+        per_shared = sum(sizes.get(f, 0) for f in self.shared) // max(
+            len(self.exclusive), 1
+        )
+        return per_shared + max(
+            (sum(sizes.get(f, 0) for f in shard) for shard in self.exclusive),
+            default=0,
+        )
+
+
+def plan_work(
+    files: list[str],
+    num_processes: int,
+    sizes: dict[str, int] | None = None,
+) -> WorkPlan:
+    """Deterministic size-aware plan, identical on every process.
+
+    Files bigger than the ideal per-host share are chunk-strided across all
+    processes; the rest are greedy-LPT assigned (largest first onto the
+    least-loaded host). Replaces blind round-robin, whose makespan on a
+    10:1 skewed lane set is ~2x the even split. Unknown sizes (stat
+    failure) fall back to size 1, degrading to cardinality balancing.
+    """
+    if num_processes <= 1:
+        return WorkPlan(exclusive=[list(files)], shared=[])
+    if sizes is None:
+        import os
+
+        sizes = {}
+        for f in files:
+            try:
+                sizes[f] = os.path.getsize(f)
+            except OSError:
+                sizes[f] = 1
+    total = sum(max(sizes.get(f, 1), 1) for f in files)
+    ideal = total / num_processes
+    shared = [f for f in files if max(sizes.get(f, 1), 1) > ideal]
+    rest = [f for f in files if f not in shared]
+    loads = [0] * num_processes
+    exclusive: list[list[str]] = [[] for _ in range(num_processes)]
+    # LPT: stable tie-break on the original index keeps the plan identical
+    # across processes
+    order = sorted(range(len(rest)),
+                   key=lambda i: (-max(sizes.get(rest[i], 1), 1), i))
+    for i in order:
+        p = min(range(num_processes), key=lambda q: (loads[q], q))
+        exclusive[p].append(rest[i])
+        loads[p] += max(sizes.get(rest[i], 1), 1)
+    # keep each shard in original file order (checkpoint indices stay stable)
+    pos = {f: i for i, f in enumerate(files)}
+    for shard in exclusive:
+        shard.sort(key=pos.__getitem__)
+    return WorkPlan(exclusive=exclusive, shared=shared)
+
+
+@dataclass
 class DistributedTotals:
     files: int
     reads: int
@@ -80,8 +150,12 @@ def process_full_wgs_distributed(
     initialize_distributed()  # idempotent; the CLI already ran it at startup
     pid, nproc = jax.process_index(), jax.process_count()
     files = cfg.wgs_file_list() if cfg else engine.cfg.wgs_file_list()
-    my_files = shard_files(files, pid, nproc)
-    echo(f"[host {pid}/{nproc}] processing {len(my_files)}/{len(files)} files")
+    plan = plan_work(files, nproc)
+    my_files = plan.exclusive[pid] if pid < len(plan.exclusive) else []
+    echo(f"[host {pid}/{nproc}] processing {len(my_files)}/{len(files)} "
+         f"files exclusively"
+         + (f" + {len(plan.shared)} shared (chunk-strided)"
+            if plan.shared else ""))
 
     results = process_full_wgs_dataset(
         engine,
@@ -91,8 +165,20 @@ def process_full_wgs_distributed(
         files=my_files,
         retries=retries,
     )
+    # oversized files: every process runs its chunk stripe (no mid-file
+    # checkpoint for stripes; a failed shared file re-runs whole)
+    for path in plan.shared:
+        echo(f"[host {pid}/{nproc}] shared file {path}: "
+             f"chunks {pid}::{nproc}")
+        results.append(
+            engine.self_align_file(path, progress=echo,
+                                   chunk_stride=(pid, nproc))
+        )
+    # stripe partials sum exactly across processes for reads/bases/score,
+    # but each shared FILE must count once globally -> attribute to pid 0
+    n_files = len(my_files) + (len(plan.shared) if pid == 0 else 0)
     local = DistributedTotals(
-        files=len(results),
+        files=n_files,
         reads=sum(r.total_reads for r in results),
         bases=sum(r.total_bases for r in results),
         score=sum(r.score for r in results),

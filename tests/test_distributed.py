@@ -41,3 +41,50 @@ def test_distributed_wgs_single_process(tmp_path, rng, monkeypatch):
     assert merged.reads == 20
     assert merged.bases == 6000
     assert merged.score == 8
+
+
+def test_plan_work_skewed_lanes_within_15pct():
+    """SURVEY §7 hard part: 10:1 lane skew. Round-robin's makespan is ~2x
+    the even split; the size-aware plan must land within 15% of ideal."""
+    sizes = {"big": 10_000, "s1": 1_000, "s2": 1_000, "s3": 1_000}
+    files = list(sizes)
+    plan = distributed.plan_work(files, 2, sizes=sizes)
+    assert plan.shared == ["big"]  # bigger than ideal share -> strided
+    # every file appears exactly once across the plan
+    assert sorted(sum(plan.exclusive, []) + plan.shared) == sorted(files)
+    ideal = sum(sizes.values()) / 2
+    assert plan.makespan_bytes(sizes) <= 1.15 * ideal
+    # round-robin for comparison: pid0 gets big+s2 = 11000 = 1.69x ideal
+    rr = [sum(sizes[f] for f in distributed.shard_files(files, p, 2))
+          for p in range(2)]
+    assert max(rr) > 1.5 * ideal
+
+
+def test_plan_work_lpt_beats_round_robin_without_sharing():
+    sizes = {f"f{i}": s for i, s in
+             enumerate([5, 5, 4, 4, 3, 3, 2, 2, 1, 1])}
+    files = list(sizes)
+    plan = distributed.plan_work(files, 2, sizes=sizes)
+    assert plan.shared == []
+    loads = [sum(sizes[f] for f in shard) for shard in plan.exclusive]
+    assert max(loads) == 15  # perfect split of 30
+    # identical plan on every "process" (determinism contract)
+    assert distributed.plan_work(files, 2, sizes=sizes) == plan
+
+
+def test_chunk_stride_partitions_exactly(tmp_path, rng):
+    """Sum of the two stripes == the whole file, chunks balanced within 1."""
+    cfg = Config(wgs_data_dir=str(tmp_path), sample_id="S", lanes=1,
+                 reads_per_lane=1, chunk_size_reads=4, read_pad=64)
+    path = str(tmp_path / "S_L001_R1_001.fastq.gz")
+    reads = [random_dna(rng, 300) for _ in range(37)]  # 10 chunks, ragged
+    fastq.write_fastq(path, reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+    full = eng.self_align_file(path)
+    stripes = [eng.self_align_file(path, chunk_stride=(p, 2))
+               for p in range(2)]
+    assert sum(s.score for s in stripes) == full.score
+    assert sum(s.total_reads for s in stripes) == full.total_reads
+    assert sum(s.total_bases for s in stripes) == full.total_bases
+    assert sum(s.chunks for s in stripes) == full.chunks
+    assert abs(stripes[0].chunks - stripes[1].chunks) <= 1

@@ -356,3 +356,24 @@ def test_kmer_multi_file_sample(tmp_path, rng):
     res2 = KmerEngine(cfg, k=21).count_file([p1, p2], checkpoint_path=ckpt,
                                             checkpoint_every=1)
     assert res2.counts == res.counts and res2.total_reads == 21
+
+
+def test_compressed_drain_exact(rng, monkeypatch):
+    """DeviceKmerAccumulator.drain with byte-plane compression is exact vs
+    the raw fetch and the Python Counter golden."""
+    monkeypatch.setattr(kmer, "COMPRESS_MIN_KEYS", 0)
+    reads = [random_dna(rng, 60) for _ in range(300)]
+    acc = kmer.DeviceKmerAccumulator(capacity=1 << 16, staging_batches=2)
+    for i in range(0, len(reads), 100):
+        batch = reads[i : i + 100]
+        arr, lens = encode.pad_batch(batch, pad_to=64,
+                                     pad_value=int(encode.PAD_A))
+        codes = encode.ascii_to_code(jnp.asarray(arr))
+        hi, lo, ct, _ = kmer.unique_counts_batch(codes, jnp.asarray(lens),
+                                                 k=21)
+        acc.add(hi, lo, ct)
+    hi, lo, ct = acc.drain()
+    got = {}
+    kmer.merge_device_counts(got, hi, lo, ct)
+    got = {kmer.key_to_string(h, l, 21): c for (h, l), c in got.items()}
+    assert got == kmer.count_kmers_python(reads, k=21)
