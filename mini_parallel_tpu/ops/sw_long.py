@@ -70,7 +70,8 @@ def _strip_kernel(sb: int, blk: int, unroll: int):
     a rows (blk//128,128); leftcol rows (blk//128,128); outputs rightcol
     rows (blk//128,128) and running best (1,128)."""
 
-    def kernel(b_ref, a_ref, lc_ref, rc_ref, best_out,
+    def kernel(b_ref, a_ref, lc_ref, w0_ref, d10_ref, d1s0_ref,
+               rc_ref, best_out, wt_ref, d1t_ref, d1st_ref,
                w, d1, d1s, best, aw_row, lc_row, rc_row):
         k = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -79,9 +80,12 @@ def _strip_kernel(sb: int, blk: int, unroll: int):
 
         @pl.when(k == 0)
         def _init():
-            w[:] = jnp.full((sb, LANES), int(PAD_A), jnp.int32)
-            d1[:] = jnp.zeros((sb, LANES), jnp.int32)
-            d1s[:] = jnp.zeros((sb, LANES), jnp.int32)
+            # wavefront state enters as INPUT tiles so a sweep can resume
+            # where another chip's band stopped (seq-axis halo exchange);
+            # the single-chip path passes the cold-start state
+            w[:] = w0_ref[:]
+            d1[:] = d10_ref[:]
+            d1s[:] = d1s0_ref[:]
             best[:] = jnp.zeros((sb, LANES), jnp.int32)
 
         b = b_ref[:]
@@ -134,8 +138,20 @@ def _strip_kernel(sb: int, blk: int, unroll: int):
 
         jax.lax.fori_loop(0, blk // LANES, window, ())
         best_out[:] = jnp.max(best[:], axis=0, keepdims=True)
+        # final wavefront state (last grid step's values win) — the next
+        # band's cold start
+        wt_ref[:] = w[:]
+        d1t_ref[:] = d1[:]
+        d1st_ref[:] = d1s[:]
 
     return kernel
+
+
+def cold_state(sb: int) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Wavefront state above the DP's first row: empty window, zero H."""
+    return (jnp.full((sb, LANES), int(PAD_A), jnp.int32),
+            jnp.zeros((sb, LANES), jnp.int32),
+            jnp.zeros((sb, LANES), jnp.int32))
 
 
 @functools.partial(
@@ -146,14 +162,22 @@ def _run_strip(
     leftcol: jnp.ndarray,      # (T//128, 128) int32, carried boundary column
     sb: int, blk: int, unroll: int = UNROLL,
     interpret: bool | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Sweep one strip over T = a_rows.size steps. Returns (best (1,128),
-    rightcol rows (T//128, 128))."""
+    state: tuple | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, tuple]:
+    """Sweep one strip over T = a_rows.size steps starting from ``state``
+    (cold_state if None). Returns (best (1,128), rightcol rows
+    (T//128,128), final state) — the state threading is what lets a sweep
+    split across row bands on a device mesh (halo exchange)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if state is None:
+        state = cold_state(sb)
+    w0, d10, d1s0 = state
     rows_per_blk = blk // LANES
     nblk = a_rows.shape[0] // rows_per_blk
-    rc, best = pl.pallas_call(
+    state_spec = pl.BlockSpec((sb, LANES), lambda k: (0, 0),
+                              memory_space=pltpu.VMEM)
+    rc, best, wt, d1t, d1st = pl.pallas_call(
         _strip_kernel(sb, blk, unroll),
         grid=(nblk,),
         in_specs=[
@@ -163,16 +187,21 @@ def _run_strip(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_per_blk, LANES), lambda k: (k, 0),
                          memory_space=pltpu.VMEM),
+            state_spec, state_spec, state_spec,
         ],
         out_specs=[
             pl.BlockSpec((rows_per_blk, LANES), lambda k: (k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),
+            state_spec, state_spec, state_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct(a_rows.shape, jnp.int32),
             jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((sb, LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((sb, LANES), jnp.int32),   # w
@@ -184,8 +213,8 @@ def _run_strip(
             pltpu.VMEM((1, LANES), jnp.int32),    # rc_row
         ],
         interpret=interpret,
-    )(b_tile, a_rows, leftcol)
-    return best, rc
+    )(b_tile, a_rows, leftcol, w0, d10, d1s0)
+    return best, rc, (wt, d1t, d1st)
 
 
 def sw_score_long(
@@ -236,8 +265,8 @@ def sw_score_long(
         b_tile = jnp.asarray(
             bt.reshape(LANES, sb).T.astype(np.int32)
         )  # [s, l] = bt[l*sb + s]
-        best, rc = _run_strip(b_tile, a_rows, lc, sb, blk, unroll=unroll,
-                              interpret=interpret)
+        best, rc, _state = _run_strip(b_tile, a_rows, lc, sb, blk,
+                                      unroll=unroll, interpret=interpret)
         # wavefront skew: the corner element emits H[d-(W-1)][j_last] at
         # step d, so rightcol row i sits at flat index i + W - 1; the next
         # strip consumes leftcol[d'] = H[d'][j_last] -> shift forward W-1
@@ -289,3 +318,153 @@ def sw_score_numpy_blocked(seq_a: bytes, seq_b: bytes) -> int:
         cur[i + 1] = h
         prev = cur
     return best
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip long-pair SW: the seq-axis halo-exchange pipeline the blueprint
+# promises (SURVEY.md §5: "across chips via halo exchange on the sequence
+# axis"). Rows split into one BAND per chip; for each strip, a chip resumes
+# the sweep from the (w, d1, d1s) wavefront state its predecessor exported —
+# that state IS the halo. Chips pipeline systolically: chip c sweeps strip
+# k at stage k + c, so with C chips and K strips the wall is (K + C - 1)
+# band-sweeps instead of K full sweeps (~C x for K >> C).
+#
+# The boundary-column subtlety: chip c's next-strip leftcol needs rightcol
+# values for its band's last W-1 rows, which the wavefront skew places in
+# the SUCCESSOR's sweep — mid-stage, too late to communicate. Instead each
+# chip re-sweeps W-1 steps past its band (the a-row halo) and harvests the
+# tail locally. The overlap's own leftcol input is garbage (zeros), but
+# that only affects cells of rows >= the band end, and a harvested
+# rightcol row i is computed before any row >= i+1 cell can influence it —
+# so the tail is exact (duplicated work: (W-1)/band, ~0.3% at production
+# sizes).
+# ---------------------------------------------------------------------------
+
+
+def sw_score_long_sharded(
+    seq_a: bytes | np.ndarray,
+    seq_b: bytes | np.ndarray,
+    mesh,
+    axis: str = "seq",
+    sb: int = DEFAULT_SB,
+    blk: int = DEFAULT_BLK,
+    unroll: int = UNROLL,
+    interpret: bool | None = None,
+    progress=None,
+) -> int:
+    """Exact long-pair SW on a device mesh: row bands x pipelined strips."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    a = np.frombuffer(seq_a, np.uint8) if isinstance(seq_a, (bytes, bytearray)) \
+        else np.asarray(seq_a, np.uint8)
+    b = np.frombuffer(seq_b, np.uint8) if isinstance(seq_b, (bytes, bytearray)) \
+        else np.asarray(seq_b, np.uint8)
+    M, N = a.size, b.size
+    if M == 0 or N == 0:
+        return 0
+    C = int(mesh.shape[axis])
+    sb = max(8, min(sb, -(-(-(-N // LANES)) // 8) * 8))
+    W = sb * LANES
+    K = -(-N // W)
+    T = -(-(M + W) // (C * blk)) * (C * blk)
+    band = T // C
+    if band < W:
+        raise ValueError(
+            f"band ({band} rows) must cover one strip width ({W}); "
+            f"use fewer chips, a smaller sb, or longer sequences"
+        )
+    Wp = -(-(W - 1) // LANES) * LANES  # overlap sweep rows (128-aligned)
+
+    a_pad = np.full(T + Wp, PAD_A, np.uint8)  # + halo slack for the last chip
+    a_pad[:M] = a
+    a_bands = a_pad[:T].reshape(C, band // LANES, LANES).astype(np.int32)
+    a_halo = np.stack([
+        a_pad[(c + 1) * band : (c + 1) * band + Wp].reshape(
+            Wp // LANES, LANES)
+        for c in range(C)
+    ]).astype(np.int32)
+
+    shard = NamedSharding(mesh, P(axis))
+    a_bands = jax.device_put(jnp.asarray(a_bands), shard)
+    a_halo = jax.device_put(jnp.asarray(a_halo), shard)
+    lc = jax.device_put(jnp.zeros((C, band // LANES, LANES), jnp.int32), shard)
+    state = tuple(
+        jax.device_put(jnp.zeros((C, sb, LANES), jnp.int32), shard)
+        for _ in range(3)
+    )
+    best_run = jax.device_put(jnp.zeros((C, 1, LANES), jnp.int32), shard)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def stage_local(b_tile, a_band, a_hal, lc_in, w0, d10, d1s0, flags,
+                    best_in):
+        # locals carry a leading (1,) shard dim
+        b_t = b_tile[0]
+        first = flags[0, 0] != 0
+        active = flags[0, 1] != 0
+        # chip 0's band starts at the DP's true top edge -> cold for every
+        # strip; other chips cold only before their first strip (inactive)
+        chip = jax.lax.axis_index(axis)
+        use_cold = (chip == 0) | ~active
+        # derive cold tiles from operands (shard_map + fresh constants is a
+        # varying-axis trap; see CLAUDE.md)
+        cw = w0[0] * 0 + int(PAD_A)
+        cz = w0[0] * 0
+        w0_, d10_, d1s0_ = (
+            jnp.where(use_cold, cw, w0[0]),
+            jnp.where(use_cold, cz, d10[0]),
+            jnp.where(use_cold, cz, d1s0[0]),
+        )
+        lc_eff = jnp.where(first, 0, lc_in[0])
+        best1, rc1, st_t = _run_strip(
+            b_t, a_band[0], lc_eff, sb, blk, unroll=unroll,
+            interpret=interpret, state=(w0_, d10_, d1s0_))
+        best2, rc2, _ = _run_strip(
+            b_t, a_hal[0], a_hal[0] * 0, sb, Wp, unroll=unroll,
+            interpret=interpret, state=st_t)
+        lc_next = jnp.concatenate(
+            [rc1.reshape(-1)[W - 1 :], rc2.reshape(-1)[: W - 1]]
+        ).reshape(lc_in[0].shape)
+        stage_best = jnp.maximum(jnp.max(best1), jnp.max(best2))
+        best_out = jnp.maximum(best_in[0],
+                               jnp.where(active, stage_best, 0))
+        # halo exchange: this band's final state seeds the next band
+        perm = [(i, i + 1) for i in range(C - 1)]
+        nw, nd1, nd1s = (
+            jax.lax.ppermute(s[None], axis, perm) for s in st_t
+        )
+        return (lc_next[None], nw, nd1, nd1s, best_out[None])
+
+    spec = P(axis)
+    stage_fn = jax.jit(shard_map(
+        stage_local, mesh=mesh,
+        in_specs=(spec,) * 9, out_specs=(spec,) * 5,
+        check_vma=False,
+    ))
+
+    for s in range(K + C - 1):
+        b_tiles = np.full((C, W), PAD_B, np.uint8)
+        flags = np.zeros((C, 2), np.int32)
+        for c in range(C):
+            k = s - c
+            if 0 <= k < K:
+                seg = b[k * W : (k + 1) * W]
+                b_tiles[c, : seg.size] = seg
+                flags[c] = (1 if k == 0 else 0, 1)
+        b_t = jax.device_put(
+            jnp.asarray(
+                b_tiles.reshape(C, LANES, sb).transpose(0, 2, 1)
+                .astype(np.int32)
+            ),
+            shard,
+        )
+        fl = jax.device_put(jnp.asarray(flags), shard)
+        lc, *st_and_best = stage_fn(b_t, a_bands, a_halo, lc, *state, fl,
+                                    best_run)
+        state = tuple(st_and_best[:3])
+        best_run = st_and_best[3]
+        if progress:
+            progress(f"  sw-long-sharded stage {s + 1}/{K + C - 1}")
+    return int(np.asarray(jnp.max(best_run)))

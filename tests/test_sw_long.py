@@ -87,3 +87,56 @@ def test_score_strings_routes_long_pairs(rng, monkeypatch):
     monkeypatch.setattr(eng, "LONG_PAIR_THRESHOLD", 1000)
     a, b = random_dna(rng, 1600), random_dna(rng, 1200)
     assert eng.score_strings(a, b) == sw_score_numpy_blocked(a, b)
+
+
+class TestSharded:
+    """Seq-axis halo-exchange pipeline on the virtual CPU mesh."""
+
+    @pytest.fixture
+    def mesh2(self):
+        import jax
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device mesh")
+        return Mesh(np.array(jax.devices()[:2]), ("seq",))
+
+    def test_matches_golden_2chip(self, rng, mesh2):
+        from mini_parallel_tpu.ops.sw_long import sw_score_long_sharded
+
+        a, b = random_dna(rng, 2200), random_dna(rng, 2600)
+        want = sw_score_numpy_blocked(a, b)
+        got = sw_score_long_sharded(a, b, mesh2, sb=SB, blk=BLK,
+                                    interpret=True)
+        assert got == want
+
+    def test_signal_crossing_band_and_strip(self, rng, mesh2):
+        """Optimal path crosses BOTH a strip boundary (carried column) and
+        a band boundary (halo state handoff)."""
+        from mini_parallel_tpu.ops.sw_long import sw_score_long_sharded
+
+        a = np.frombuffer(random_dna(rng, 3000), np.uint8).copy()
+        b = np.frombuffer(random_dna(rng, 2200), np.uint8).copy()
+        seg = np.frombuffer(random_dna(rng, 600), np.uint8)
+        # band boundary for C=2/blk=512: T=4096, band=2048 -> plant across
+        a[1700:2300] = seg
+        b[800:1400] = seg  # crosses the 1024-column strip edge
+        got = sw_score_long_sharded(bytes(a), bytes(b), mesh2, sb=SB,
+                                    blk=BLK, interpret=True)
+        assert got == sw_score_numpy_blocked(bytes(a), bytes(b))
+        assert got >= 2 * 600 - 60
+
+    def test_4chip_matches_2chip(self, rng):
+        import jax
+        from jax.sharding import Mesh
+
+        from mini_parallel_tpu.ops.sw_long import sw_score_long_sharded
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        a, b = random_dna(rng, 2500), random_dna(rng, 1800)
+        want = sw_score_numpy_blocked(a, b)
+        for C in (2, 4):
+            mesh = Mesh(np.array(jax.devices()[:C]), ("seq",))
+            assert sw_score_long_sharded(a, b, mesh, sb=SB, blk=BLK,
+                                         interpret=True) == want
