@@ -454,7 +454,10 @@ class AlignmentEngine:
     # long-sequence engine (ops/sw_long.py) instead of the B=1 batched
     # kernel: exact same scores, O(M+N) memory, no launch-size cap — the
     # capability the reference errors out of at aligner.rs:436-456.
-    LONG_PAIR_THRESHOLD = 100_000
+    # Read-scale pairs stay on the batched kernel (B=1 wastes 127 lanes
+    # but finishes in ms); anything past a few kb is strictly faster as
+    # strips AND avoids per-length remote recompiles of unbucketed pads.
+    LONG_PAIR_THRESHOLD = 2048
 
     def score_strings(self, s1: str | bytes, s2: str | bytes) -> int:
         """Direct two-string mode (main.rs:183-191)."""
@@ -602,16 +605,19 @@ class AlignmentEngine:
         for idx, chunk in enumerate(fastq.iter_read_chunks(
             path, self.cfg.chunk_size_reads, progress=progress
         )):
-            if idx < start_chunk:  # resume: already scored in a prior run
-                continue
             if chunk_stride is not None:
                 # shared-file mode (parallel/distributed.plan_work): this
                 # process owns every nproc-th chunk of a file too large for
                 # one host's shard; chunk scores are independent sums, so
-                # the stripes merge exactly
+                # the stripes merge exactly. resume counts OWNED chunks, so
+                # the skip compares in owned-index space.
                 p, n = chunk_stride
                 if idx % n != p:
                     continue
+                if idx // n < start_chunk:
+                    continue
+            elif idx < start_chunk:  # resume: already scored in a prior run
+                continue
             res.total_reads += len(chunk)
             res.chunks += 1
             if self.mode in ("sw", "sw-affine"):

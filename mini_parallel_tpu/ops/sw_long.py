@@ -170,6 +170,13 @@ def _run_strip(
     split across row bands on a device mesh (halo exchange)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if LANES % unroll != 0 or blk % LANES != 0:
+        # the window loop runs LANES // unroll iterations; a non-divisor
+        # silently DROPS diagonal steps and desyncs the rolling-row I/O
+        raise ValueError(
+            f"unroll must divide {LANES} and blk must be a multiple of "
+            f"{LANES} (got unroll={unroll}, blk={blk})"
+        )
     if state is None:
         state = cold_state(sb)
     w0, d10, d1s0 = state
@@ -341,6 +348,9 @@ def sw_score_numpy_blocked(seq_a: bytes, seq_b: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 
+_SHARDED_STAGE_CACHE: dict = {}
+
+
 def sw_score_long_sharded(
     seq_a: bytes | np.ndarray,
     seq_b: bytes | np.ndarray,
@@ -438,11 +448,18 @@ def sw_score_long_sharded(
         return (lc_next[None], nw, nd1, nd1s, best_out[None])
 
     spec = P(axis)
-    stage_fn = jax.jit(shard_map(
-        stage_local, mesh=mesh,
-        in_specs=(spec,) * 9, out_specs=(spec,) * 5,
-        check_vma=False,
-    ))
+    # cache the jitted stage per geometry: a fresh jit(shard_map(closure))
+    # per call would never hit jit's function-identity cache and pay a
+    # remote compile (30-300s under tunnel load) on every invocation
+    key = (mesh, axis, sb, blk, unroll, band, bool(interpret))
+    stage_fn = _SHARDED_STAGE_CACHE.get(key)
+    if stage_fn is None:
+        stage_fn = jax.jit(shard_map(
+            stage_local, mesh=mesh,
+            in_specs=(spec,) * 9, out_specs=(spec,) * 5,
+            check_vma=False,
+        ))
+        _SHARDED_STAGE_CACHE[key] = stage_fn
 
     for s in range(K + C - 1):
         b_tiles = np.full((C, W), PAD_B, np.uint8)

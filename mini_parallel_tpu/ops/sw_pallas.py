@@ -155,10 +155,12 @@ def sw_score_batch_pallas(
     # f32 DP state exactness bound: |H| <= 2*min(M,N) must stay within the
     # f32 exact-integer range. Far above read lengths; longer pairs belong
     # to ops/sw_long.py (int32 strips).
-    assert 2 * min(M, N) < (1 << 24), (
-        "sw_score_batch_pallas: sequences too long for exact f32 state; "
-        "use ops.sw_long for long pairs"
-    )
+    if 2 * min(M, N) >= (1 << 24):  # not assert: -O must not strip the
+        # guard that keeps f32 scores exact
+        raise ValueError(
+            "sw_score_batch_pallas: sequences too long for exact f32 "
+            "state; use ops.sw_long for long pairs"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -390,9 +392,10 @@ def sw_affine_batch_pallas(
     B, M = seq_a.shape
     N = seq_b.shape[1]
     # f32 sentinel exactness: |_NEG_F| + (M+N)*|gap_extend| must stay < 2^24
-    assert (M + N) * max(abs(gap_extend), 1) < (1 << 23), (
-        "sw_affine_batch_pallas: pair too long for exact f32 state"
-    )
+    if (M + N) * max(abs(gap_extend), 1) >= (1 << 23):
+        raise ValueError(
+            "sw_affine_batch_pallas: pair too long for exact f32 state"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Bp = -(-B // B_BLK) * B_BLK

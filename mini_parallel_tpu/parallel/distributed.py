@@ -70,6 +70,17 @@ def plan_work(
     least-loaded host). Replaces blind round-robin, whose makespan on a
     10:1 skewed lane set is ~2x the even split. Unknown sizes (stat
     failure) fall back to size 1, degrading to cardinality balancing.
+
+    Callers in a multi-process run must pass sizes agreed across hosts
+    (process_full_wgs_distributed broadcasts process 0's stats): per-host
+    stat results can diverge (transient NFS errors) and a divergent plan
+    silently double-processes or drops files globally.
+
+    Known limit of chunk-striding: every process still DECODES the whole
+    shared file and keeps only its stripe, so the win applies when device
+    compute dominates decode (native decode 0.78M reads/s vs 200-350k
+    reads/s engine throughput — the common case). Decode-bound sharing
+    would need byte-range splits with FASTQ record resync.
     """
     if num_processes <= 1:
         return WorkPlan(exclusive=[list(files)], shared=[])
@@ -134,6 +145,69 @@ def merge_totals(local: DistributedTotals) -> DistributedTotals:
     )
 
 
+def _agreed_sizes(files: list[str], nproc: int) -> dict[str, int]:
+    """File sizes every process AGREES on: process 0 stats, others adopt.
+
+    A per-host stat divergence (transient I/O error) would otherwise yield
+    divergent plans that double-process or drop files globally."""
+    import os
+
+    import jax
+
+    local = np.array(
+        [max(_stat_size(f), 1) for f in files], dtype=np.int64
+    )
+    if nproc > 1 and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(local)  # (nproc, n)
+        local = gathered[0]
+    return dict(zip(files, (int(x) for x in local)))
+
+
+def _stat_size(path: str) -> int:
+    import os
+
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 1
+
+
+def _stripe_with_retries(engine, path, pid, nproc, retries, echo):
+    """Run this process's chunk stripe of a shared file, resuming from the
+    last in-memory chunk checkpoint on failure (retries times)."""
+    from mini_parallel_tpu.models.alignment import FileResult
+
+    partial: list = [None]
+
+    def on_checkpoint(res: FileResult):
+        import copy
+
+        snap = copy.copy(res)
+        snap.chunks_done = res.chunks  # owned-chunk index space
+        snap.processing_time_ms = res.seconds * 1000.0
+        partial[0] = snap
+
+    attempt = 0
+    while True:
+        try:
+            return engine.self_align_file(
+                path, progress=echo, chunk_stride=(pid, nproc),
+                resume=partial[0], checkpoint_every=50,
+                on_checkpoint=on_checkpoint,
+            )
+        except Exception as e:
+            attempt += 1
+            if attempt > retries:
+                raise RuntimeError(
+                    f"shared file {path} stripe {pid}/{nproc} failed: {e}"
+                ) from e
+            done = getattr(partial[0], "chunks_done", 0) if partial[0] else 0
+            echo(f"  shared-file stripe attempt {attempt} failed ({e}); "
+                 f"retrying from owned chunk {done}")
+
+
 def process_full_wgs_distributed(
     engine: AlignmentEngine,
     cfg: Config | None = None,
@@ -150,7 +224,7 @@ def process_full_wgs_distributed(
     initialize_distributed()  # idempotent; the CLI already ran it at startup
     pid, nproc = jax.process_index(), jax.process_count()
     files = cfg.wgs_file_list() if cfg else engine.cfg.wgs_file_list()
-    plan = plan_work(files, nproc)
+    plan = plan_work(files, nproc, sizes=_agreed_sizes(files, nproc))
     my_files = plan.exclusive[pid] if pid < len(plan.exclusive) else []
     echo(f"[host {pid}/{nproc}] processing {len(my_files)}/{len(files)} "
          f"files exclusively"
@@ -165,14 +239,14 @@ def process_full_wgs_distributed(
         files=my_files,
         retries=retries,
     )
-    # oversized files: every process runs its chunk stripe (no mid-file
-    # checkpoint for stripes; a failed shared file re-runs whole)
+    # oversized files: every process runs its chunk stripe, with the same
+    # elastic-retry semantics as exclusive files (in-memory chunk-level
+    # resume across attempts; chunks_done counts OWNED chunks)
     for path in plan.shared:
         echo(f"[host {pid}/{nproc}] shared file {path}: "
              f"chunks {pid}::{nproc}")
         results.append(
-            engine.self_align_file(path, progress=echo,
-                                   chunk_stride=(pid, nproc))
+            _stripe_with_retries(engine, path, pid, nproc, retries, echo)
         )
     # stripe partials sum exactly across processes for reads/bases/score,
     # but each shared FILE must count once globally -> attribute to pid 0

@@ -88,3 +88,76 @@ def test_chunk_stride_partitions_exactly(tmp_path, rng):
     assert sum(s.total_bases for s in stripes) == full.total_bases
     assert sum(s.chunks for s in stripes) == full.chunks
     assert abs(stripes[0].chunks - stripes[1].chunks) <= 1
+
+
+def test_chunk_stride_resume_owned_index_space(tmp_path, rng):
+    """resume.chunks_done counts OWNED chunks under chunk_stride; resuming
+    mid-stripe must not rescore already-counted chunks."""
+    cfg = Config(wgs_data_dir=str(tmp_path), sample_id="S", lanes=1,
+                 reads_per_lane=1, chunk_size_reads=4, read_pad=64)
+    path = str(tmp_path / "S_L001_R1_001.fastq.gz")
+    reads = [random_dna(rng, 300) for _ in range(41)]  # 11 chunks
+    fastq.write_fastq(path, reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+    full = eng.self_align_file(path, chunk_stride=(1, 2))
+
+    class Partial:
+        pass
+
+    # simulate a crash after 2 owned chunks: the resumed run must produce
+    # the REMAINING owned chunks so partial + rest == full stripe
+    head = eng.self_align_file(path, chunk_stride=(1, 2))
+    # recompute the first two owned chunks' contribution by resuming at 2
+    p = Partial()
+    p.chunks_done, p.score, p.total_bases, p.total_reads = 2, 0, 0, 0
+    p.processing_time_ms = 0.0
+    tail = eng.self_align_file(path, chunk_stride=(1, 2), resume=p)
+    assert tail.chunks == full.chunks  # seeded 2 + remaining owned
+    assert tail.total_reads < full.total_reads  # head chunks not rescored
+    assert full.chunks == 5  # owned chunks of stripe (1,2) over 11
+
+
+def test_stripe_with_retries_recovers(tmp_path, rng, monkeypatch):
+    """A transient failure mid-stripe resumes from the in-memory chunk
+    checkpoint and completes exactly."""
+    from mini_parallel_tpu.parallel.distributed import _stripe_with_retries
+
+    cfg = Config(wgs_data_dir=str(tmp_path), sample_id="S", lanes=1,
+                 reads_per_lane=1, chunk_size_reads=4, read_pad=64)
+    path = str(tmp_path / "S_L001_R1_001.fastq.gz")
+    reads = [random_dna(rng, 300) for _ in range(40)]
+    fastq.write_fastq(path, reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+    want = eng.self_align_file(path, chunk_stride=(0, 2))
+
+    calls = {"n": 0}
+    orig = AlignmentEngine.self_align_file
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            kw2 = dict(kw)
+            kw2["checkpoint_every"] = 1  # checkpoint every owned chunk
+            try:
+                # run a couple of chunks, then die
+                count = {"c": 0}
+                inner_cb = kw2.get("on_checkpoint")
+
+                def boom(res):
+                    inner_cb(res)
+                    count["c"] += 1
+                    if count["c"] == 2:
+                        raise RuntimeError("transient")
+
+                kw2["on_checkpoint"] = boom
+                return orig(self, *a, **kw2)
+            finally:
+                pass
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(AlignmentEngine, "self_align_file", flaky)
+    got = _stripe_with_retries(eng, path, 0, 2, retries=1,
+                               echo=lambda *_: None)
+    assert got.score == want.score
+    assert got.total_reads == want.total_reads
+    assert calls["n"] == 2

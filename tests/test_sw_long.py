@@ -140,3 +140,9 @@ class TestSharded:
             mesh = Mesh(np.array(jax.devices()[:C]), ("seq",))
             assert sw_score_long_sharded(a, b, mesh, sb=SB, blk=BLK,
                                          interpret=True) == want
+
+
+def test_bad_unroll_rejected(rng):
+    with pytest.raises(ValueError, match="unroll"):
+        sw_score_long(b"ACGT" * 100, b"ACGT" * 100, sb=8, blk=512,
+                      unroll=3, interpret=True)
