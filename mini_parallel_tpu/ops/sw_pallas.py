@@ -26,12 +26,21 @@ inter-sequence SIMD):
   loop steps entirely in VMEM. Overshoot diagonals (d >= M+N-1) are harmless:
   the window is all PAD_B there, so candidates only shrink.
 
-Measured on TPU v5e (10k reads x 150bp, int32): ~160 GCUPS vs ~11 GCUPS for
-the pure-JAX scan (ops/sw.py) — the progression was 63 (naive wavefront,
-B_BLK=512) -> 79 (pre-shifted diagonal) -> 127 (B_BLK=128) -> 160 (unroll 4).
-int16 state would double vreg packing but does not lower in this Mosaic
-(i1 mask relayout to (16,128) packing fails; vector arith.maxsi on i16 is
-not legalized) — revisit on newer toolchains.
+Measured on TPU v5e (10k reads x 150bp): ~190-205 GCUPS under typical
+load vs ~11 GCUPS for the pure-JAX scan (ops/sw.py) — the progression was
+63 (naive wavefront, B_BLK=512) -> 79 (pre-shifted diagonal) -> 127
+(B_BLK=128) -> 160 (unroll 4, int32) -> 190-205 (float32 state).
+
+16-bit state negative results (all measured on this Mosaic; don't retry
+blindly):
+- int16: i1 mask relayout to (16,128) packing fails; arith.maxsi on i16
+  not legalized.
+- float16: type unsupported in the mosaic dialect outright.
+- bfloat16 with select-based scoring: same i1 relayout failure.
+- bfloat16 with ARITHMETIC scoring (s = 2 - 3*min(|a-w|,1), no masks at
+  all): compiles and is bit-exact, but runs 2.3x SLOWER than f32 (87 vs
+  197 GCUPS same window) — v5e gives no packed-bf16 elementwise ALU win;
+  the ops evidently unpack. 16-bit packing is a dead end here.
 
 Negative result (measured, do not retry blindly): a row-BLOCKED wavefront
 (sweep R-row blocks carrying the block's bottom H row in VMEM as the next
