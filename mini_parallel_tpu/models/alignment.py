@@ -474,6 +474,18 @@ class AlignmentEngine:
                 return sw_score_long(a, b)
             return sw.sw_score_pair(s1, s2)
         if self.mode == "sw-affine":
+            if isinstance(s1, str):
+                s1 = s1.encode("ascii")
+            if isinstance(s2, str):
+                s2 = s2.encode("ascii")
+            if max(len(s1), len(s2)) > self.LONG_PAIR_THRESHOLD:
+                from mini_parallel_tpu.ops.sw_long import sw_affine_score_long
+
+                a, b = (s1, s2) if len(s1) >= len(s2) else (s2, s1)
+                return sw_affine_score_long(
+                    a, b, gap_open=self.cfg.gap_open,
+                    gap_extend=self.cfg.gap_extend,
+                )
             from mini_parallel_tpu.ops.encode import PAD_A, PAD_B, pad_batch
 
             arr_a, _ = pad_batch([s1], pad_value=int(PAD_A))

@@ -485,3 +485,231 @@ def sw_score_long_sharded(
         if progress:
             progress(f"  sw-long-sharded stage {s + 1}/{K + C - 1}")
     return int(np.asarray(jnp.max(best_run)))
+
+
+# ---------------------------------------------------------------------------
+# Affine-gap (Gotoh) long-pair SW: same strip layout, two more carried
+# matrices. In strip coordinates the affine states are natural fits:
+#   E[i][j] = max(E[i-1][j], H[i-1][j] + go) + ge   (gap in b, consumes a)
+#       -> up-neighbor = SAME element, previous step: no shift;
+#   F[i][j] = max(F[i][j-1], H[i][j-1] + go) + ge   (gap in a, consumes b)
+#       -> left-neighbor = shifted, and F CROSSES strip boundaries, so a
+#          second boundary column (rightcol of F) is carried between strips
+#          alongside H's.
+# ---------------------------------------------------------------------------
+
+from mini_parallel_tpu.ops.sw import GAP_EXTEND, GAP_OPEN  # noqa: E402
+
+_NEG_LONG = -(2**24)  # decays by |ge| per step; > int32 min at any length
+
+
+def _strip_kernel_affine(sb: int, blk: int, unroll: int,
+                         gap_open: int, gap_extend: int):
+    def kernel(b_ref, a_ref, lch_ref, lcf_ref,
+               rch_ref, rcf_ref, best_out,
+               w, d1, d1s, e1, f1, best,
+               aw_row, lch_row, lcf_row, rch_row, rcf_row):
+        k = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lane0 = lane == 0
+        lane_last = lane == LANES - 1
+
+        @pl.when(k == 0)
+        def _init():
+            w[:] = jnp.full((sb, LANES), int(PAD_A), jnp.int32)
+            d1[:] = jnp.zeros((sb, LANES), jnp.int32)
+            d1s[:] = jnp.zeros((sb, LANES), jnp.int32)
+            e1[:] = jnp.full((sb, LANES), _NEG_LONG, jnp.int32)
+            f1[:] = jnp.full((sb, LANES), _NEG_LONG, jnp.int32)
+            best[:] = jnp.zeros((sb, LANES), jnp.int32)
+
+        b = b_ref[:]
+        zeros = jnp.zeros((sb, LANES), jnp.int32)
+
+        def one_diag(st):
+            wv, d1v, d1sv, ev, fv, bestv, awv, lchv, lcfv, rchv, rcfv = st
+            w_carry = jnp.where(lane0, awv, pltpu.roll(wv[sb - 1:sb], 1, 1))
+            wv = jnp.concatenate([w_carry, wv[:-1]], axis=0)
+            s = jnp.where(wv == b, MATCH_SCORE, MISMATCH_PENALTY)
+            diag = d1sv + s
+            # H left-shift (and its boundary injection)
+            h_carry = jnp.where(lane0, lchv,
+                                pltpu.roll(d1v[sb - 1:sb], 1, 1))
+            sh = jnp.concatenate([h_carry, d1v[:-1]], axis=0)
+            # F left-shift with its own carried boundary column
+            f_carry = jnp.where(lane0, lcfv,
+                                pltpu.roll(fv[sb - 1:sb], 1, 1))
+            shf = jnp.concatenate([f_carry, fv[:-1]], axis=0)
+            e = jnp.maximum(ev, d1v + gap_open) + gap_extend
+            f = jnp.maximum(shf, sh + gap_open) + gap_extend
+            cand = jnp.maximum(jnp.maximum(diag, jnp.maximum(e, f)), zeros)
+            bestv = jnp.maximum(bestv, cand)
+            rchv = jnp.where(lane_last, cand[sb - 1:sb],
+                             pltpu.roll(rchv, LANES - 1, 1))
+            rcfv = jnp.where(lane_last, f[sb - 1:sb],
+                             pltpu.roll(rcfv, LANES - 1, 1))
+            awv = pltpu.roll(awv, LANES - 1, 1)
+            lchv = pltpu.roll(lchv, LANES - 1, 1)
+            lcfv = pltpu.roll(lcfv, LANES - 1, 1)
+            return (wv, cand, sh, e, f, bestv, awv, lchv, lcfv, rchv, rcfv)
+
+        def window(win, _):
+            aw_row[:] = a_ref[pl.ds(win, 1), :]
+            lch_row[:] = lch_ref[pl.ds(win, 1), :]
+            lcf_row[:] = lcf_ref[pl.ds(win, 1), :]
+
+            def inner(q, _):
+                st = (w[:], d1[:], d1s[:], e1[:], f1[:], best[:],
+                      aw_row[:], lch_row[:], lcf_row[:],
+                      rch_row[:], rcf_row[:])
+                for _u in range(unroll):
+                    st = one_diag(st)
+                w[:], d1[:], d1s[:], e1[:], f1[:], best[:] = st[:6]
+                aw_row[:], lch_row[:], lcf_row[:] = st[6:9]
+                rch_row[:], rcf_row[:] = st[9:]
+                return ()
+
+            jax.lax.fori_loop(0, LANES // unroll, inner, ())
+            rch_ref[pl.ds(win, 1), :] = rch_row[:]
+            rcf_ref[pl.ds(win, 1), :] = rcf_row[:]
+            return ()
+
+        jax.lax.fori_loop(0, blk // LANES, window, ())
+        best_out[:] = jnp.max(best[:], axis=0, keepdims=True)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sb", "blk", "unroll", "gap_open", "gap_extend", "interpret"))
+def _run_strip_affine(b_tile, a_rows, lch, lcf, sb, blk,
+                      gap_open: int, gap_extend: int,
+                      unroll: int = UNROLL, interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if LANES % unroll != 0 or blk % LANES != 0:
+        raise ValueError(
+            f"unroll must divide {LANES} and blk must be a multiple of "
+            f"{LANES} (got unroll={unroll}, blk={blk})"
+        )
+    rows_per_blk = blk // LANES
+    nblk = a_rows.shape[0] // rows_per_blk
+    row_spec = pl.BlockSpec((rows_per_blk, LANES), lambda k: (k, 0),
+                            memory_space=pltpu.VMEM)
+    rch, rcf, best = pl.pallas_call(
+        _strip_kernel_affine(sb, blk, unroll, gap_open, gap_extend),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((sb, LANES), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec,
+        ],
+        out_specs=[
+            row_spec, row_spec,
+            pl.BlockSpec((1, LANES), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(a_rows.shape, jnp.int32),
+            jax.ShapeDtypeStruct(a_rows.shape, jnp.int32),
+            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((sb, LANES), jnp.int32)
+                        for _ in range(6)]
+        + [pltpu.VMEM((1, LANES), jnp.int32) for _ in range(5)],
+        interpret=interpret,
+    )(b_tile, a_rows, lch, lcf)
+    return best, rch, rcf
+
+
+def sw_affine_score_long(
+    seq_a: bytes | np.ndarray,
+    seq_b: bytes | np.ndarray,
+    gap_open: int = GAP_OPEN,
+    gap_extend: int = GAP_EXTEND,
+    sb: int = DEFAULT_SB,
+    blk: int = DEFAULT_BLK,
+    unroll: int = UNROLL,
+    interpret: bool | None = None,
+    progress=None,
+) -> int:
+    """Exact affine-gap (Gotoh) SW for ONE long pair via column strips —
+    the affine analogue of sw_score_long; carries BOTH the H and F
+    boundary columns between strips."""
+    a = np.frombuffer(seq_a, np.uint8) if isinstance(seq_a, (bytes, bytearray)) \
+        else np.asarray(seq_a, np.uint8)
+    b = np.frombuffer(seq_b, np.uint8) if isinstance(seq_b, (bytes, bytearray)) \
+        else np.asarray(seq_b, np.uint8)
+    M, N = a.size, b.size
+    if M == 0 or N == 0:
+        return 0
+    sb = max(8, min(sb, -(-(-(-N // LANES)) // 8) * 8))
+    W = sb * LANES
+    T = -(-(M + W) // blk) * blk
+    a_pad = np.full(T, PAD_A, np.uint8)
+    a_pad[:M] = a
+    a_rows = jnp.asarray(a_pad.reshape(T // LANES, LANES).astype(np.int32))
+    lch = jnp.zeros((T // LANES, LANES), jnp.int32)
+    lcf = jnp.full((T // LANES, LANES), _NEG_LONG, jnp.int32)
+
+    best_dev = jnp.zeros((), jnp.int32)
+    n_strips = -(-N // W)
+    for si in range(n_strips):
+        j0 = si * W
+        bt = np.full(W, PAD_B, np.uint8)
+        seg = b[j0 : j0 + W]
+        bt[: seg.size] = seg
+        b_tile = jnp.asarray(bt.reshape(LANES, sb).T.astype(np.int32))
+        best, rch, rcf = _run_strip_affine(
+            b_tile, a_rows, lch, lcf, sb, blk, gap_open, gap_extend,
+            unroll=unroll, interpret=interpret)
+        lch = _shift_rows(rch, W - 1)
+        lcf = _shift_rows_fill(rcf, W - 1, _NEG_LONG)
+        best_dev = jnp.maximum(best_dev, jnp.max(best))
+        if progress:
+            progress(f"  sw-affine-long strip {si + 1}/{n_strips}")
+    return int(np.asarray(best_dev))
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "fill"))
+def _shift_rows_fill(rc: jnp.ndarray, shift: int, fill: int) -> jnp.ndarray:
+    """_shift_rows with a custom tail fill (F boundary uses -inf, not 0)."""
+    flat = rc.reshape(-1)
+    out = jnp.full_like(flat, fill)
+    out = out.at[: flat.size - shift].set(flat[shift:])
+    return out.reshape(rc.shape)
+
+
+def sw_affine_numpy_blocked(seq_a: bytes, seq_b: bytes,
+                            gap_open: int = GAP_OPEN,
+                            gap_extend: int = GAP_EXTEND) -> int:
+    """Vectorized NumPy anti-diagonal Gotoh golden, O(M+N) memory."""
+    a = np.frombuffer(seq_a, np.uint8).astype(np.int64)
+    b = np.frombuffer(seq_b, np.uint8).astype(np.int64)
+    M, N = a.size, b.size
+    if M == 0 or N == 0:
+        return 0
+    NEG = np.int64(-(2**40))
+    ph = np.zeros(M + 1, np.int64)   # H on diagonal d-1, index i+1
+    ph2 = np.zeros(M + 1, np.int64)  # H on diagonal d-2
+    pe = np.full(M + 1, NEG)         # E on diagonal d-1
+    pf = np.full(M + 1, NEG)         # F on diagonal d-1
+    best = 0
+    for d in range(M + N - 1):
+        lo = max(0, d - N + 1)
+        hi = min(d, M - 1)
+        i = np.arange(lo, hi + 1)
+        s = np.where(a[i] == b[d - i], MATCH_SCORE, MISMATCH_PENALTY)
+        e = np.maximum(pe[i], ph[i] + gap_open) + gap_extend       # (i-1, j)
+        f = np.maximum(pf[i + 1], ph[i + 1] + gap_open) + gap_extend  # (i, j-1)
+        h = np.maximum(np.maximum(ph2[i] + s, np.maximum(e, f)), 0)
+        best = max(best, int(h.max()))
+        ph2 = ph
+        ph = np.zeros(M + 1, np.int64)
+        ph[i + 1] = h
+        ne = np.full(M + 1, NEG)
+        ne[i + 1] = e
+        nf = np.full(M + 1, NEG)
+        nf[i + 1] = f
+        pe, pf = ne, nf
+    return best

@@ -146,3 +146,45 @@ def test_bad_unroll_rejected(rng):
     with pytest.raises(ValueError, match="unroll"):
         sw_score_long(b"ACGT" * 100, b"ACGT" * 100, sb=8, blk=512,
                       unroll=3, interpret=True)
+
+
+class TestAffineLong:
+    def test_exact_vs_goldens(self, rng):
+        from mini_parallel_tpu.ops.sw import sw_affine_numpy
+        from mini_parallel_tpu.ops.sw_long import (sw_affine_numpy_blocked,
+                                                   sw_affine_score_long)
+
+        for m, n in [(60, 40), (300, 700), (1100, 2100)]:
+            a, b = random_dna(rng, m), random_dna(rng, n)
+            got = sw_affine_score_long(a, b, sb=SB, blk=BLK, interpret=True)
+            assert got == sw_affine_numpy_blocked(a, b)
+            if m * n <= 300 * 700:
+                assert got == sw_affine_numpy(a, b)
+
+    def test_f_boundary_carries_across_strips(self, rng):
+        """A long deletion whose F-state must survive a strip boundary:
+        affine scores differ from linear exactly when the gap is long."""
+        from mini_parallel_tpu.ops.sw_long import (sw_affine_numpy_blocked,
+                                                   sw_affine_score_long)
+
+        a = np.frombuffer(random_dna(rng, 2600), np.uint8).copy()
+        b = np.frombuffer(random_dna(rng, 2600), np.uint8).copy()
+        seg = np.frombuffer(random_dna(rng, 500), np.uint8)
+        a[500:1000] = seg
+        # b carries the segment split by a 40bp insertion right at the
+        # 1024-column strip edge, so the affine gap run crosses strips
+        ins = np.frombuffer(random_dna(rng, 40), np.uint8)
+        bseg = np.concatenate([seg[:220], ins, seg[220:]])
+        b[800:800 + bseg.size] = bseg
+        got = sw_affine_score_long(bytes(a), bytes(b), sb=SB, blk=BLK,
+                                   interpret=True)
+        assert got == sw_affine_numpy_blocked(bytes(a), bytes(b))
+
+    def test_routed_through_engine(self, rng, monkeypatch):
+        from mini_parallel_tpu.models import alignment
+        from mini_parallel_tpu.ops.sw_long import sw_affine_numpy_blocked
+
+        eng = alignment.AlignmentEngine(mode="sw-affine")
+        monkeypatch.setattr(eng, "LONG_PAIR_THRESHOLD", 1000)
+        a, b = random_dna(rng, 1600), random_dna(rng, 1300)
+        assert eng.score_strings(a, b) == sw_affine_numpy_blocked(a, b)
