@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 import sys
 
 from mini_parallel_tpu.utils import config as config_mod
@@ -114,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prep-checkpoint-every", type=int, default=200,
                    metavar="N", help="chunks between --prep-checkpoint "
                    "snapshots (default 200)")
+    p.add_argument("--long-align", action="store_true",
+                   help="exact SW of two LONG sequences (-1/-2 are FASTA "
+                        "paths; --mode sw or sw-affine): the column-strip "
+                        "engine, no launch-size cap (the reference errors "
+                        "above ~16.7M work items, aligner.rs:436-456)")
     p.add_argument("--retries", type=int, default=0, metavar="N",
                    help="--full-wgs: retry a failed file up to N times, "
                    "resuming from its last chunk checkpoint (0 = abort on "
@@ -327,6 +333,47 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         if args.kmer_out:
             n = res.write_counts(args.kmer_out)
             echo(f"Counts: {n} records -> {args.kmer_out}")
+        return 0
+
+    if args.long_align:
+        if not (args.seq1 and args.seq2):
+            echo("ERROR: --long-align requires -1 a.fasta -2 b.fasta")
+            return 2
+        _require_accelerator(args.allow_cpu, echo)
+        mode = cfg.mode if args.mode else "sw"
+        if mode not in ("sw", "sw-affine"):
+            echo("ERROR: --long-align supports --mode sw or sw-affine")
+            return 2
+        from mini_parallel_tpu.io import fasta
+        from mini_parallel_tpu.ops import sw_long
+
+        try:
+            sa = fasta.read_first_sequence(args.seq1)
+            sb_ = fasta.read_first_sequence(args.seq2)
+        except (OSError, IOError, ValueError) as e:
+            echo(f"ERROR: {e}")
+            return 1
+        echo(f"Sequences: {len(sa)} x {len(sb_)} bases "
+             f"({len(sa) * len(sb_) / 1e9:.2f} Gcells, {mode})")
+        t0 = time.perf_counter()
+        # rows stream along the longer side (fewer, fuller strips)
+        a_, b_ = (sa, sb_) if len(sa) >= len(sb_) else (sb_, sa)
+        if mode == "sw":
+            seq_mesh = (mesh if mesh is not None
+                        and "seq" in getattr(mesh, "axis_names", ()) else None)
+            if seq_mesh is not None:
+                score = sw_long.sw_score_long_sharded(
+                    a_, b_, seq_mesh, progress=echo)
+            else:
+                score = sw_long.sw_score_long(a_, b_, progress=echo)
+        else:
+            score = sw_long.sw_affine_score_long(
+                a_, b_, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+                progress=echo)
+        dt = time.perf_counter() - t0
+        echo(f"Alignment score: {score}")
+        echo(f"Processing time: {dt:.2f} s "
+             f"({len(sa) * len(sb_) / max(dt, 1e-9) / 1e9:.1f} GCUPS)")
         return 0
 
     if args.files:  # main.rs:170-182

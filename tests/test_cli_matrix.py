@@ -113,3 +113,26 @@ def test_kmer_out_flag(capsys, monkeypatch, fixtures):
     out = _run(["--kmer", f["r1"], "-k", "15", "--kmer-out", "k.tsv"],
                capsys, monkeypatch, fixtures, expect="records -> k.tsv")
     assert (fixtures["tmp"] / "k.tsv").exists()
+
+
+def test_long_align_modes(capsys, monkeypatch, fixtures, rng):
+    from mini_parallel_tpu.ops.sw_long import (sw_affine_numpy_blocked,
+                                               sw_score_numpy_blocked)
+
+    tmp = fixtures["tmp"]
+    a = random_dna(rng, 3000)
+    b = random_dna(rng, 2500)
+    fa = str(tmp / "la.fa")
+    fb = str(tmp / "lb.fa")
+    fasta.write_fasta(fa, {"a": a})
+    fasta.write_fasta(fb, {"b": b})
+    out = _run(["--long-align", "-1", fa, "-2", fb],
+               capsys, monkeypatch, fixtures, expect="Alignment score:")
+    assert f"Alignment score: {sw_score_numpy_blocked(a, b)}" in out
+    out = _run(["--long-align", "-1", fa, "-2", fb, "--mode", "sw-affine"],
+               capsys, monkeypatch, fixtures, expect="Alignment score:")
+    assert f"Alignment score: {sw_affine_numpy_blocked(a, b)}" in out
+    # unsupported mode errors cleanly
+    monkeypatch.chdir(tmp)
+    assert main(["--long-align", "-1", fa, "-2", fb, "--mode", "kadane",
+                 "--allow-cpu"]) == 2
