@@ -20,8 +20,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: a shared session generator couples every
+    # test's data to whichever tests ran before it, so adding one test
+    # silently changes others' inputs (an order-dependent flake found in
+    # round 2: a k-mer test shifted the genotype test's random reference
+    # into an ambiguous-insertion-placement corner)
     return np.random.default_rng(0)
 
 
