@@ -105,3 +105,23 @@ def test_pairhmm_kernel_matches_oracle(read, hap, qlist):
         assert got == float("-inf") or got < -70
     else:
         assert got == __import__("pytest").approx(want, abs=3e-3)
+
+
+@given(dna, dna)
+def test_sw_long_strips_match_quadratic(a, b):
+    """Column-strip engine == quadratic golden on arbitrary small pairs
+    (wavefront never filling the strip, ragged geometry, empty inputs)."""
+    from mini_parallel_tpu.ops.sw_long import sw_score_long
+
+    got = sw_score_long(a.encode(), b.encode(), sb=8, blk=512,
+                        interpret=True)
+    assert got == sw.sw_score_numpy(a, b)
+
+
+@given(dna, dna)
+def test_sw_affine_long_strips_match_gotoh(a, b):
+    from mini_parallel_tpu.ops.sw_long import sw_affine_score_long
+
+    got = sw_affine_score_long(a.encode(), b.encode(), sb=8, blk=512,
+                               interpret=True)
+    assert got == sw.sw_affine_numpy(a, b)
