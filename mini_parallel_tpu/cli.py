@@ -340,10 +340,13 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             echo("ERROR: --long-align requires -1 a.fasta -2 b.fasta")
             return 2
         _require_accelerator(args.allow_cpu, echo)
-        mode = cfg.mode if args.mode else "sw"
-        if mode not in ("sw", "sw-affine"):
+        if args.mode and args.mode not in ("sw", "sw-affine"):
             echo("ERROR: --long-align supports --mode sw or sw-affine")
             return 2
+        # cfg.mode already reflects --mode or the env's MPT_MODE; modes
+        # without a long-pair engine (kadane/contiguous defaults) fall
+        # back to true SW
+        mode = cfg.mode if cfg.mode in ("sw", "sw-affine") else "sw"
         from mini_parallel_tpu.io import fasta
         from mini_parallel_tpu.ops import sw_long
 
@@ -358,18 +361,23 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         t0 = time.perf_counter()
         # rows stream along the longer side (fewer, fuller strips)
         a_, b_ = (sa, sb_) if len(sa) >= len(sb_) else (sb_, sa)
-        if mode == "sw":
-            seq_mesh = (mesh if mesh is not None
-                        and "seq" in getattr(mesh, "axis_names", ()) else None)
-            if seq_mesh is not None:
-                score = sw_long.sw_score_long_sharded(
-                    a_, b_, seq_mesh, progress=echo)
+        try:
+            if mode == "sw":
+                seq_mesh = (
+                    mesh if mesh is not None
+                    and "seq" in getattr(mesh, "axis_names", ()) else None)
+                if seq_mesh is not None:
+                    score = sw_long.sw_score_long_sharded(
+                        a_, b_, seq_mesh, progress=echo)
+                else:
+                    score = sw_long.sw_score_long(a_, b_, progress=echo)
             else:
-                score = sw_long.sw_score_long(a_, b_, progress=echo)
-        else:
-            score = sw_long.sw_affine_score_long(
-                a_, b_, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
-                progress=echo)
+                score = sw_long.sw_affine_score_long(
+                    a_, b_, gap_open=cfg.gap_open,
+                    gap_extend=cfg.gap_extend, progress=echo)
+        except ValueError as e:  # e.g. band < strip width on a seq mesh
+            echo(f"ERROR: {e}")
+            return 1
         dt = time.perf_counter() - t0
         echo(f"Alignment score: {score}")
         echo(f"Processing time: {dt:.2f} s "

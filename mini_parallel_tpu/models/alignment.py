@@ -461,27 +461,23 @@ class AlignmentEngine:
 
     def score_strings(self, s1: str | bytes, s2: str | bytes) -> int:
         """Direct two-string mode (main.rs:183-191)."""
+        if isinstance(s1, str):
+            s1 = s1.encode("ascii")
+        if isinstance(s2, str):
+            s2 = s2.encode("ascii")
+        long_pair = max(len(s1), len(s2)) > self.LONG_PAIR_THRESHOLD
+        # rows stream along the longer side (fewer, fuller strips)
+        a, b = (s1, s2) if len(s1) >= len(s2) else (s2, s1)
         if self.mode == "sw":
-            if isinstance(s1, str):
-                s1 = s1.encode("ascii")
-            if isinstance(s2, str):
-                s2 = s2.encode("ascii")
-            if max(len(s1), len(s2)) > self.LONG_PAIR_THRESHOLD:
+            if long_pair:
                 from mini_parallel_tpu.ops.sw_long import sw_score_long
 
-                # rows stream along the longer side (fewer, fuller strips)
-                a, b = (s1, s2) if len(s1) >= len(s2) else (s2, s1)
                 return sw_score_long(a, b)
             return sw.sw_score_pair(s1, s2)
         if self.mode == "sw-affine":
-            if isinstance(s1, str):
-                s1 = s1.encode("ascii")
-            if isinstance(s2, str):
-                s2 = s2.encode("ascii")
-            if max(len(s1), len(s2)) > self.LONG_PAIR_THRESHOLD:
+            if long_pair:
                 from mini_parallel_tpu.ops.sw_long import sw_affine_score_long
 
-                a, b = (s1, s2) if len(s1) >= len(s2) else (s2, s1)
                 return sw_affine_score_long(
                     a, b, gap_open=self.cfg.gap_open,
                     gap_extend=self.cfg.gap_extend,
@@ -491,10 +487,6 @@ class AlignmentEngine:
             arr_a, _ = pad_batch([s1], pad_value=int(PAD_A))
             arr_b, _ = pad_batch([s2], pad_value=int(PAD_B))
             return int(self._affine(jnp.asarray(arr_a), jnp.asarray(arr_b))[0])
-        if isinstance(s1, str):
-            s1 = s1.encode("ascii")
-        if isinstance(s2, str):
-            s2 = s2.encode("ascii")
         n = min(len(s1), len(s2))
         if self.mode == "contiguous":
             if n == 0:

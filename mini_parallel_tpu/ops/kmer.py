@@ -361,11 +361,6 @@ class DeviceKmerAccumulator:
                                     self.staging_batches):
             self.flush()
 
-    def _reset_store(self):
-        # fixed capacity from the start: merge shapes never change, so the
-        # fold compiles exactly once per (capacity, staging) geometry
-        z = jnp.full((self.capacity,), _SENTINEL, jnp.int32)
-        self._store = (z, z.copy(), jnp.zeros((self.capacity,), jnp.int32))
 
     _INT32_SAFE = (1 << 31) - (1 << 26)  # headroom > any single staging fold
 
@@ -445,10 +440,8 @@ class DeviceKmerAccumulator:
         if self._store is not None:
             hi_d, lo_d, ct_d = self._store
             m = int((ct_d > 0).sum())
-            b = 1 << 10
-            while b < m:
-                b <<= 1
-            b = min(b, self.capacity, hi_d.shape[0])
+            b = _pow2_ceil(m, lo=1 << 10,
+                           hi=min(self.capacity, hi_d.shape[0]))
             if (m > COMPRESS_MIN_KEYS
                     and not os.environ.get("MPT_KMER_RAW_DRAIN")):
                 # delta + byte-plane compressed fetch (~3x fewer wire

@@ -128,10 +128,10 @@ def test_long_align_modes(capsys, monkeypatch, fixtures, rng):
     fasta.write_fasta(fb, {"b": b})
     out = _run(["--long-align", "-1", fa, "-2", fb],
                capsys, monkeypatch, fixtures, expect="Alignment score:")
-    assert f"Alignment score: {sw_score_numpy_blocked(a, b)}" in out
+    assert f"Alignment score: {sw_score_numpy_blocked(a, b)}\n" in out
     out = _run(["--long-align", "-1", fa, "-2", fb, "--mode", "sw-affine"],
                capsys, monkeypatch, fixtures, expect="Alignment score:")
-    assert f"Alignment score: {sw_affine_numpy_blocked(a, b)}" in out
+    assert f"Alignment score: {sw_affine_numpy_blocked(a, b)}\n" in out
     # unsupported mode errors cleanly
     monkeypatch.chdir(tmp)
     assert main(["--long-align", "-1", fa, "-2", fb, "--mode", "kadane",
