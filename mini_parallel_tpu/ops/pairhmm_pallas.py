@@ -40,7 +40,8 @@ from mini_parallel_tpu.ops.pairhmm import (
 )
 from mini_parallel_tpu.ops.sw_pallas import B_BLK, _env_int
 
-UNROLL = _env_int("MPT_PHMM_UNROLL", 4)  # v5e sweep: 75/85/96/98 GCUPS @ 1/2/4/8
+UNROLL = _env_int("MPT_PHMM_UNROLL", 8)  # v5e sweeps: 75/85/96/98 GCUPS at
+# 1/2/4/8 (round 1) and 92/84/93/95 (round-2 autotune) — 8 wins both
 # B_BLK (from sw_pallas) measured best at 128 for this kernel too:
 # 88.7 / 71.4 / 61.5 GCUPS at 128/256/512 on v5e (same vreg-locality story)
 
