@@ -361,16 +361,19 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         t0 = time.perf_counter()
         # rows stream along the longer side (fewer, fuller strips)
         a_, b_ = (sa, sb_) if len(sa) >= len(sb_) else (sb_, sa)
+        seq_mesh = (mesh if mesh is not None
+                    and "seq" in getattr(mesh, "axis_names", ()) else None)
         try:
             if mode == "sw":
-                seq_mesh = (
-                    mesh if mesh is not None
-                    and "seq" in getattr(mesh, "axis_names", ()) else None)
                 if seq_mesh is not None:
                     score = sw_long.sw_score_long_sharded(
                         a_, b_, seq_mesh, progress=echo)
                 else:
                     score = sw_long.sw_score_long(a_, b_, progress=echo)
+            elif seq_mesh is not None:
+                score = sw_long.sw_affine_score_long_sharded(
+                    a_, b_, seq_mesh, gap_open=cfg.gap_open,
+                    gap_extend=cfg.gap_extend, progress=echo)
             else:
                 score = sw_long.sw_affine_score_long(
                     a_, b_, gap_open=cfg.gap_open,

@@ -506,7 +506,9 @@ _NEG_LONG = -(2**24)  # decays by |ge| per step; > int32 min at any length
 def _strip_kernel_affine(sb: int, blk: int, unroll: int,
                          gap_open: int, gap_extend: int):
     def kernel(b_ref, a_ref, lch_ref, lcf_ref,
+               w0_ref, d10_ref, d1s0_ref, e10_ref, f10_ref,
                rch_ref, rcf_ref, best_out,
+               wt_ref, d1t_ref, d1st_ref, e1t_ref, f1t_ref,
                w, d1, d1s, e1, f1, best,
                aw_row, lch_row, lcf_row, rch_row, rcf_row):
         k = pl.program_id(0)
@@ -516,11 +518,13 @@ def _strip_kernel_affine(sb: int, blk: int, unroll: int,
 
         @pl.when(k == 0)
         def _init():
-            w[:] = jnp.full((sb, LANES), int(PAD_A), jnp.int32)
-            d1[:] = jnp.zeros((sb, LANES), jnp.int32)
-            d1s[:] = jnp.zeros((sb, LANES), jnp.int32)
-            e1[:] = jnp.full((sb, LANES), _NEG_LONG, jnp.int32)
-            f1[:] = jnp.full((sb, LANES), _NEG_LONG, jnp.int32)
+            # state enters as inputs so a band can resume a predecessor's
+            # sweep (seq-axis halo); single-chip passes cold_state_affine
+            w[:] = w0_ref[:]
+            d1[:] = d10_ref[:]
+            d1s[:] = d1s0_ref[:]
+            e1[:] = e10_ref[:]
+            f1[:] = f10_ref[:]
             best[:] = jnp.zeros((sb, LANES), jnp.int32)
 
         b = b_ref[:]
@@ -576,15 +580,30 @@ def _strip_kernel_affine(sb: int, blk: int, unroll: int,
 
         jax.lax.fori_loop(0, blk // LANES, window, ())
         best_out[:] = jnp.max(best[:], axis=0, keepdims=True)
+        wt_ref[:] = w[:]
+        d1t_ref[:] = d1[:]
+        d1st_ref[:] = d1s[:]
+        e1t_ref[:] = e1[:]
+        f1t_ref[:] = f1[:]
 
     return kernel
+
+
+def cold_state_affine(sb: int):
+    """Affine wavefront state above the DP's first row."""
+    neg = jnp.full((sb, LANES), _NEG_LONG, jnp.int32)
+    return (jnp.full((sb, LANES), int(PAD_A), jnp.int32),
+            jnp.zeros((sb, LANES), jnp.int32),
+            jnp.zeros((sb, LANES), jnp.int32),
+            neg, neg.copy())
 
 
 @functools.partial(jax.jit, static_argnames=(
     "sb", "blk", "unroll", "gap_open", "gap_extend", "interpret"))
 def _run_strip_affine(b_tile, a_rows, lch, lcf, sb, blk,
                       gap_open: int, gap_extend: int,
-                      unroll: int = UNROLL, interpret: bool | None = None):
+                      unroll: int = UNROLL, interpret: bool | None = None,
+                      state: tuple | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if LANES % unroll != 0 or blk % LANES != 0:
@@ -592,34 +611,40 @@ def _run_strip_affine(b_tile, a_rows, lch, lcf, sb, blk,
             f"unroll must divide {LANES} and blk must be a multiple of "
             f"{LANES} (got unroll={unroll}, blk={blk})"
         )
+    if state is None:
+        state = cold_state_affine(sb)
     rows_per_blk = blk // LANES
     nblk = a_rows.shape[0] // rows_per_blk
     row_spec = pl.BlockSpec((rows_per_blk, LANES), lambda k: (k, 0),
                             memory_space=pltpu.VMEM)
-    rch, rcf, best = pl.pallas_call(
+    state_spec = pl.BlockSpec((sb, LANES), lambda k: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
         _strip_kernel_affine(sb, blk, unroll, gap_open, gap_extend),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((sb, LANES), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
-        ],
+        ] + [state_spec] * 5,
         out_specs=[
             row_spec, row_spec,
             pl.BlockSpec((1, LANES), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + [state_spec] * 5,
         out_shape=[
             jax.ShapeDtypeStruct(a_rows.shape, jnp.int32),
             jax.ShapeDtypeStruct(a_rows.shape, jnp.int32),
             jax.ShapeDtypeStruct((1, LANES), jnp.int32),
-        ],
+        ] + [jax.ShapeDtypeStruct((sb, LANES), jnp.int32)
+             for _ in range(5)],
         scratch_shapes=[pltpu.VMEM((sb, LANES), jnp.int32)
                         for _ in range(6)]
         + [pltpu.VMEM((1, LANES), jnp.int32) for _ in range(5)],
         interpret=interpret,
-    )(b_tile, a_rows, lch, lcf)
-    return best, rch, rcf
+    )(b_tile, a_rows, lch, lcf, *state)
+    rch, rcf, best = out[0], out[1], out[2]
+    return best, rch, rcf, tuple(out[3:])
 
 
 def sw_affine_score_long(
@@ -660,7 +685,7 @@ def sw_affine_score_long(
         seg = b[j0 : j0 + W]
         bt[: seg.size] = seg
         b_tile = jnp.asarray(bt.reshape(LANES, sb).T.astype(np.int32))
-        best, rch, rcf = _run_strip_affine(
+        best, rch, rcf, _st = _run_strip_affine(
             b_tile, a_rows, lch, lcf, sb, blk, gap_open, gap_extend,
             unroll=unroll, interpret=interpret)
         lch = _shift_rows(rch, W - 1)
@@ -713,3 +738,150 @@ def sw_affine_numpy_blocked(seq_a: bytes, seq_b: bytes,
         nf[i + 1] = f
         pe, pf = ne, nf
     return best
+
+
+def sw_affine_score_long_sharded(
+    seq_a: bytes | np.ndarray,
+    seq_b: bytes | np.ndarray,
+    mesh,
+    axis: str = "seq",
+    gap_open: int = GAP_OPEN,
+    gap_extend: int = GAP_EXTEND,
+    sb: int = DEFAULT_SB,
+    blk: int = DEFAULT_BLK,
+    unroll: int = UNROLL,
+    interpret: bool | None = None,
+    progress=None,
+) -> int:
+    """Affine (Gotoh) long-pair SW on a device mesh: the same pipelined
+    row-band / halo-exchange structure as sw_score_long_sharded, with a
+    5-tile wavefront state (w, H-diag pair, E, F) and TWO carried boundary
+    columns (H and F). The overlap re-sweep's garbage-boundary argument
+    holds for F exactly as for H: a boundary value injected at step t only
+    influences cells of rows >= t, and harvested rows precede them."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    a = np.frombuffer(seq_a, np.uint8) if isinstance(seq_a, (bytes, bytearray)) \
+        else np.asarray(seq_a, np.uint8)
+    b = np.frombuffer(seq_b, np.uint8) if isinstance(seq_b, (bytes, bytearray)) \
+        else np.asarray(seq_b, np.uint8)
+    M, N = a.size, b.size
+    if M == 0 or N == 0:
+        return 0
+    C = int(mesh.shape[axis])
+    sb = max(8, min(sb, -(-(-(-N // LANES)) // 8) * 8))
+    W = sb * LANES
+    K = -(-N // W)
+    T = -(-(M + W) // (C * blk)) * (C * blk)
+    band = T // C
+    if band < W:
+        raise ValueError(
+            f"band ({band} rows) must cover one strip width ({W}); "
+            f"use fewer chips, a smaller sb, or longer sequences"
+        )
+    Wp = -(-(W - 1) // LANES) * LANES
+
+    a_pad = np.full(T + Wp, PAD_A, np.uint8)
+    a_pad[:M] = a
+    a_bands = a_pad[:T].reshape(C, band // LANES, LANES).astype(np.int32)
+    a_halo = np.stack([
+        a_pad[(c + 1) * band : (c + 1) * band + Wp].reshape(
+            Wp // LANES, LANES)
+        for c in range(C)
+    ]).astype(np.int32)
+
+    shard = NamedSharding(mesh, P(axis))
+    a_bands = jax.device_put(jnp.asarray(a_bands), shard)
+    a_halo = jax.device_put(jnp.asarray(a_halo), shard)
+    lch = jax.device_put(jnp.zeros((C, band // LANES, LANES), jnp.int32),
+                         shard)
+    lcf = jax.device_put(
+        jnp.full((C, band // LANES, LANES), _NEG_LONG, jnp.int32), shard)
+    state = tuple(
+        jax.device_put(jnp.zeros((C, sb, LANES), jnp.int32), shard)
+        for _ in range(5)
+    )
+    best_run = jax.device_put(jnp.zeros((C, 1, LANES), jnp.int32), shard)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def stage_local(b_tile, a_band, a_hal, lch_in, lcf_in,
+                    w0, d10, d1s0, e10, f10, flags, best_in):
+        b_t = b_tile[0]
+        first = flags[0, 0] != 0
+        active = flags[0, 1] != 0
+        chip = jax.lax.axis_index(axis)
+        use_cold = (chip == 0) | ~active
+        cw = w0[0] * 0 + int(PAD_A)
+        cz = w0[0] * 0
+        cn = w0[0] * 0 + _NEG_LONG
+        st0 = (
+            jnp.where(use_cold, cw, w0[0]),
+            jnp.where(use_cold, cz, d10[0]),
+            jnp.where(use_cold, cz, d1s0[0]),
+            jnp.where(use_cold, cn, e10[0]),
+            jnp.where(use_cold, cn, f10[0]),
+        )
+        lch_eff = jnp.where(first, 0, lch_in[0])
+        lcf_eff = jnp.where(first, _NEG_LONG, lcf_in[0])
+        best1, rch1, rcf1, st_t = _run_strip_affine(
+            b_t, a_band[0], lch_eff, lcf_eff, sb, blk,
+            gap_open, gap_extend, unroll=unroll, interpret=interpret,
+            state=st0)
+        best2, rch2, rcf2, _ = _run_strip_affine(
+            b_t, a_hal[0], a_hal[0] * 0,
+            a_hal[0] * 0 + _NEG_LONG, sb, Wp,
+            gap_open, gap_extend, unroll=unroll, interpret=interpret,
+            state=st_t)
+        lch_next = jnp.concatenate(
+            [rch1.reshape(-1)[W - 1 :], rch2.reshape(-1)[: W - 1]]
+        ).reshape(lch_in[0].shape)
+        lcf_next = jnp.concatenate(
+            [rcf1.reshape(-1)[W - 1 :], rcf2.reshape(-1)[: W - 1]]
+        ).reshape(lcf_in[0].shape)
+        stage_best = jnp.maximum(jnp.max(best1), jnp.max(best2))
+        best_out = jnp.maximum(best_in[0],
+                               jnp.where(active, stage_best, 0))
+        perm = [(i, i + 1) for i in range(C - 1)]
+        nstate = tuple(
+            jax.lax.ppermute(t[None], axis, perm) for t in st_t
+        )
+        return (lch_next[None], lcf_next[None]) + nstate + (best_out[None],)
+
+    spec = P(axis)
+    key = (mesh, axis, sb, blk, unroll, band, gap_open, gap_extend,
+           bool(interpret), "affine")
+    stage_fn = _SHARDED_STAGE_CACHE.get(key)
+    if stage_fn is None:
+        stage_fn = jax.jit(shard_map(
+            stage_local, mesh=mesh,
+            in_specs=(spec,) * 12, out_specs=(spec,) * 8,
+            check_vma=False,
+        ))
+        _SHARDED_STAGE_CACHE[key] = stage_fn
+
+    for s_i in range(K + C - 1):
+        b_tiles = np.full((C, W), PAD_B, np.uint8)
+        flags = np.zeros((C, 2), np.int32)
+        for c in range(C):
+            k = s_i - c
+            if 0 <= k < K:
+                seg = b[k * W : (k + 1) * W]
+                b_tiles[c, : seg.size] = seg
+                flags[c] = (1 if k == 0 else 0, 1)
+        b_t = jax.device_put(
+            jnp.asarray(b_tiles.reshape(C, LANES, sb).transpose(0, 2, 1)
+                        .astype(np.int32)),
+            shard,
+        )
+        fl = jax.device_put(jnp.asarray(flags), shard)
+        outs = stage_fn(b_t, a_bands, a_halo, lch, lcf, *state, fl,
+                        best_run)
+        lch, lcf = outs[0], outs[1]
+        state = tuple(outs[2:7])
+        best_run = outs[7]
+        if progress:
+            progress(f"  sw-affine-long-sharded stage {s_i + 1}/{K + C - 1}")
+    return int(np.asarray(jnp.max(best_run)))

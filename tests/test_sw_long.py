@@ -188,3 +188,28 @@ class TestAffineLong:
         monkeypatch.setattr(eng, "LONG_PAIR_THRESHOLD", 1000)
         a, b = random_dna(rng, 1600), random_dna(rng, 1300)
         assert eng.score_strings(a, b) == sw_affine_numpy_blocked(a, b)
+
+
+class TestAffineSharded:
+    def test_matches_golden_with_boundary_crossing_gap(self, rng):
+        import jax
+        from jax.sharding import Mesh
+
+        from mini_parallel_tpu.ops.sw_long import (
+            sw_affine_numpy_blocked, sw_affine_score_long_sharded)
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        a = np.frombuffer(random_dna(rng, 2600), np.uint8).copy()
+        b = np.frombuffer(random_dna(rng, 2600), np.uint8).copy()
+        seg = np.frombuffer(random_dna(rng, 500), np.uint8)
+        a[1700:2200] = seg  # crosses the C=2 band boundary (2048)
+        ins = np.frombuffer(random_dna(rng, 30), np.uint8)
+        bseg = np.concatenate([seg[:230], ins, seg[230:]])
+        b[800:800 + bseg.size] = bseg  # affine gap crossing the strip edge
+        want = sw_affine_numpy_blocked(bytes(a), bytes(b))
+        for C in (2, 4):
+            mesh = Mesh(np.array(jax.devices()[:C]), ("seq",))
+            got = sw_affine_score_long_sharded(
+                bytes(a), bytes(b), mesh, sb=SB, blk=BLK, interpret=True)
+            assert got == want, (C, got, want)
