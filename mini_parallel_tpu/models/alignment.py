@@ -89,6 +89,12 @@ class FileResult:
     # Feeds BenchmarkResult.device_seconds/device_duty_cycle — the measured
     # replacement for the reference's hardcoded 25% (benchmark.rs:159-163).
     drain_seconds: float = 0.0
+    # Wall seconds blocked on the FIRST dispatch of each new jit shape:
+    # remote XLA compile + tunnel queue (30-300s cold through axon). Split
+    # out of drain_seconds so duty cycle measures steady-state device work,
+    # not compile wait — the round-2 metric conflated them and reported
+    # 99.65% duty on a run that was mostly compile (VERDICT weak #2).
+    warmup_seconds: float = 0.0
 
 
 @dataclass
@@ -119,6 +125,10 @@ class AlignmentEngine:
         self.mesh = mesh
         self._sharded_fns: dict = {}
         self._packed_fns: dict = {}
+        # jit shapes whose first dispatch has already been awaited; used to
+        # attribute first-dispatch wait (remote compile) to warmup_seconds
+        # instead of drain_seconds (see FileResult.warmup_seconds)
+        self._warm_shapes: set = set()
 
     # ------------------------------------------------------------------
     # 2-bit packed transfer path (ops/packed.py): 4x fewer H2D wire bytes,
@@ -544,6 +554,21 @@ class AlignmentEngine:
         # aligner.rs:527 — its utilization killer)
         deferred: list = []
 
+        def warm(key, val):
+            """First dispatch of a new jit shape: block on it NOW and charge
+            the wait (dominated by remote compile + tunnel queue) to
+            warmup_seconds, so steady-state drain_seconds stays honest. The
+            fetched value stays in the deferred list — re-fetching a ready
+            scalar at drain time is a host-side copy, not a round trip."""
+            if key not in self._warm_shapes:
+                import jax as _jax
+
+                tw = time.perf_counter()
+                _jax.device_get(val)
+                res.warmup_seconds += time.perf_counter() - tw
+                self._warm_shapes.add(key)
+            return val
+
         def dispatch(batch: list[bytes]):
             """Queue one device call scoring a batch of chunk-concats;
             returns the deferred per-batch score sum."""
@@ -556,11 +581,12 @@ class AlignmentEngine:
                 batch, pad_to=pad, pad_value=int(encode.PAD_A)
             )
             kind = "contiguous" if self.mode == "contiguous" else "kadane"
+            key = ("concat", kind, pad, len(batch))
             if self.cfg.packed_transfer and pad % 4 == 0:
-                return self._packed_self_sum(kind, arr, lens)
+                return warm(key, self._packed_self_sum(kind, arr, lens))
             if self.mesh is not None:
-                return self._score_sharded_sum(kind, arr, arr, lens, lens,
-                                               defer=True)
+                return warm(key, self._score_sharded_sum(
+                    kind, arr, arr, lens, lens, defer=True))
             a = jnp.asarray(arr)
             ln = jnp.asarray(lens)
             fn = (
@@ -568,7 +594,7 @@ class AlignmentEngine:
                 if kind == "contiguous"
                 else kadane.kadane_score_batch
             )
-            return fn(a, a, ln, ln).sum()
+            return warm(key, fn(a, a, ln, ln).sum())
 
         def skip_failed(e: Exception):
             # reference semantics (aligner.rs:284-287): log the per-chunk
@@ -629,13 +655,14 @@ class AlignmentEngine:
                 res.total_bases += sum(len(r) for r in reads)
                 pad = _bucket(max((len(r) for r in reads), default=1),
                               floor=self.cfg.read_pad)
+                key = ("reads", self.mode, pad, len(reads))
                 try:
                     if self.cfg.packed_transfer and pad % 4 == 0:
                         arr_a, la = encode.pad_batch(
                             reads, pad_to=pad, pad_value=int(encode.PAD_A)
                         )
-                        deferred.append(
-                            self._packed_self_sum(self.mode, arr_a, la))
+                        deferred.append(warm(
+                            key, self._packed_self_sum(self.mode, arr_a, la)))
                     else:
                         arr_a, la = encode.pad_batch(
                             reads, pad_to=pad, pad_value=int(encode.PAD_A)
@@ -644,16 +671,20 @@ class AlignmentEngine:
                             reads, pad_to=pad, pad_value=int(encode.PAD_B)
                         )
                         if self.mesh is not None:
-                            deferred.append(
+                            deferred.append(warm(
+                                key,
                                 self._score_sharded_sum(
-                                    self.mode, arr_a, arr_b, la, lb, defer=True)
-                            )
+                                    self.mode, arr_a, arr_b, la, lb,
+                                    defer=True),
+                            ))
                         else:
                             a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
                             if self.mode == "sw":
-                                deferred.append(sw_score_batch_best(a, b).sum())
+                                deferred.append(warm(
+                                    key, sw_score_batch_best(a, b).sum()))
                             else:
-                                deferred.append(self._affine(a, b).sum())
+                                deferred.append(warm(
+                                    key, self._affine(a, b).sum()))
                 except Exception as e:
                     skip_failed(e)
             else:

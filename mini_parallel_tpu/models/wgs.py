@@ -171,8 +171,11 @@ def process_full_wgs_dataset(
                  f"skipped (scored 0)")
         # measured device time (drain-blocked wall; lower bound through the
         # async tunnel) — replaces the reference's hardcoded 25% GPU util
-        # (benchmark.rs:159-163) with a real number
+        # (benchmark.rs:159-163) with a real number. First-dispatch waits
+        # (remote compile) are tracked separately so the duty cycle is a
+        # steady-state figure, not compile wait dressed up as device time.
         tracker.add_device_seconds(res.drain_seconds)
+        tracker.add_compile_seconds(res.warmup_seconds)
         state.add_file_result(
             FileCheckpoint(
                 file_path=path, file_index=i, score=res.score,
@@ -193,7 +196,12 @@ def process_full_wgs_dataset(
         f"Throughput: {bench.throughput_reads_per_second:.0f} reads/s, "
         f"{bench.throughput_bases_per_second:.0f} bases/s"
     )
-    if bench.device_duty_cycle is not None:
+    if bench.compile_seconds is not None:
+        echo(f"Compile/first-dispatch wait: {bench.compile_seconds:.2f} s")
+    if bench.steady_state_duty_cycle is not None:
+        echo("Device duty cycle (steady state): "
+             f"{100*bench.steady_state_duty_cycle:.1f} %")
+    elif bench.device_duty_cycle is not None:
         echo(f"Device duty cycle: {100*bench.device_duty_cycle:.1f} %")
     echo(f"All files completed! Checkpoint saved to: {state.path}")
     return results

@@ -377,7 +377,16 @@ class DeviceKmerAccumulator:
 
         Fully asynchronous while the added-slots bound proves the store
         cannot overflow; only past that bound does it pay one scalar fetch
-        per fold to check the true unique count."""
+        per fold to check the true unique count.
+
+        Compile-cost note (advisor round 2): prefix-sorted folds make each
+        power-of-two growth of the (store, staging) prefix pair a fresh
+        _sorted_merge shape, so a growing store pays O(log2(capacity))
+        one-time remote compiles (expensive cold through the tunnel, cached
+        after). Accepted log-bounded tradeoff: the alternative fixed-cap
+        fold compiled once but sorted the full 33.5M+52M slot arrays on
+        EVERY fold, which measured far slower than a handful of transient
+        compiles amortized by the persistent compile cache."""
         if self._staging is None or self._pending == 0:
             if self._staging is not None and not reset_staging:
                 self._after_fold(False)

@@ -400,10 +400,15 @@ def sw_affine_batch_pallas(
     """Batched affine-gap SW via the Pallas wavefront kernel."""
     B, M = seq_a.shape
     N = seq_b.shape[1]
-    # f32 sentinel exactness: |_NEG_F| + (M+N)*|gap_extend| must stay < 2^24
-    if (M + N) * max(abs(gap_extend), 1) >= (1 << 23):
+    # f32 exactness: every intermediate must stay an exactly-representable
+    # integer. The largest magnitudes are the sentinel plus gap terms:
+    # |_NEG_F| + (M+N)*|gap_extend| + |gap_open| (gap_open is added at most
+    # once per gap re-opening on top of a running E/F) — bound the SUM, not
+    # just the extend term (advisor round-2 finding).
+    if (abs(_NEG_F) + (M + N) * max(abs(gap_extend), 1)
+            + abs(gap_open) + 2 * min(M, N)) >= (1 << 24):
         raise ValueError(
-            "sw_affine_batch_pallas: pair too long for exact f32 state"
+            "sw_affine_batch_pallas: gap params too large for exact f32 state"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -174,20 +174,41 @@ def _stat_size(path: str) -> int:
         return 1
 
 
-def _stripe_with_retries(engine, path, pid, nproc, retries, echo):
+def _stripe_with_retries(engine, path, pid, nproc, retries, echo,
+                         state=None, file_index=0):
     """Run this process's chunk stripe of a shared file, resuming from the
-    last in-memory chunk checkpoint on failure (retries times)."""
-    from mini_parallel_tpu.models.alignment import FileResult
+    last chunk checkpoint on failure (retries times).
 
-    partial: list = [None]
+    When ``state`` (a CheckpointState) is given, stripe progress persists
+    to disk like exclusive files do — a HOST CRASH mid- or post-stripe
+    resumes from the last owned-chunk checkpoint instead of re-processing
+    the whole stripe (advisor round-2 finding). chunks_done is counted in
+    OWNED-chunk index space, matching self_align_file's chunk_stride
+    resume semantics."""
+    from mini_parallel_tpu.models.alignment import FileResult
+    from mini_parallel_tpu.utils.checkpoint import FileCheckpoint
+
+    prior = state.get_file(file_index) if state is not None else None
+    if prior is not None and prior.chunks_done == 0:
+        prior = None
+    partial: list = [prior]
 
     def on_checkpoint(res: FileResult):
-        import copy
+        if state is not None:
+            state.add_file_result(FileCheckpoint(
+                file_path=path, file_index=file_index, score=res.score,
+                processing_time_ms=res.seconds * 1000.0,
+                total_bases=res.total_bases, total_reads=res.total_reads,
+                completed=False, chunks_done=res.chunks,
+            ))
+            partial[0] = state.get_file(file_index)
+        else:
+            import copy
 
-        snap = copy.copy(res)
-        snap.chunks_done = res.chunks  # owned-chunk index space
-        snap.processing_time_ms = res.seconds * 1000.0
-        partial[0] = snap
+            snap = copy.copy(res)
+            snap.chunks_done = res.chunks  # owned-chunk index space
+            snap.processing_time_ms = res.seconds * 1000.0
+            partial[0] = snap
 
     attempt = 0
     while True:
@@ -240,14 +261,55 @@ def process_full_wgs_distributed(
         retries=retries,
     )
     # oversized files: every process runs its chunk stripe, with the same
-    # elastic-retry semantics as exclusive files (in-memory chunk-level
-    # resume across attempts; chunks_done counts OWNED chunks)
-    for path in plan.shared:
+    # elastic-retry AND persistent-checkpoint semantics as exclusive files.
+    # Stripe state is keyed per (shared set, pid, nproc) so a host crash —
+    # even after a stripe completed — resumes/skips instead of re-running.
+    # Known gap (documented): stripe drain_seconds land on the returned
+    # FileResults but not on the exclusive-files BenchmarkTracker, which
+    # process_full_wgs_dataset already finished; duty-cycle aggregation
+    # over shared files is the caller's to fold from the results list.
+    stripe_state = None
+    if plan.shared:
+        from mini_parallel_tpu.utils.checkpoint import (
+            CheckpointState,
+            FileCheckpoint,
+            deterministic_run_id,
+        )
+
+        c = cfg or engine.cfg
+        sid = deterministic_run_id(
+            c.sample_id, list(plan.shared), engine.mode,
+            chunk_size=c.chunk_size_reads,
+        ) + f"_stripe{pid}of{nproc}"
+        stripe_state = CheckpointState.load(sid, checkpoint_dir)
+        if stripe_state is None:
+            stripe_state = CheckpointState(
+                run_id=sid, total_files=len(plan.shared),
+                directory=checkpoint_dir,
+            )
+    for si, path in enumerate(plan.shared):
+        if stripe_state.is_file_completed(si):
+            prev = stripe_state.get_file(si)
+            echo(f"[host {pid}/{nproc}] shared file {path}: stripe already "
+                 f"completed, skipping")
+            results.append(FileResult(
+                file_path=prev.file_path, score=prev.score,
+                total_bases=prev.total_bases, total_reads=prev.total_reads,
+                chunks=prev.chunks_done,
+                seconds=prev.processing_time_ms / 1000.0,
+            ))
+            continue
         echo(f"[host {pid}/{nproc}] shared file {path}: "
              f"chunks {pid}::{nproc}")
-        results.append(
-            _stripe_with_retries(engine, path, pid, nproc, retries, echo)
-        )
+        res = _stripe_with_retries(engine, path, pid, nproc, retries, echo,
+                                   state=stripe_state, file_index=si)
+        stripe_state.add_file_result(FileCheckpoint(
+            file_path=path, file_index=si, score=res.score,
+            processing_time_ms=res.seconds * 1000.0,
+            total_bases=res.total_bases, total_reads=res.total_reads,
+            completed=True, chunks_done=res.chunks,
+        ))
+        results.append(res)
     # stripe partials sum exactly across processes for reads/bases/score,
     # but each shared FILE must count once globally -> attribute to pid 0
     n_files = len(my_files) + (len(plan.shared) if pid == 0 else 0)

@@ -370,3 +370,18 @@ def test_full_wgs_retries_recover_transient_failure(tmp_path, cfg, rng,
         process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
                                  echo=lambda *_: None,
                                  checkpoint_every_chunks=2, retries=0)
+
+
+def test_warmup_seconds_charged_once_per_shape(tmp_path, cfg, rng):
+    """First dispatch of each new jit shape blocks into warmup_seconds;
+    a second file with identical shapes charges none (the compile-wait /
+    steady-state split behind steady_state_duty_cycle)."""
+    reads = [random_dna(rng, 300) for _ in range(20)]
+    p1 = make_lane(tmp_path, "TEST_L001_R1_001.fastq.gz", reads)
+    p2 = make_lane(tmp_path, "TEST_L002_R1_001.fastq.gz", reads)
+    eng = AlignmentEngine(cfg, mode="kadane")
+    r1 = eng.self_align_file(p1)
+    assert r1.warmup_seconds > 0  # first shape ever -> compile charged here
+    r2 = eng.self_align_file(p2)
+    assert r2.warmup_seconds == 0.0  # same shapes, engine already warm
+    assert r1.score == r2.score
