@@ -106,6 +106,35 @@ def main() -> None:
         )
     )
 
+    # Long-pair halo pipeline: the seq-axis engine (ops/sw_long.py
+    # sw_score_long_sharded) runs K + C - 1 stages for K b-strips over C
+    # chips; a chip is useful in K of them, so pipeline utilization is
+    # exactly K/(K+C-1) and the per-stage boundary exchange ships
+    # state_tiles x (sb x 128) x 4 bytes over ICI (3 tiles linear / 5
+    # affine). These are structural constants of the implementation (not
+    # wall-clock estimates), reported so scaling reviews can check the
+    # comm/compute ratio at any geometry.
+    from mini_parallel_tpu.ops.sw_long import DEFAULT_SB, LANES
+
+    sb = DEFAULT_SB
+    W = sb * LANES
+    for n_len in (500_000, 2_000_000):
+        K = -(-n_len // W)
+        rows2 = []
+        for C in (1, 2, 4, 8):
+            rows2.append({
+                "chips": C,
+                "stages": K + C - 1,
+                "pipeline_utilization": round(K / (K + C - 1), 4),
+                "halo_bytes_per_stage_linear": 3 * sb * LANES * 4,
+                "halo_bytes_per_stage_affine": 5 * sb * LANES * 4,
+            })
+        print(json.dumps({
+            "metric": "long_pair_pipeline_model",
+            "b_len": n_len, "strip_w": W, "k_strips": K,
+            "rows": rows2,
+        }))
+
 
 if __name__ == "__main__":
     main()

@@ -129,25 +129,55 @@ def _rle_compact(hi_s, lo_s, weights, valid):
     -> (key_hi, key_lo, counts, n_unique): unique keys compacted to the
     front (invalid tail = _SENTINEL keys, zero counts); counts[i] sums the
     ``weights`` of run i. The single source of truth for the sort-free part
-    of the sorted-dedup used by unique_counts_batch AND _sorted_merge."""
-    n = hi_s.shape[0]
-    prev_hi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), hi_s[:-1]])
-    prev_lo = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lo_s[:-1]])
-    is_start = valid & ((hi_s != prev_hi) | (lo_s != prev_lo))
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # unique index per slot
-    counts = jax.ops.segment_sum(
-        jnp.where(valid, weights, 0), jnp.where(valid, seg, n - 1),
-        num_segments=n,
+    of the sorted-dedup used by unique_counts_batch AND _sorted_merge.
+
+    SCATTER-FREE (round-3 rewrite — the previous version was the measured
+    k-mer drain wall): run totals come from segmented sums built out of
+    cumsum + running-max (two optimized cumulative primitives, no
+    scatters — a tuple-carry associative_scan compiled pathologically
+    at 33.5M), each
+    run's END slot becomes its representative carrying the total, and one
+    stable 2-key lax.sort compacts representatives to the front (reps are
+    already in key order; non-reps carry SENTINEL keys and 0 counts, so
+    they form the tail). Measured on v5e: lax.sort runs ~250M elem/s while
+    TPU scatter (at[].set / segment_sum) runs ~10M — the old 3-scatter
+    compaction cost ~19 s at the 33.5M-slot drain fold; this one rides the
+    sort."""
+    is_start, is_end = _run_edges(hi_s, lo_s, valid)
+    w = jnp.where(valid, weights, 0).astype(jnp.int32)
+
+    # Segmented sums via two cumulative primitives (cheaper to compile and
+    # run than a tuple-carry associative_scan at 33.5M): C = cumsum(w);
+    # each start slot samples C just before its run; the running MAX
+    # propagates that base through the run (valid because C is
+    # nondecreasing, so later starts always carry a >= base); run total at
+    # the end slot = C[end] - base. int32-safe: total weight is bounded by
+    # the accumulator's _INT32_SAFE spill discipline (and by n for the 0/1
+    # weights of unique_counts_batch).
+    C = jnp.cumsum(w)
+    prevC = jnp.concatenate([jnp.zeros((1,), jnp.int32), C[:-1]])
+    base = jax.lax.cummax(jnp.where(is_start, prevC, -1))
+    seg_total = C - base
+    rep_hi = jnp.where(is_end, hi_s, _SENTINEL)
+    rep_lo = jnp.where(is_end, lo_s, _SENTINEL)
+    rep_ct = jnp.where(is_end, seg_total, 0)
+    key_hi, key_lo, counts = jax.lax.sort(
+        (rep_hi, rep_lo, rep_ct), num_keys=2
     )
-    # place unique keys at their segment index
-    key_hi = jnp.full((n,), _SENTINEL, jnp.int32)
-    key_lo = jnp.full((n,), _SENTINEL, jnp.int32)
-    idx = jnp.where(is_start, seg, n - 1)
-    key_hi = key_hi.at[idx].set(jnp.where(is_start, hi_s, _SENTINEL))
-    key_lo = key_lo.at[idx].set(jnp.where(is_start, lo_s, _SENTINEL))
     n_unique = jnp.sum(is_start.astype(jnp.int32))
-    counts = counts * (jnp.arange(n) < n_unique)
     return key_hi, key_lo, counts, n_unique
+
+
+def _run_edges(hi_s, lo_s, valid):
+    """(is_start, is_end) masks of key runs in sorted (hi, lo) arrays."""
+    neg = jnp.full((1,), -1, jnp.int32)
+    prev_hi = jnp.concatenate([neg, hi_s[:-1]])
+    prev_lo = jnp.concatenate([neg, lo_s[:-1]])
+    nxt_hi = jnp.concatenate([hi_s[1:], neg])
+    nxt_lo = jnp.concatenate([lo_s[1:], neg])
+    is_start = valid & ((hi_s != prev_hi) | (lo_s != prev_lo))
+    is_end = valid & ((hi_s != nxt_hi) | (lo_s != nxt_lo))
+    return is_start, is_end
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
@@ -194,12 +224,118 @@ def _sorted_merge(hi_a, lo_a, ct_a, hi_b, lo_b, ct_b):
     Inputs may contain duplicate keys (ct > 0) and SENTINEL padding
     (ct == 0). Returns (hi, lo, ct, n_unique) of length len(a) + len(b),
     uniques compacted to the front.
+
+    Kept as the MPT_KMER_SORT_FOLD fallback: the default fold is the rank
+    merge below, which exploits that both inputs are already sorted —
+    lax.sort re-sorts from scratch at ~3-5M elem/s on v5e, the measured
+    wall of the whole k-mer worst case (VERDICT round 2 #1).
     """
     hi = jnp.concatenate([hi_a, hi_b])
     lo = jnp.concatenate([lo_a, lo_b])
     ct = jnp.concatenate([ct_a, ct_b])
     hi, lo, ct = jax.lax.sort((hi, lo, ct), num_keys=2)
     return _rle_compact(hi, lo, ct, ct > 0)
+
+
+# ---------------------------------------------------------------------------
+# Rank merge: sorted runs are merged with a vectorized binary search instead
+# of lax.sort. For each element its merged position = own index + rank in
+# the other run (searchsorted 'left' for run a, 'right' for run b, so ties
+# interleave a-first into a permutation) — one scatter materializes the
+# merge. Work per two-way merge is O(n log n) GATHER-light compares vs the
+# comparison sort's full resort; keys stay int32 (hi, lo) pairs under the
+# same signed lexicographic order lax.sort used (any consistent total order
+# works for RLE; SENTINEL pairs remain maximal since lo < 2^30 for k <= 31).
+#
+# NEGATIVE RESULT (measured on v5e, round 3 — don't re-default without new
+# numbers): at 2x8.4M this merge runs at ~1M elem/s vs lax.sort's ~250M.
+# The vectorized binary search issues log2(L)=24 data-dependent gather
+# rounds, and TPU gathers through fori_loop are ~2 orders slower than the
+# sort network's sequential-access passes. Enabled via MPT_KMER_RANK_FOLD.
+# ---------------------------------------------------------------------------
+
+
+def _pair_less(h1, l1, h2, l2):
+    return (h1 < h2) | ((h1 == h2) & (l1 < l2))
+
+
+def _pair_searchsorted_rows(hi_s, lo_s, hi_q, lo_q, side: str):
+    """Row-batched binary search: ranks of (hi_q, lo_q)[r] within the
+    sorted run (hi_s, lo_s)[r], for every row r. Fixed-trip count with a
+    convergence guard (lo==hi rows stop updating)."""
+    L = hi_s.shape[1]
+    steps = max(1, L.bit_length())
+    lo_i = jnp.zeros(hi_q.shape, jnp.int32)
+    hi_i = jnp.full(hi_q.shape, L, jnp.int32)
+
+    def body(_, c):
+        lo_i, hi_i = c
+        cont = lo_i < hi_i
+        mid = (lo_i + hi_i) >> 1
+        midc = jnp.minimum(mid, L - 1)
+        mh = jnp.take_along_axis(hi_s, midc, axis=1)
+        ml = jnp.take_along_axis(lo_s, midc, axis=1)
+        if side == "left":
+            go = _pair_less(mh, ml, hi_q, lo_q)  # s[mid] < q
+        else:
+            go = ~_pair_less(hi_q, lo_q, mh, ml)  # s[mid] <= q
+        go = go & cont
+        return (jnp.where(go, mid + 1, lo_i),
+                jnp.where(cont & ~go, mid, hi_i))
+
+    lo_i, hi_i = jax.lax.fori_loop(0, steps, body, (lo_i, hi_i))
+    return lo_i
+
+
+def _merge_level(hi, lo, ct):
+    """One tree-merge level: (R, L) sorted runs -> (R//2, 2L)."""
+    R, L = hi.shape
+    ha, la, ca = hi[0::2], lo[0::2], ct[0::2]
+    hb, lb, cb = hi[1::2], lo[1::2], ct[1::2]
+    ia = _pair_searchsorted_rows(hb, lb, ha, la, "left")
+    ib = _pair_searchsorted_rows(ha, la, hb, lb, "right")
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pa, pb = ia + ar, ib + ar
+    rows = jnp.arange(R // 2, dtype=jnp.int32)[:, None]
+    oh = jnp.full((R // 2, 2 * L), _SENTINEL, jnp.int32)
+    oh = oh.at[rows, pa].set(ha).at[rows, pb].set(hb)
+    ol = jnp.full((R // 2, 2 * L), _SENTINEL, jnp.int32)
+    ol = ol.at[rows, pa].set(la).at[rows, pb].set(lb)
+    oc = jnp.zeros((R // 2, 2 * L), jnp.int32)
+    oc = oc.at[rows, pa].set(ca).at[rows, pb].set(cb)
+    return oh, ol, oc
+
+
+@jax.jit
+def _rank_merge_runs(hi, lo, ct):
+    """Merge R (power of two) sorted runs of length L -> one sorted run of
+    R*L, duplicates preserved. log2(R) levels, each a vectorized two-way
+    rank merge over all rows at once."""
+    assert hi.shape[0] & (hi.shape[0] - 1) == 0, "run count must be 2^r"
+    while hi.shape[0] > 1:
+        hi, lo, ct = _merge_level(hi, lo, ct)
+    return hi[0], lo[0], ct[0]
+
+
+@jax.jit
+def _rank_merge_pair(hi_a, lo_a, ct_a, hi_b, lo_b, ct_b):
+    """Two-way rank merge of unequal-length SORTED slabs + RLE-combine:
+    the drop-in fold replacing _sorted_merge's full re-sort. Same return
+    contract: (hi, lo, ct, n_unique) of length len(a) + len(b)."""
+    ha, la, ca = hi_a[None], lo_a[None], ct_a[None]
+    hb, lb, cb = hi_b[None], lo_b[None], ct_b[None]
+    ia = _pair_searchsorted_rows(hb, lb, ha, la, "left")[0]
+    ib = _pair_searchsorted_rows(ha, la, hb, lb, "right")[0]
+    n, m = hi_a.shape[0], hi_b.shape[0]
+    pa = ia + jnp.arange(n, dtype=jnp.int32)
+    pb = ib + jnp.arange(m, dtype=jnp.int32)
+    oh = jnp.full((n + m,), _SENTINEL, jnp.int32)
+    oh = oh.at[pa].set(hi_a).at[pb].set(hi_b)
+    ol = jnp.full((n + m,), _SENTINEL, jnp.int32)
+    ol = ol.at[pa].set(lo_a).at[pb].set(lo_b)
+    oc = jnp.zeros((n + m,), jnp.int32)
+    oc = oc.at[pa].set(ct_a).at[pb].set(ct_b)
+    return _rle_compact(oh, ol, oc, oc > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +465,12 @@ class DeviceKmerAccumulator:
     def _reset_staging(self):
         batches = min(self.staging_batches,
                       max(1, self.MAX_STAGING_SLOTS // max(self._slot, 1)))
+        # round DOWN to a power of two: the rank-merge fold tree-merges the
+        # staged runs pairwise, so a 2^r run count keeps every level's
+        # shape uniform (40 -> 32; the batch-count tuning curve is flat
+        # there, and unoccupied runs are sentinel-filled so partial flushes
+        # just take the next power of two <= allocation)
+        batches = 1 << max(0, batches.bit_length() - 1)
         self._effective_batches = batches
         n = self._slot * batches
         z = jnp.full((n,), _SENTINEL, jnp.int32)
@@ -337,8 +479,9 @@ class DeviceKmerAccumulator:
         self._pending = 0
 
     def add(self, hi, lo, ct) -> None:
-        """Append one batch's (hi, lo, counts) slab (uniques compacted,
-        zero-count padding allowed)."""
+        """Append one batch's (hi, lo, counts) slab (uniques compacted and
+        SORTED by key — the unique_counts_* contract — zero-count padding
+        allowed; the rank-merge fold relies on per-slab sortedness)."""
         n = hi.shape[0]
         if self._staging is None:
             self._slot = n
@@ -391,20 +534,44 @@ class DeviceKmerAccumulator:
             if self._staging is not None and not reset_staging:
                 self._after_fold(False)
             return
+        import os
+
         sh, sl, sc = self._staging
-        # sort only the occupied power-of-two prefixes: _off bounds the
-        # staged entries, _store_bound the store's distinct count — both
-        # host-side bounds, no sync. At 13M distinct this cuts the drain
-        # fold from sort(cap 33.5M + staging 52M) to sort(16.7M + 16.7M);
-        # on repetitive (real) data folds stay at the small prefix forever.
-        P = _pow2_ceil(self._off, hi=sh.shape[0])
+        # fold only the occupied power-of-two prefixes: _pending bounds the
+        # staged runs, _store_bound the store's distinct count — both
+        # host-side bounds, no sync; on repetitive (real) data folds stay
+        # at the small prefix forever.
         if self._store is None:
             z8 = jnp.full((8,), _SENTINEL, jnp.int32)
             store_in = (z8, z8.copy(), jnp.zeros((8,), jnp.int32))
         else:
             S = _pow2_ceil(self._store_bound, hi=self._store[0].shape[0])
             store_in = tuple(x[:S] for x in self._store)
-        hi, lo, ct, nu = _sorted_merge(*store_in, sh[:P], sl[:P], sc[:P])
+        if not os.environ.get("MPT_KMER_RANK_FOLD"):
+            # default: comparison sort of the concatenated slabs. MEASURED
+            # (round 3, v5e): lax.sort 2-key runs at ~250M elem/s (67 ms
+            # for 2x8.4M) — NOT the 3-5M elem/s wall round 2 assumed — and
+            # the searchsorted rank merge below is 245x SLOWER (16.4 s
+            # same shape): the binary search's 24 chained gather rounds are the
+            # pathological op on TPU. Kept behind MPT_KMER_RANK_FOLD as a
+            # documented negative result; do not flip without re-measuring.
+            P = _pow2_ceil(self._off, hi=sh.shape[0])
+            hi, lo, ct, nu = _sorted_merge(*store_in, sh[:P], sl[:P], sc[:P])
+        else:
+            # negative-result path: tree rank-merge of the already-sorted
+            # staged runs (pow2 run count; unoccupied runs are sentinel-
+            # filled), then one two-way rank merge against the store prefix
+            P2 = 1
+            while P2 < max(self._pending, 1):
+                P2 <<= 1
+            P2 = min(P2, sh.shape[0] // max(self._slot, 1))
+            w = P2 * self._slot
+            mh, ml, mc = _rank_merge_runs(
+                sh[:w].reshape(P2, self._slot),
+                sl[:w].reshape(P2, self._slot),
+                sc[:w].reshape(P2, self._slot),
+            )
+            hi, lo, ct, nu = _rank_merge_pair(*store_in, mh, ml, mc)
         self._store_bound = min(self._store_bound + self._off,
                                 self.capacity)
         if self._added <= min(self.capacity, self._INT32_SAFE):

@@ -130,16 +130,22 @@ WALK_UNROLL = 4  # traceback actions per scan step (see sw_positions_batch)
 def sw_moves_batch(seq_a: jnp.ndarray, seq_b: jnp.ndarray):
     """Batched scoring scan that also emits per-diagonal move codes.
 
-    Returns (best (B,), best_d (B,), best_i (B,), moves (D, B, M) uint8).
+    Returns (best (B,), best_d (B,), best_i (B,), moves (Dp, B, M) uint8)
+    where Dp = D rounded up to WALK_UNROLL: the scan takes WALK_UNROLL
+    diagonals per step (measured: per-step overhead dominated the D-step
+    version; overshoot diagonals are all-invalid so neither the argmax nor
+    the walk can touch them).
     """
     B, M = seq_a.shape
     N = seq_b.shape[1]
+    D = M + N - 1
+    steps = -(-D // WALK_UNROLL)
     a = seq_a.astype(jnp.int32)
     bp = jnp.concatenate(
         [
             jnp.full((B, M - 1), PAD_B, jnp.int32),
             seq_b.astype(jnp.int32),
-            jnp.full((B, M), PAD_B, jnp.int32),
+            jnp.full((B, M + WALK_UNROLL), PAD_B, jnp.int32),
         ],
         axis=1,
     )
@@ -149,7 +155,7 @@ def sw_moves_batch(seq_a: jnp.ndarray, seq_b: jnp.ndarray):
 
     i_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
 
-    def step(carry, d):
+    def one_diag(carry, d):
         d1, d2, best, bd, bi = carry
         w = jax.lax.dynamic_slice_in_dim(bp, d, M, axis=1)[:, ::-1]
         s = jnp.where(a == w, MATCH_SCORE, MISMATCH_PENALTY)
@@ -174,12 +180,20 @@ def sw_moves_batch(seq_a: jnp.ndarray, seq_b: jnp.ndarray):
         bi = jnp.where(better, row_arg, bi)
         return (cand, d1, best, bd, bi), move
 
+    def step(carry, d0):
+        mvs = []
+        for u in range(WALK_UNROLL):
+            carry, mv = one_diag(carry, d0 + u)
+            mvs.append(mv)
+        return carry, jnp.stack(mvs)
+
     z = a * 0
     zb = a[:, 0] * 0
     (d1, d2, best, bd, bi), moves = jax.lax.scan(
-        step, (z, z, zb, zb, zb), jnp.arange(M + N - 1)
+        step, (z, z, zb, zb, zb),
+        WALK_UNROLL * jnp.arange(steps, dtype=jnp.int32),
     )
-    return best, bd, bi, moves
+    return best, bd, bi, moves.reshape(steps * WALK_UNROLL, B, M)
 
 
 def traceback_host(
@@ -330,18 +344,22 @@ def sw_affine_moves_batch(seq_a, seq_b, gap_open: int = GAP_OPEN,
                           gap_extend: int = GAP_EXTEND):
     """Batched Gotoh scoring scan emitting per-diagonal move bytes.
 
-    Returns (best (B,), best_d (B,), best_i (B,), moves (D, B, M) uint8).
+    Returns (best (B,), best_d (B,), best_i (B,), moves (Dp, B, M) uint8)
+    with Dp = D rounded up to WALK_UNROLL (unrolled scan; overshoot
+    diagonals are all-invalid, see sw_moves_batch).
     Scoring matches ops/sw.py:sw_affine_batch (first gap base costs
     open+extend, each further base extend).
     """
     B, M = seq_a.shape
     N = seq_b.shape[1]
+    D = M + N - 1
+    steps = -(-D // WALK_UNROLL)
     a = seq_a.astype(jnp.int32)
     bp = jnp.concatenate(
         [
             jnp.full((B, M - 1), PAD_B, jnp.int32),
             seq_b.astype(jnp.int32),
-            jnp.full((B, M), PAD_B, jnp.int32),
+            jnp.full((B, M + WALK_UNROLL), PAD_B, jnp.int32),
         ],
         axis=1,
     )
@@ -353,7 +371,7 @@ def sw_affine_moves_batch(seq_a, seq_b, gap_open: int = GAP_OPEN,
 
     i_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
 
-    def step(carry, d):
+    def one_diag(carry, d):
         h1, h2, e1, f1, best, bd, bi = carry
         w = jax.lax.dynamic_slice_in_dim(bp, d, M, axis=1)[:, ::-1]
         s = jnp.where(a == w, MATCH_SCORE, MISMATCH_PENALTY)
@@ -386,13 +404,21 @@ def sw_affine_moves_batch(seq_a, seq_b, gap_open: int = GAP_OPEN,
         bi = jnp.where(better, row_arg, bi)
         return (h, h1, e, f, best, bd, bi), move
 
+    def step(carry, d0):
+        mvs = []
+        for u in range(WALK_UNROLL):
+            carry, mv = one_diag(carry, d0 + u)
+            mvs.append(mv)
+        return carry, jnp.stack(mvs)
+
     z = a * 0
     neg = jnp.full((B, M), _NEG_TB, jnp.int32)
     zb = a[:, 0] * 0
     (h1, h2, e1, f1, best, bd, bi), moves = jax.lax.scan(
-        step, (z, z, neg, neg, zb, zb, zb), jnp.arange(M + N - 1)
+        step, (z, z, neg, neg, zb, zb, zb),
+        WALK_UNROLL * jnp.arange(steps, dtype=jnp.int32),
     )
-    return best, bd, bi, moves
+    return best, bd, bi, moves.reshape(steps * WALK_UNROLL, B, M)
 
 
 def traceback_affine_host(best, bd, bi, moves) -> list[Alignment]:
@@ -454,60 +480,57 @@ def sw_affine_positions_batch(seq_a, seq_b, gap_open: int = GAP_OPEN,
                               gap_extend: int = GAP_EXTEND):
     """Fully on-device Gotoh traceback -> per-base reference positions.
 
-    Affine analogue of sw_positions_batch: the walk is a 3-state machine
-    (H / E / F) carried as an int per read; each scan step performs exactly
-    one traceback action (match move, gap emit, or state switch), so
-    2*(M+N) steps bound any path.
+    Affine analogue of sw_positions_batch (same dense diagonal sweep — see
+    its docstring for why this beats the per-step gather chain). The walk's
+    3-state machine (H / E / F) fuses every H->E / H->F switch with the gap
+    emit it mandates: in state H with source E_SRC, the walker emits the D
+    op and adopts state from THIS cell's extend bit in one action — exactly
+    the two-action sequence of the host walker collapsed, so the current
+    diagonal qi+ji still strictly decreases per action and the descending
+    sweep visits each action's diagonal exactly once.
     """
     best, bd, bi, moves = sw_affine_moves_batch(seq_a, seq_b, gap_open,
                                                 gap_extend)
     B, M = seq_a.shape
-    N = seq_b.shape[1]
-    rows = jnp.arange(B, dtype=jnp.int32)
+    D = moves.shape[0]  # padded to a WALK_UNROLL multiple by the producer
+    iota_m = jnp.arange(M, dtype=jnp.int32)[None, :]
     S_H, S_E, S_F = 0, 1, 2
 
-    def one_action(carry):
-        qi, ji, state, done = carry
-        d = qi + ji
-        qc = jnp.clip(qi, 0, M - 1)
-        dc = jnp.clip(d, 0, M + N - 2)
-        mv = moves[dc, rows, qc].astype(jnp.int32)
-        invalid = done | (qi < 0) | (ji < 0)
-        h_src = jnp.where(invalid, STOP, mv & 3)
-        in_h = (state == S_H) & ~invalid
-        in_e = (state == S_E) & ~invalid
-        in_f = (state == S_F) & ~invalid
-        diag_mv = in_h & (h_src == DIAG)
-        rec_q = jnp.where(diag_mv, qc, M)  # M -> dropped at scatter time
-        rec_j = ji
-        e_stay = in_e & (((mv >> 2) & 1) == 1)
-        f_stay = in_f & (((mv >> 3) & 1) == 1)
-        new_state = jnp.where(
-            diag_mv, S_H,
-            jnp.where(in_h & (h_src == E_SRC), S_E,
-            jnp.where(in_h & (h_src == F_SRC), S_F,
-            jnp.where(in_e, jnp.where(e_stay, S_E, S_H),
-            jnp.where(in_f, jnp.where(f_stay, S_F, S_H), state)))),
+    def one_diag(carry, d):
+        qi, ji, state, done, pos = carry
+        dc = jnp.clip(d, 0, D - 1)
+        slab = jax.lax.dynamic_slice_in_dim(moves, dc, 1, axis=0)[0]
+        onehot = iota_m == qi[:, None]  # (B, M)
+        mv = jnp.max(jnp.where(onehot, slab.astype(jnp.int32), 0), axis=1)
+        active = (~done) & (qi + ji == d) & (qi >= 0) & (ji >= 0)
+        src = mv & 3
+        eext = ((mv >> 2) & 1) == 1
+        fext = ((mv >> 3) & 1) == 1
+        in_h = active & (state == S_H)
+        h_diag = in_h & (src == DIAG)
+        emit_d = (in_h & (src == E_SRC)) | (active & (state == S_E))
+        emit_i = (in_h & (src == F_SRC)) | (active & (state == S_F))
+        pos = jnp.where(onehot & h_diag[:, None], ji[:, None], pos)
+        state = jnp.where(
+            h_diag, S_H,
+            jnp.where(emit_d, jnp.where(eext, S_E, S_H),
+                      jnp.where(emit_i, jnp.where(fext, S_F, S_H), state)),
         )
-        qi = qi - diag_mv.astype(jnp.int32) - in_f.astype(jnp.int32)
-        ji = ji - diag_mv.astype(jnp.int32) - in_e.astype(jnp.int32)
-        done = done | (in_h & (h_src == STOP))
-        return (qi, ji, new_state, done), (rec_q, rec_j)
+        qi = qi - h_diag.astype(jnp.int32) - emit_i.astype(jnp.int32)
+        ji = ji - h_diag.astype(jnp.int32) - emit_d.astype(jnp.int32)
+        done = done | (in_h & (src == STOP))
+        return (qi, ji, state, done, pos), None
 
-    def step(carry, _):
-        qs, js = [], []
-        for _u in range(WALK_UNROLL):
-            carry, (q, j) = one_action(carry)
-            qs.append(q)
-            js.append(j)
-        return carry, (jnp.stack(qs), jnp.stack(js))
+    def step(carry, d_hi):
+        for u in range(WALK_UNROLL):
+            carry, _ = one_diag(carry, d_hi - u)
+        return carry, None
 
-    carry0 = (bi, bd - bi, jnp.zeros((B,), jnp.int32), best <= 0)
-    _, (qs, js) = jax.lax.scan(
-        step, carry0, None, length=-(-(2 * (M + N)) // WALK_UNROLL)
-    )
-    pos = jnp.full((B, M), -1, jnp.int32)
-    pos = pos.at[rows[None, None, :], qs].set(js, mode="drop")
+    pos0 = jnp.full((B, M), -1, jnp.int32)
+    carry0 = (bi, bd - bi, jnp.zeros((B,), jnp.int32), best <= 0, pos0)
+    steps = -(-D // WALK_UNROLL)
+    d_starts = D - 1 - WALK_UNROLL * jnp.arange(steps, dtype=jnp.int32)
+    (qi, ji, state, done, pos), _ = jax.lax.scan(step, carry0, d_starts)
     return best, pos
 
 
@@ -520,54 +543,50 @@ def sw_positions_batch(
     Returns (score (B,), positions (B, M) int32) where positions[b, i] is the
     0-based index in seq_b that query base i aligns to under the best local
     alignment (M ops only), or -1 for unaligned/inserted/clipped bases —
-    exactly what a pileup consumes. The (D, B, M) moves tensor stays in HBM;
-    the walk is a lax.scan whose steps gather one move per read and scatter
-    one position per read, so only (B,) + (B, M) scalars ever reach the host
-    (the Python-walk path fetches the whole moves tensor: ~150x more D2H).
+    exactly what a pileup consumes. The (D, B, M) moves tensor stays in HBM.
+
+    Walk structure (the round-3 rewrite of the serial gather chain): every
+    traceback action strictly DECREASES the walker's current anti-diagonal
+    qi+ji (DIAG by 2, UP/LEFT by 1), so sweeping diagonals d = D-1..0 and
+    letting each read act only when qi+ji == d visits every action exactly
+    once. Each sweep step reads the dense (B, M) moves slice for d and
+    selects each read's move with a one-hot compare-and-reduce — pure
+    elementwise VPU work, ZERO gathers/scatters. The previous
+    record-then-scatter walk chained D serial (B,)-gathers from HBM at
+    ~35 us kernel latency each (~12.6 ms/batch); the dense sweep is
+    bandwidth-bound on one full read of the moves tensor instead.
 
     Same move codes and tie-breaking as traceback_host, so positions match
     the host CIGAR application bit-for-bit (tested).
     """
     best, bd, bi, moves = sw_moves_batch(seq_a, seq_b)
     B, M = seq_a.shape
-    N = seq_b.shape[1]
-    rows = jnp.arange(B, dtype=jnp.int32)
-    D = M + N - 1
+    D = moves.shape[0]  # padded to a WALK_UNROLL multiple by the producer
+    iota_m = jnp.arange(M, dtype=jnp.int32)[None, :]
 
-    # The walk RECORDS (query base, ref pos) pairs per step and scatters
-    # them ONCE at the end instead of updating a (B, M) pos tensor every
-    # step, and takes WALK_UNROLL moves per scan iteration: fatter steps
-    # amortize XLA's per-step gather/scatter kernel overhead, which
-    # dominated the original one-move-one-scatter walk (~2x measured).
-    def one_move(carry):
-        qi, ji, done = carry
-        d = qi + ji
-        qc = jnp.clip(qi, 0, M - 1)
+    def one_diag(carry, d):
+        qi, ji, done, pos = carry
         dc = jnp.clip(d, 0, D - 1)
-        mv = moves[dc, rows, qc]
-        act = jnp.where(done | (qi < 0) | (ji < 0), STOP, mv.astype(jnp.int32))
+        slab = jax.lax.dynamic_slice_in_dim(moves, dc, 1, axis=0)[0]
+        onehot = iota_m == qi[:, None]  # (B, M)
+        mv = jnp.max(jnp.where(onehot, slab.astype(jnp.int32), 0), axis=1)
+        active = (~done) & (qi + ji == d) & (qi >= 0) & (ji >= 0)
+        act = jnp.where(active, mv, STOP)
         is_diag = act == DIAG
-        rec_q = jnp.where(is_diag, qc, M)  # M = out of range -> dropped
-        rec_j = ji
+        pos = jnp.where(onehot & is_diag[:, None], ji[:, None], pos)
         qi = qi - is_diag.astype(jnp.int32) - (act == UP).astype(jnp.int32)
         ji = ji - is_diag.astype(jnp.int32) - (act == LEFT).astype(jnp.int32)
-        done = done | (act == STOP)
-        return (qi, ji, done), (rec_q, rec_j)
+        done = done | (active & (mv == STOP))
+        return (qi, ji, done, pos), None
 
-    def step(carry, _):
-        qs, js = [], []
-        for _u in range(WALK_UNROLL):
-            carry, (q, j) = one_move(carry)
-            qs.append(q)
-            js.append(j)
-        return carry, (jnp.stack(qs), jnp.stack(js))
+    def step(carry, d_hi):
+        for u in range(WALK_UNROLL):
+            carry, _ = one_diag(carry, d_hi - u)
+        return carry, None
 
-    carry0 = (bi, bd - bi, best <= 0)
-    _, (qs, js) = jax.lax.scan(
-        step, carry0, None, length=-(-D // WALK_UNROLL)
-    )
-    # each query base is written by at most one DIAG move; non-diag and
-    # overshoot records carry index M and are dropped
-    pos = jnp.full((B, M), -1, jnp.int32)
-    pos = pos.at[rows[None, None, :], qs].set(js, mode="drop")
+    pos0 = jnp.full((B, M), -1, jnp.int32)
+    carry0 = (bi, bd - bi, best <= 0, pos0)
+    steps = -(-D // WALK_UNROLL)
+    d_starts = D - 1 - WALK_UNROLL * jnp.arange(steps, dtype=jnp.int32)
+    (qi, ji, done, pos), _ = jax.lax.scan(step, carry0, d_starts)
     return best, pos

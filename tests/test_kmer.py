@@ -377,3 +377,59 @@ def test_compressed_drain_exact(rng, monkeypatch):
     kmer.merge_device_counts(got, hi, lo, ct)
     got = {kmer.key_to_string(h, l, 21): c for (h, l), c in got.items()}
     assert got == kmer.count_kmers_python(reads, k=21)
+
+
+def test_rank_merge_fold_matches_sort_fold(rng, monkeypatch):
+    """The lax.sort fold (default) and the rank-merge fold
+    (MPT_KMER_RANK_FOLD, kept as a measured negative result) must produce
+    identical drains."""
+    import jax.numpy as jnp
+
+    reads = [random_dna(rng, 40) for _ in range(64)]
+    reads[10] = reads[0]  # cross-batch duplicates
+
+    def run():
+        acc = kmer.DeviceKmerAccumulator(capacity=1 << 14, staging_batches=3)
+        for i in range(0, len(reads), 16):
+            arr, lens = encode.pad_batch(reads[i : i + 16], pad_to=40,
+                                         pad_value=int(encode.PAD_A))
+            codes = encode.ascii_to_code(jnp.asarray(arr))
+            hi, lo, ct, _ = kmer.unique_counts_batch(
+                codes, jnp.asarray(lens), k=13)
+            acc.add(hi, lo, ct)
+        return acc.drain()
+
+    monkeypatch.delenv("MPT_KMER_RANK_FOLD", raising=False)
+    sort = run()
+    monkeypatch.setenv("MPT_KMER_RANK_FOLD", "1")
+    rank = run()
+    for a, b in zip(rank, sort):
+        assert (a == b).all()
+
+
+def test_rank_merge_runs_exact(rng):
+    """Tree rank-merge of R sorted runs == a full sort (duplicates kept)."""
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.ops.kmer import _rank_merge_runs
+
+    R, L = 8, 64
+    hi = rng.integers(0, 5, (R, L)).astype(np.int32)
+    lo = rng.integers(0, 4, (R, L)).astype(np.int32)
+    key = hi.astype(np.int64) * 4 + lo
+    key.sort(axis=1)
+    hi, lo = (key // 4).astype(np.int32), (key % 4).astype(np.int32)
+    ct = rng.integers(1, 9, (R, L)).astype(np.int32)
+    oh, ol, oc = (np.asarray(x) for x in _rank_merge_runs(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ct)))
+    got = oh.astype(np.int64) * 4 + ol
+    assert (got == np.sort(key.reshape(-1))).all()
+    # counts are a permutation grouped with their keys
+    import collections
+    want = collections.Counter()
+    for k_, c_ in zip(key.reshape(-1), ct.reshape(-1)):
+        want[int(k_)] += int(c_)
+    got_sum = collections.Counter()
+    for k_, c_ in zip(got, oc):
+        got_sum[int(k_)] += int(c_)
+    assert got_sum == want
