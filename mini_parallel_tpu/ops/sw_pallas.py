@@ -207,13 +207,215 @@ def sw_score_batch_pallas(
     return out[0, :B]
 
 
+def _chain_routable(B: int, M: int, N: int, k_chain: int) -> bool:
+    """The skewed-chain kernel wins when the batch fills its chains and the
+    pair is square-ish (the chain reclaims ramp waste ~ min(M,N)/(M+N));
+    small or very rectangular batches stay on the plain wavefront."""
+    if B < k_chain * B_BLK:
+        return False
+    Mp, Np = -(-M // 8) * 8, -(-N // 8) * 8
+    return max(Mp, Np) <= 2 * min(Mp, Np)
+
+
 def sw_score_batch_best(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
-    """Fastest available SW path: Pallas kernel on TPU, XLA scan elsewhere."""
+    """Fastest available SW path: Pallas kernel on TPU (skewed-chain
+    when the batch shape suits it), XLA scan elsewhere."""
     if jax.default_backend() == "tpu":
+        B, M = seq_a.shape
+        N = seq_b.shape[1]
+        if (os.environ.get("MPT_SW_CHAIN_ROUTE", "0") != "0"
+                and _chain_routable(B, M, N, CHAIN_K)):
+            return sw_score_batch_chained(seq_a, seq_b)
         return sw_score_batch_pallas(seq_a, seq_b)
     from mini_parallel_tpu.ops.sw import sw_score_batch
 
     return sw_score_batch(seq_a, seq_b)
+
+
+# ---------------------------------------------------------------------------
+# Skewed-chain wavefront: reclaiming the anti-diagonal ramp.
+#
+# The plain wavefront sweeps M+N-1 diagonals of M-row vectors for M*N useful
+# cells per pair — ~50% of the vector slots are ramp waste at M=N. This
+# kernel chains K pairs per lane in STREAM coordinates: pair k's b occupies
+# stream rows [k*S, k*S+N) of a (K*S+M)-row b-stream (S = max(Mp, Np) + 8),
+# and the b window w[i] = B[t - i] shifts down exactly as before. Row i then
+# computes pair k's cells during t in [kS+i, kS+i+N): while early rows are
+# ramping OUT of pair k, late rows are still finishing and the early rows
+# ramp INTO pair k+1 — the crossing front between pairs advances one row per
+# step, keeping every row busy. Useful-slot fraction rises from N/(M+N-1)
+# (~50%) to N/(S + M/K) (~85% at K=8, M=N=152).
+#
+# The per-pair state handover rides an 8-row maintenance slab at super-step
+# (8-diagonal) boundaries, hoisted exactly like sw_long's row I/O
+# (sw_long.py:120-137): when the front crosses rows [r, r+8) at t0 = qS + r,
+# the slab (a) harvests pair q-1's finished row-maxima from `best` into a
+# per-pair output row, (b) zeroes best/d1/d1s there (so the gap steps keep
+# the rows at exactly 0: a_new vs PAD_B scores -1 and zero state floors the
+# max at 0 — giving the correct H(i,-1) = H(i-1,-1) = 0 boundary when the
+# row's first pair-q cell computes), and (c) loads pair q's a rows from the
+# a-stream. The HOT LOOP IS UNCHANGED from _sw_kernel_body — no per-step
+# masks or predicates (the measured killers of the round-2 b-axis-packing
+# attempt); maintenance costs ~6 slab ops per 8 diagonals (~4% of the
+# 8x152-row vector work).
+#
+# Slab-schedule correctness (why rewriting at t0 is safe): row r+j's last
+# pair-(q-1) cell is at t = (q-1)S + (r+j) + N - 1 <= t0 - 2 + j - (S-N-1)
+# <= t0 - 1 for j <= 7 and S >= N + 8, and its first pair-q cell is at
+# t0 + j >= t0 — the whole slab is idle exactly when the maintenance runs.
+# S >= Mp keeps a single crossing front live at a time (one slab per
+# super-step); the wrapper guards both bounds.
+# ---------------------------------------------------------------------------
+
+CHAIN_K = _env_int("MPT_SW_CHAIN", 8)
+
+
+def _to_stream(x, seg_len, fill, G, k_chain, b_blk, S, rows):
+    """(Bp, seg_len) per-pair rows -> (rows, G*b_blk) stream layout:
+    block g, chain slot k, lane l holds pair ((g*k_chain)+k)*b_blk + l at
+    stream rows [k*S, k*S + seg_len), ``fill`` elsewhere."""
+    x = x.reshape(G, k_chain, b_blk, seg_len)
+    x = jnp.concatenate(
+        [x, jnp.full((G, k_chain, b_blk, S - seg_len), fill, jnp.int32)],
+        axis=3,
+    )
+    x = x.transpose(0, 1, 3, 2).reshape(G, k_chain * S, b_blk)
+    x = jnp.concatenate(
+        [x, jnp.full((G, rows - k_chain * S, b_blk), fill, jnp.int32)],
+        axis=1,
+    )
+    return x.transpose(1, 0, 2).reshape(rows, G * b_blk)
+
+
+def _sw_chain_kernel_factory(k_chain: int, s_stride: int, m_rows: int):
+    def kernel(a_ref, b_ref, out_ref, a_t, w, d1, d1s, best, out_acc):
+        M, B = m_rows, a_ref.shape[1]
+        S = s_stride
+        zeros = jnp.zeros((M, B), jnp.float32)
+        zrow = jnp.zeros((1, B), jnp.float32)
+        z8 = jnp.zeros((8, B), jnp.float32)
+        a_t[:] = jnp.full((M, B), int(PAD_A), jnp.int32)
+        w[:] = jnp.full((M, B), int(PAD_B), jnp.int32)
+        d1[:] = zeros
+        d1s[:] = zeros
+        best[:] = zeros
+        out_acc[:] = jnp.zeros((out_acc.shape[0], B), jnp.float32)
+        n_stream = b_ref.shape[0]
+
+        def one_diag(t, a, wv_prev, d1v, d1sv, bestv):
+            new_row = b_ref[pl.ds(jnp.minimum(t, n_stream - 1), 1), :]
+            wv = jnp.concatenate([new_row, wv_prev[:-1]], axis=0)
+            s = jnp.where(a == wv, float(MATCH_SCORE),
+                          float(MISMATCH_PENALTY))
+            diag = d1sv + s
+            sh = jnp.concatenate([zrow, d1v[:-1]], axis=0)
+            ud = jnp.maximum(sh, d1v) + float(GAP_PENALTY)
+            cand = jnp.maximum(jnp.maximum(diag, ud), zeros)
+            return wv, cand, sh, jnp.maximum(bestv, cand)
+
+        def step(k, carry):
+            q, r = carry
+            # maintenance: the crossing front covers rows [r, r+8) iff
+            # r < M (otherwise it is in the inter-pair gap)
+            @pl.when(r < M)
+            def _():
+                red = jnp.max(best[pl.ds(r, 8), :], axis=0, keepdims=True)
+                qm1 = jnp.maximum(q - 1, 0)
+                out_acc[pl.ds(qm1, 1), :] = jnp.maximum(
+                    out_acc[pl.ds(qm1, 1), :], red
+                )
+                best[pl.ds(r, 8), :] = z8
+                d1[pl.ds(r, 8), :] = z8
+                d1s[pl.ds(r, 8), :] = z8
+                a_t[pl.ds(r, 8), :] = a_ref[pl.ds(q * S + r, 8), :]
+
+            t0 = 8 * k
+            st = (a_t[:], w[:], d1[:], d1s[:], best[:])
+            a = st[0]
+            st = st[1:]
+            for u in range(8):
+                st = one_diag(t0 + u, a, *st)
+            w[:], d1[:], d1s[:], best[:] = st
+            r = r + 8
+            wrap = r >= S
+            return (q + wrap.astype(jnp.int32), jnp.where(wrap, 0, r))
+
+        n_super = (k_chain * s_stride + m_rows) // 8
+        jax.lax.fori_loop(0, n_super, step, (jnp.int32(0), jnp.int32(0)))
+        out_ref[:] = out_acc[:].astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "b_blk", "k_chain"))
+def sw_score_batch_chained(
+    seq_a: jnp.ndarray, seq_b: jnp.ndarray, interpret: bool | None = None,
+    b_blk: int = 128, k_chain: int | None = None,
+) -> jnp.ndarray:
+    """Batched SW scores via the skewed-chain wavefront (K pairs per lane).
+
+    Same contract as sw_score_batch_pallas; fastest when B >= k_chain *
+    b_blk * n_cores and M ~ N (the wrapper requires Mp <= S = max(Mp, Np)
+    + 8 structurally; it holds for any M, N by construction).
+    """
+    k_chain = k_chain or CHAIN_K
+    B, M = seq_a.shape
+    N = seq_b.shape[1]
+    if 2 * min(M, N) >= (1 << 24):
+        raise ValueError(
+            "sw_score_batch_chained: sequences too long for exact f32 "
+            "state; use ops.sw_long for long pairs"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    Mp = -(-M // 8) * 8
+    Np = -(-N // 8) * 8
+    S = max(Mp, Np) + 8
+    rows = k_chain * S + Mp
+    lanes_per_blk = b_blk * k_chain
+    Bp = -(-B // lanes_per_blk) * lanes_per_blk
+    G = Bp // lanes_per_blk
+
+    # pair p = ((g*k_chain) + k)*b_blk + lane  ->  streams (rows, G*b_blk)
+    at = jnp.full((Bp, Mp), int(PAD_A), jnp.int32)
+    at = at.at[:B, :M].set(seq_a.astype(jnp.int32))
+    bt = jnp.full((Bp, Np), int(PAD_B), jnp.int32)
+    bt = bt.at[:B, :N].set(seq_b.astype(jnp.int32))
+    a_stream = _to_stream(at, Mp, int(PAD_A), G, k_chain, b_blk, S, rows)
+    b_stream = _to_stream(bt, Np, int(PAD_B), G, k_chain, b_blk, S, rows)
+
+    out = pl.pallas_call(
+        _sw_chain_kernel_factory(k_chain, S, Mp),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((rows, b_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, b_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_chain, b_blk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_chain, G * b_blk), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, b_blk), jnp.int32),    # a tile (front-loaded)
+            pltpu.VMEM((Mp, b_blk), jnp.int32),    # w (codes)
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # d1
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # d1s
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # best
+            pltpu.VMEM((k_chain, b_blk), jnp.float32),  # per-pair maxima
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * G * b_blk * Mp * (k_chain * S + Mp) // k_chain,
+            bytes_accessed=2 * rows * G * b_blk * 4,
+            transcendentals=0,
+        ),
+    )(a_stream, b_stream)
+    # out[k, g*b_blk + lane] -> pair ((g*k_chain)+k)*b_blk + lane
+    out = out.reshape(k_chain, G, b_blk).transpose(1, 0, 2).reshape(Bp)
+    return out[:B]
 
 
 # ---------------------------------------------------------------------------
@@ -387,6 +589,149 @@ def _sw_affine_kernel_factory(gap_open: int, gap_extend: int):
         out_ref[:] = jnp.max(best[:], axis=0, keepdims=True).astype(jnp.int32)
 
     return kernel
+
+
+def _sw_affine_chain_kernel_factory(gap_open: int, gap_extend: int,
+                                    k_chain: int, s_stride: int,
+                                    m_rows: int):
+    """Skewed-chain Gotoh kernel: see the linear chain kernel's block
+    comment. Maintenance resets h1/h1s/best to 0 and e1/f1 to _NEG_F; the
+    <= 8 gap steps a row idles through evolve e to go + k*ge, and the
+    row's first real cell computes max(go + k*ge, H(i,-1)=0 + go) + ge =
+    go + ge — the exact E(i, 0) boundary (ge < 0 makes the stale term
+    lose), so the handover is exact without per-step masking."""
+    def kernel(a_ref, b_ref, out_ref, a_t, w, h1, h1s, e1, f1, best,
+               out_acc):
+        M, B = m_rows, a_ref.shape[1]
+        S = s_stride
+        go, ge = float(gap_open), float(gap_extend)
+        zeros = jnp.zeros((M, B), jnp.float32)
+        zrow = jnp.zeros((1, B), jnp.float32)
+        nrow = jnp.full((1, B), _NEG_F, jnp.float32)
+        z8 = jnp.zeros((8, B), jnp.float32)
+        n8 = jnp.full((8, B), _NEG_F, jnp.float32)
+        a_t[:] = jnp.full((M, B), int(PAD_A), jnp.int32)
+        w[:] = jnp.full((M, B), int(PAD_B), jnp.int32)
+        h1[:] = zeros
+        h1s[:] = zeros
+        e1[:] = jnp.full((M, B), _NEG_F, jnp.float32)
+        f1[:] = jnp.full((M, B), _NEG_F, jnp.float32)
+        best[:] = zeros
+        out_acc[:] = jnp.zeros((out_acc.shape[0], B), jnp.float32)
+        n_stream = b_ref.shape[0]
+
+        def one_diag(t, a, wv_prev, h1v, h1sv, ev, fv, bestv):
+            new_row = b_ref[pl.ds(jnp.minimum(t, n_stream - 1), 1), :]
+            wv = jnp.concatenate([new_row, wv_prev[:-1]], axis=0)
+            s = jnp.where(a == wv, float(MATCH_SCORE),
+                          float(MISMATCH_PENALTY))
+            sh = jnp.concatenate([zrow, h1v[:-1]], axis=0)
+            e = jnp.maximum(ev, h1v + go) + ge
+            f = (jnp.maximum(jnp.concatenate([nrow, fv[:-1]], axis=0),
+                             sh + go) + ge)
+            diag = h1sv + s
+            h = jnp.maximum(jnp.maximum(diag, 0.0), jnp.maximum(e, f))
+            return wv, h, sh, e, f, jnp.maximum(bestv, h)
+
+        def step(k, carry):
+            q, r = carry
+
+            @pl.when(r < M)
+            def _():
+                red = jnp.max(best[pl.ds(r, 8), :], axis=0, keepdims=True)
+                qm1 = jnp.maximum(q - 1, 0)
+                out_acc[pl.ds(qm1, 1), :] = jnp.maximum(
+                    out_acc[pl.ds(qm1, 1), :], red
+                )
+                best[pl.ds(r, 8), :] = z8
+                h1[pl.ds(r, 8), :] = z8
+                h1s[pl.ds(r, 8), :] = z8
+                e1[pl.ds(r, 8), :] = n8
+                f1[pl.ds(r, 8), :] = n8
+                a_t[pl.ds(r, 8), :] = a_ref[pl.ds(q * S + r, 8), :]
+
+            t0 = 8 * k
+            st = (a_t[:], w[:], h1[:], h1s[:], e1[:], f1[:], best[:])
+            a = st[0]
+            st = st[1:]
+            for u in range(8):
+                st = one_diag(t0 + u, a, *st)
+            w[:], h1[:], h1s[:], e1[:], f1[:], best[:] = st
+            r = r + 8
+            wrap = r >= S
+            return (q + wrap.astype(jnp.int32), jnp.where(wrap, 0, r))
+
+        n_super = (k_chain * s_stride + m_rows) // 8
+        jax.lax.fori_loop(0, n_super, step, (jnp.int32(0), jnp.int32(0)))
+        out_ref[:] = out_acc[:].astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gap_open", "gap_extend", "interpret",
+                                    "b_blk", "k_chain"))
+def sw_affine_batch_chained(
+    seq_a: jnp.ndarray, seq_b: jnp.ndarray,
+    gap_open: int = GAP_OPEN, gap_extend: int = GAP_EXTEND,
+    interpret: bool | None = None, b_blk: int = 128,
+    k_chain: int | None = None,
+) -> jnp.ndarray:
+    """Batched affine-gap SW via the skewed-chain wavefront."""
+    k_chain = k_chain or CHAIN_K
+    B, M = seq_a.shape
+    N = seq_b.shape[1]
+    if (abs(_NEG_F) + (M + N) * max(abs(gap_extend), 1)
+            + abs(gap_open) + 2 * min(M, N)) >= (1 << 24):
+        raise ValueError(
+            "sw_affine_batch_chained: gap params too large for exact f32 "
+            "state"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    Mp = -(-M // 8) * 8
+    Np = -(-N // 8) * 8
+    S = max(Mp, Np) + 8
+    rows = k_chain * S + Mp
+    lanes_per_blk = b_blk * k_chain
+    Bp = -(-B // lanes_per_blk) * lanes_per_blk
+    G = Bp // lanes_per_blk
+
+    at = jnp.full((Bp, Mp), int(PAD_A), jnp.int32)
+    at = at.at[:B, :M].set(seq_a.astype(jnp.int32))
+    bt = jnp.full((Bp, Np), int(PAD_B), jnp.int32)
+    bt = bt.at[:B, :N].set(seq_b.astype(jnp.int32))
+    a_stream = _to_stream(at, Mp, int(PAD_A), G, k_chain, b_blk, S, rows)
+    b_stream = _to_stream(bt, Np, int(PAD_B), G, k_chain, b_blk, S, rows)
+
+    out = pl.pallas_call(
+        _sw_affine_chain_kernel_factory(gap_open, gap_extend, k_chain, S,
+                                        Mp),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((rows, b_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, b_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_chain, b_blk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_chain, G * b_blk), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, b_blk), jnp.int32),    # a tile (front-loaded)
+            pltpu.VMEM((Mp, b_blk), jnp.int32),    # w (codes)
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # h1
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # h1s
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # e1
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # f1
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # best
+            pltpu.VMEM((k_chain, b_blk), jnp.float32),  # per-pair maxima
+        ],
+        interpret=interpret,
+    )(a_stream, b_stream)
+    out = out.reshape(k_chain, G, b_blk).transpose(1, 0, 2).reshape(Bp)
+    return out[:B]
 
 
 @functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend", "interpret"))

@@ -113,6 +113,35 @@ def main(argv=None) -> int:
           f"vs-ref kernels validated)")
     print(f"export MPT_SW_BLOCK={blk} MPT_SW_UNROLL={unr}")
 
+    # --- Skewed-chain wavefront: sweep K (MPT_SW_CHAIN) -------------------
+    best_k = None
+    for K in (4, 8, 16):
+        fnc = lambda K=K: sw_pallas.sw_score_batch_chained(a, b, k_chain=K)
+        try:
+            got = np.asarray(
+                sw_pallas.sw_score_batch_chained(a[:256], b[:256], k_chain=K)
+            )
+            if not (got == golden).all():
+                raise ValueError("WRONG RESULT")
+            np.asarray(fnc())
+            slopes = []
+            for _ in range(5):
+                sl = (timed(fnc, 7) - timed(fnc, 2)) / 5
+                if sl > 1e-6:
+                    slopes.append(sl)
+            if not slopes:
+                raise ValueError("no positive timing slope")
+            slopes.sort()
+            gcups = cells / slopes[len(slopes) // 2] / 1e9
+            print(f"chain K={K:2d}: {gcups:7.1f} GCUPS")
+            if best_k is None or gcups > best_k[0]:
+                best_k = (gcups, K)
+        except Exception as e:  # noqa: BLE001
+            print(f"chain K={K:2d}: FAILED {str(e)[-120:]}")
+    if best_k is not None:
+        print(f"chain best: K={best_k[1]} ({best_k[0]:.1f} GCUPS vs plain "
+              f"{g:.1f}); export MPT_SW_CHAIN={best_k[1]}")
+
     # --- Pair-HMM forward: sweep its own unroll (MPT_PHMM_UNROLL) ---------
     from mini_parallel_tpu.ops import pairhmm
     from mini_parallel_tpu.ops.pairhmm_pallas import pairhmm_batch_pallas

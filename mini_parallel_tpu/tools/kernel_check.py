@@ -196,6 +196,44 @@ def check_kmer(rng, B):
     return got == want, f"{B} reads, {len(want)} distinct 21-mers"
 
 
+def check_sw_chained(rng, B):
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.ops import encode, sw
+    from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_chained
+
+    reads_a = _rand_reads(rng, B, 100, 150)
+    reads_b = _rand_reads(rng, B, 100, 150)
+    arr_a, _ = encode.pad_batch(reads_a, pad_to=152,
+                                pad_value=int(encode.PAD_A))
+    arr_b, _ = encode.pad_batch(reads_b, pad_to=152,
+                                pad_value=int(encode.PAD_B))
+    got = np.asarray(sw_score_batch_chained(jnp.asarray(arr_a),
+                                            jnp.asarray(arr_b)))
+    want = np.array([sw.sw_score_numpy(a, b)
+                     for a, b in zip(reads_a, reads_b)])
+    return np.array_equal(got, want), f"{B} pairs (skewed chain)"
+
+
+def check_sw_affine_chained(rng, B):
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.ops import encode, sw
+    from mini_parallel_tpu.ops.sw_pallas import sw_affine_batch_chained
+
+    reads_a = _rand_reads(rng, B, 80, 120)
+    reads_b = _rand_reads(rng, B, 80, 120)
+    arr_a, _ = encode.pad_batch(reads_a, pad_to=128,
+                                pad_value=int(encode.PAD_A))
+    arr_b, _ = encode.pad_batch(reads_b, pad_to=128,
+                                pad_value=int(encode.PAD_B))
+    got = np.asarray(sw_affine_batch_chained(jnp.asarray(arr_a),
+                                             jnp.asarray(arr_b)))
+    want = np.array([sw.sw_affine_numpy(a, b)
+                     for a, b in zip(reads_a, reads_b)])
+    return np.array_equal(got, want), f"{B} pairs (skewed chain)"
+
+
 def check_sw_long(rng, B):
     from mini_parallel_tpu.ops.sw_long import (sw_score_long,
                                                sw_score_numpy_blocked)
@@ -216,6 +254,8 @@ CHECKS = [
     ("kadane-parity", check_kadane),
     ("sw-wavefront", check_sw),
     ("sw-affine", check_sw_affine),
+    ("sw-chained", check_sw_chained),
+    ("sw-affine-chained", check_sw_affine_chained),
     ("sw-vs-ref", check_sw_vs_ref),
     ("sw-positions", check_positions),
     ("pairhmm-fwd", check_pairhmm),

@@ -52,3 +52,60 @@ def test_pallas_empty_and_disjoint():
     arr_b, _ = encode.pad_batch([b"ACGT", b"TTTT"], pad_to=16, pad_value=int(encode.PAD_B))
     got = np.asarray(sw_score_batch_pallas(jnp.asarray(arr_a), jnp.asarray(arr_b)))
     assert got.tolist() == [0, 0]
+
+
+# ---------------------------------------------------------------------------
+# skewed-chain wavefront (K pairs per lane in stream coordinates)
+# ---------------------------------------------------------------------------
+
+def test_chained_matches_scan_square(rng):
+    from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_chained
+
+    ra, rb, a, b = _batch(rng, 48, max_a=150, max_b=150, pad_a=152,
+                          pad_b=152)
+    got = np.asarray(sw_score_batch_chained(a, b, k_chain=4))
+    ref = np.asarray(sw.sw_score_batch(a, b))
+    assert (got == ref).all()
+
+
+@pytest.mark.parametrize("k_chain", [1, 2, 3, 8])
+def test_chained_matches_golden_geometries(rng, k_chain):
+    """Ragged lengths, M != N, B not a multiple of k_chain*b_blk."""
+    from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_chained
+
+    ra, rb, a, b = _batch(rng, 11, max_a=40, max_b=64, pad_a=40, pad_b=64)
+    got = np.asarray(sw_score_batch_chained(a, b, k_chain=k_chain))
+    for i in range(11):
+        assert got[i] == sw.sw_score_numpy(ra[i], rb[i]), (i, k_chain)
+
+
+def test_chained_empty_and_identical():
+    from mini_parallel_tpu.ops.sw_pallas import sw_score_batch_chained
+
+    arr_a, _ = encode.pad_batch([b"", b"ACGT" * 10],
+                                pad_to=48, pad_value=int(encode.PAD_A))
+    arr_b, _ = encode.pad_batch([b"ACGT", b"ACGT" * 10],
+                                pad_to=48, pad_value=int(encode.PAD_B))
+    got = np.asarray(sw_score_batch_chained(jnp.asarray(arr_a),
+                                            jnp.asarray(arr_b), k_chain=2))
+    assert got.tolist() == [0, 80]
+
+
+@pytest.mark.parametrize("k_chain", [2, 8])
+def test_affine_chained_matches_batch(rng, k_chain):
+    from mini_parallel_tpu.ops.sw_pallas import sw_affine_batch_chained
+
+    ra, rb, a, b = _batch(rng, 24, max_a=90, max_b=70, pad_a=96, pad_b=72)
+    got = np.asarray(sw_affine_batch_chained(a, b, k_chain=k_chain))
+    ref = np.asarray(sw.sw_affine_batch(a, b))
+    assert (got == ref).all()
+
+
+def test_affine_chained_gap_params(rng):
+    from mini_parallel_tpu.ops.sw_pallas import sw_affine_batch_chained
+
+    ra, rb, a, b = _batch(rng, 8, max_a=40, max_b=40, pad_a=40, pad_b=40)
+    got = np.asarray(sw_affine_batch_chained(a, b, gap_open=-5,
+                                             gap_extend=-2, k_chain=2))
+    ref = np.asarray(sw.sw_affine_batch(a, b, gap_open=-5, gap_extend=-2))
+    assert (got == ref).all()
