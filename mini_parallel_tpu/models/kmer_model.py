@@ -100,15 +100,54 @@ _EMPTY_ARRAYS = (np.empty(0, np.int32), np.empty(0, np.int32),
                  np.empty(0, np.int64))
 
 
+def _combined_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """(hi, lo) int32 limb pairs -> uint64 keys preserving the SIGNED lex
+    order the device store uses (k=31 hi limbs fill 32 bits, so the sign
+    bit is live there; biasing hi by 2^31 maps signed order to unsigned)."""
+    uhi = (hi.astype(np.int64) + np.int64(1 << 31)).astype(np.uint64)
+    ulo = (lo.astype(np.int64) & np.int64(0xFFFFFFFF)).astype(np.uint64)
+    return (uhi << np.uint64(32)) | ulo
+
+
+def _is_sorted_unique(hi: np.ndarray, lo: np.ndarray) -> bool:
+    if hi.size < 2:
+        return True
+    k = _combined_keys(hi, lo)
+    return bool(np.all(k[1:] > k[:-1]))
+
+
 def merge_sorted_arrays(a: tuple, b: tuple) -> tuple:
     """Merge two (hi, lo, count) triples into one sorted, deduplicated triple
-    (int64 counts). Host-side; used by the checkpoint base fold."""
+    (int64 counts). Host-side; used by the checkpoint base fold and the
+    engine's final (base, drain) fold.
+
+    Each input is expected sorted+unique (the drain/checkpoint contract),
+    letting an empty-side call return the other side directly (the common
+    final fold — the old unconditional lexsort cost seconds at 13M keys)
+    and the two-sided case run as an O(n log n) searchsorted rank merge
+    instead of a full lexsort. Unsorted inputs still work: a cheap
+    monotonicity check falls back to the lexsort path."""
+    if a[0].size == 0 and _is_sorted_unique(b[0], b[1]):
+        return b[0], b[1], b[2].astype(np.int64)
+    if b[0].size == 0 and _is_sorted_unique(a[0], a[1]):
+        return a[0], a[1], a[2].astype(np.int64)
     hi = np.concatenate([a[0], b[0]])
     lo = np.concatenate([a[1], b[1]])
     ct = np.concatenate([a[2].astype(np.int64), b[2].astype(np.int64)])
     if hi.size == 0:
         return _EMPTY_ARRAYS
-    order = np.lexsort((lo, hi))
+    ka = _combined_keys(a[0], a[1])
+    kb = _combined_keys(b[0], b[1])
+    if (a[0].size and b[0].size and _is_sorted_unique(a[0], a[1])
+            and _is_sorted_unique(b[0], b[1])):
+        # both sides sorted: rank merge (searchsorted is ~10x a lexsort)
+        pa = np.searchsorted(kb, ka, side="left") + np.arange(ka.size)
+        pb = np.searchsorted(ka, kb, side="right") + np.arange(kb.size)
+        order = np.empty(hi.size, np.int64)
+        order[pa] = np.arange(ka.size)
+        order[pb] = ka.size + np.arange(kb.size)
+    else:
+        order = np.lexsort((lo, hi))
     hi, lo, ct = hi[order], lo[order], ct[order]
     new = np.empty(hi.size, bool)
     new[0] = True

@@ -365,21 +365,38 @@ def _delta_limbs(hi, lo, ct):
 
 @jax.jit
 def _plane_maxima(hi, lo, ct):
-    """-> uint32[3]: max over the VALID prefix of (d_lo, d_hi, count)."""
+    """-> uint32[5]: max over the VALID prefix of (d_lo, d_hi, count),
+    then (hi[0], lo[0]).
+
+    Element 0's delta (= the absolute 42..62-bit key) is EXCLUDED from the
+    maxima and returned as its own pair instead: including it forced a
+    d_hi byte plane on every drain (kp 5 vs the 3 typical deltas need —
+    a ~1.5x wire-bytes difference), since consecutive-key deltas of even a
+    fully random 13M-key store stay below 2^24 while key[0] does not."""
     d_hi, d_lo, ok = _delta_limbs(hi, lo, ct)
+    ok = ok & (jnp.arange(ok.shape[0]) > 0)
     z = jnp.uint32(0)
     return jnp.stack([
         jnp.max(jnp.where(ok, d_lo, z)),
         jnp.max(jnp.where(ok, d_hi, z)),
-        jnp.max(jnp.where(ok, ct.astype(jnp.uint32), z)),
+        jnp.max(jnp.where(ct > 0, ct.astype(jnp.uint32), z)),
+        hi[0].astype(jnp.uint32),
+        lo[0].astype(jnp.uint32),
     ])
 
 
 @functools.partial(jax.jit, static_argnames=("kp", "cp"))
 def _plane_pack(hi, lo, ct, kp: int, cp: int):
     """-> uint8[(kp+cp)*n]: kp delta byte planes (planes 0-3 from the low
-    limb, 4+ from the high limb) then cp count byte planes, concatenated."""
+    limb, 4+ from the high limb) then cp count byte planes, concatenated.
+
+    Element 0's delta is zeroed (its absolute key ships via _plane_maxima
+    and seeds the host cumsum), so kp only needs to cover consecutive-key
+    deltas."""
     d_hi, d_lo, _ = _delta_limbs(hi, lo, ct)
+    first = jnp.arange(d_lo.shape[0]) == 0
+    d_lo = jnp.where(first, jnp.uint32(0), d_lo)
+    d_hi = jnp.where(first, jnp.uint32(0), d_hi)
     planes = []
     for pidx in range(kp):
         src, sh = (d_lo, 8 * pidx) if pidx < 4 else (d_hi, 8 * (pidx - 4))
@@ -399,20 +416,29 @@ def _planes_needed(max_val: int) -> int:
     return n
 
 
-def _decode_planes(planes: np.ndarray, m: int, kp: int, cp: int):
-    """Inverse of _plane_pack on the host: -> (hi, lo int32, ct int64)."""
+def _decode_planes(planes: np.ndarray, m: int, kp: int, cp: int,
+                   key0: int = 0):
+    """Inverse of _plane_pack on the host: -> (hi, lo int32, ct int64).
+    ``key0`` is the absolute first key (element 0's delta is zeroed on the
+    wire); the cumsum is seeded with it."""
     b = planes.size // (kp + cp)
     pl = planes.reshape(kp + cp, b)[:, :m]
-    delta = np.zeros(m, np.uint64)
+    # assemble the uint64 deltas by byte COLUMN (plane p is byte p of the
+    # little-endian delta: bits [8p, 8p+8) for p < 4, [32+8(p-4), ...) for
+    # p >= 4 — i.e. byte index p either way). Column copies + one view are
+    # ~4x cheaper than kp shift/or passes over 8-byte lanes.
+    buf = np.zeros((m, 8), np.uint8)
     for pidx in range(kp):
-        bit = 8 * pidx if pidx < 4 else 32 + 8 * (pidx - 4)
-        delta |= pl[pidx].astype(np.uint64) << bit
+        buf[:, pidx] = pl[pidx]
+    delta = buf.view("<u8").ravel()
+    delta[0] += np.uint64(key0)
     keys = np.cumsum(delta, dtype=np.uint64)
     hi = (keys >> np.uint64(32)).astype(np.uint32).astype(np.int32)
     lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
-    ct = np.zeros(m, np.int64)
+    cbuf = np.zeros((m, 8), np.uint8)
     for pidx in range(cp):
-        ct |= pl[kp + pidx].astype(np.int64) << (8 * pidx)
+        cbuf[:, pidx] = pl[kp + pidx]
+    ct = cbuf.view("<u8").ravel().astype(np.int64)
     return hi, lo, ct
 
 
@@ -626,12 +652,13 @@ class DeviceKmerAccumulator:
                 # ordering — only the ratio depends on sortedness.
                 hi_b, lo_b, ct_b = hi_d[:b], lo_d[:b], ct_d[:b]
                 mx = np.asarray(_plane_maxima(hi_b, lo_b, ct_b))
-                mx_lo, mx_hi, mx_ct = (int(x) for x in mx)
+                mx_lo, mx_hi, mx_ct, k0_hi, k0_lo = (int(x) for x in mx)
                 kp = (4 + _planes_needed(mx_hi)) if mx_hi \
                     else _planes_needed(mx_lo)
                 cp = _planes_needed(mx_ct)
                 planes = np.asarray(_plane_pack(hi_b, lo_b, ct_b, kp, cp))
-                hi, lo, ct = _decode_planes(planes, m, kp, cp)
+                key0 = (k0_hi << 32) | k0_lo
+                hi, lo, ct = _decode_planes(planes, m, kp, cp, key0)
             else:
                 hi = np.asarray(hi_d[:b])[:m]
                 lo = np.asarray(lo_d[:b])[:m]

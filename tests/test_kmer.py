@@ -229,6 +229,43 @@ def test_merge_sorted_arrays_matches_counter(rng):
     assert keys == sorted(set(keys))
 
 
+def test_merge_sorted_arrays_rank_merge_and_fast_paths(rng):
+    """Sorted-unique inputs take the searchsorted rank merge / empty-side
+    fast path; both must equal the lexsort fold. Includes k=31-style hi
+    limbs with the int32 sign bit set (device order is SIGNED)."""
+    from collections import Counter
+
+    from mini_parallel_tpu.models.kmer_model import merge_sorted_arrays
+
+    def sorted_triple(n):
+        # signed int32 hi limbs spanning negative (k=31) and positive
+        hi = rng.integers(-(1 << 31), 1 << 31, n).astype(np.int64)
+        lo = rng.integers(0, 1 << 30, n).astype(np.int64)
+        k = np.unique(hi * (1 << 30) + lo)
+        hi = (k >> 30).astype(np.int32)
+        lo = (k & ((1 << 30) - 1)).astype(np.int32)
+        ct = rng.integers(1, 9, k.size).astype(np.int64)
+        return hi, lo, ct
+
+    a, b = sorted_triple(300), sorted_triple(200)
+    empty = (np.empty(0, np.int32), np.empty(0, np.int32),
+             np.empty(0, np.int64))
+    want = Counter()
+    for t in (a, b):
+        for h, l, c in zip(*t):
+            want[(int(h), int(l))] += int(c)
+    hi, lo, ct = merge_sorted_arrays(a, b)
+    got = {(int(hi[i]), int(lo[i])): int(ct[i]) for i in range(hi.size)}
+    assert got == dict(want)
+    # signed lex order (device store order)
+    keys = list(zip(hi.tolist(), lo.tolist()))
+    assert keys == sorted(set(keys))
+    # empty-side fast paths return the other side verbatim
+    for x, y in ((a, empty), (empty, a)):
+        hi, lo, ct = merge_sorted_arrays(x, y)
+        assert (hi == a[0]).all() and (lo == a[1]).all() and (ct == a[2]).all()
+
+
 @pytest.mark.parametrize("device_acc", [True, False])
 def test_kmer_checkpoint_resume_exact(tmp_path, rng, device_acc):
     reads = [random_dna(rng, 50) for _ in range(40)]  # 8 chunks of 5
