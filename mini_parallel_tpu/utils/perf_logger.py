@@ -77,14 +77,33 @@ class SystemMonitors:
         return self.run_dir
 
     def _sample_device(self) -> None:
-        """Device-memory sampler — the nvidia-smi dmon analogue
-        (perf_logger.rs:77-82)."""
+        """Device-memory + queue-pressure sampler — the nvidia-smi dmon
+        analogue (perf_logger.rs:77-82, `dmon -s u` at 1 Hz).
+
+        TPU exposes no utilization counter here, so busy-ness is measured
+        the only honest way available: each tick dispatches a tiny
+        pre-compiled kernel and times dispatch->fetch. On an idle device
+        the probe returns in one link round trip; when real work is queued
+        the probe waits behind it, so probe_ms tracks device/queue
+        occupancy over time (a latency-based utilization signal, not a
+        hardware counter — labeled as such in the summary)."""
         assert self.run_dir is not None
         path = os.path.join(self.run_dir, "device_memory.jsonl")
+        probe = None
         try:
             import jax
+            import jax.numpy as jnp
+            import numpy as _np
 
             devs = jax.devices()
+            x = jnp.zeros((8,), jnp.int32)
+            _probe_fn = jax.jit(lambda v: v + 1)
+            _np.asarray(_probe_fn(x))  # compile outside the sample loop
+
+            def probe():
+                t0 = time.perf_counter()
+                _np.asarray(_probe_fn(x))
+                return (time.perf_counter() - t0) * 1e3
         except Exception:
             devs = []
         with open(path, "w") as f:
@@ -97,6 +116,11 @@ class SystemMonitors:
                             "bytes_in_use": stats.get("bytes_in_use"),
                             "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
                         }
+                    except Exception:
+                        pass
+                if probe is not None:
+                    try:
+                        row["queue_probe_ms"] = round(probe(), 3)
                     except Exception:
                         pass
                 f.write(json.dumps(row) + "\n")
@@ -209,12 +233,16 @@ def summarize_monitor_logs(run_dir: str) -> dict:
         import json as _json
 
         peak = None
+        probes: list[float] = []
         with open(path) as f:
             for line in f:
                 try:
                     row = _json.loads(line)
                 except _json.JSONDecodeError:
                     continue
+                p = row.get("queue_probe_ms")
+                if isinstance(p, (int, float)):
+                    probes.append(float(p))
                 for key, val in row.items():
                     if key == "t" or not isinstance(val, dict):
                         continue
@@ -223,5 +251,15 @@ def summarize_monitor_logs(run_dir: str) -> dict:
                         peak = v if peak is None else max(peak, v)
         if peak is not None:
             out["peak_device_bytes_in_use"] = int(peak)
+        if probes:
+            # latency-based utilization: fraction of 1 Hz samples whose
+            # probe waited behind queued device work (> 3x the idle floor,
+            # the run's own fastest probe). A proxy, not a counter.
+            floor = min(probes)
+            busy = sum(1 for p in probes if p > 3 * floor)
+            out["queue_probe_idle_floor_ms"] = round(floor, 3)
+            out["queue_probe_median_ms"] = round(
+                sorted(probes)[len(probes) // 2], 3)
+            out["device_busy_fraction_est"] = round(busy / len(probes), 4)
 
     return out

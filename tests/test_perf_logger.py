@@ -64,3 +64,24 @@ def test_summarize_monitor_logs(tmp_path):
 
 def test_summarize_empty_dir(tmp_path):
     assert summarize_monitor_logs(str(tmp_path)) == {}
+
+
+def test_summarize_queue_probe_utilization(tmp_path):
+    """The latency-probe rows produce an honest busy-fraction estimate."""
+    import json
+
+    from mini_parallel_tpu.utils.perf_logger import summarize_monitor_logs
+
+    rows = []
+    # 4 idle samples near the floor, 6 busy samples queued behind work
+    for ms in (10.0, 11.0, 10.5, 12.0, 400.0, 380.0, 90.0, 55.0, 200.0, 31.0):
+        rows.append({"t": 0.0, "queue_probe_ms": ms,
+                     "0": {"bytes_in_use": 1000, "peak_bytes_in_use": 2000}})
+    path = tmp_path / "device_memory.jsonl"
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = summarize_monitor_logs(str(tmp_path))
+    assert out["peak_device_bytes_in_use"] == 2000
+    assert out["queue_probe_idle_floor_ms"] == 10.0
+    # busy = samples > 3x floor (30 ms): 400, 380, 90, 55, 200, 31 -> 6/10
+    assert out["device_busy_fraction_est"] == 0.6
+    assert out["queue_probe_median_ms"] > 10
