@@ -29,7 +29,7 @@ def process_full_wgs_dataset(
     engine: AlignmentEngine,
     cfg: Config | None = None,
     checkpoint_dir: str = ".",
-    results_dir: str = "benchmark_results",
+    results_dir: str | None = None,
     echo=print,
     files: list[str] | None = None,
     checkpoint_every_chunks: int = 50,
