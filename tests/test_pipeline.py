@@ -102,6 +102,7 @@ def test_full_wgs_with_checkpoint_resume(tmp_path, rng, cfg, monkeypatch):
     eng = AlignmentEngine(cfg, mode="kadane")
     out = []
     results = process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
+                                       results_dir=str(tmp_path / "benchmark_results"),
                                        echo=out.append)
     assert len(results) == 2
     assert all(r.score == 4 for r in results)
@@ -125,6 +126,7 @@ def test_full_wgs_with_checkpoint_resume(tmp_path, rng, cfg, monkeypatch):
     # resume: both files skipped, results reconstructed from checkpoint
     out2 = []
     results2 = process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
+                                        results_dir=str(tmp_path / "benchmark_results"),
                                         echo=out2.append)
     assert len(results2) == 2 and all(r.score == 4 for r in results2)
     assert sum("Skipping file" in line for line in out2) == 2
