@@ -109,11 +109,16 @@ def _combined_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return (uhi << np.uint64(32)) | ulo
 
 
-def _is_sorted_unique(hi: np.ndarray, lo: np.ndarray) -> bool:
-    if hi.size < 2:
-        return True
+def _keys_if_sorted_unique(hi: np.ndarray, lo: np.ndarray):
+    """Combined uint64 keys when (hi, lo) is strictly ascending, else None.
+
+    Builds the keys ONCE so callers can reuse them for searchsorted — the
+    hot 13M-key final fold must not pay four O(n) key passes (review
+    round-3 finding)."""
     k = _combined_keys(hi, lo)
-    return bool(np.all(k[1:] > k[:-1]))
+    if k.size < 2 or bool(np.all(k[1:] > k[:-1])):
+        return k
+    return None
 
 
 def merge_sorted_arrays(a: tuple, b: tuple) -> tuple:
@@ -127,19 +132,18 @@ def merge_sorted_arrays(a: tuple, b: tuple) -> tuple:
     and the two-sided case run as an O(n log n) searchsorted rank merge
     instead of a full lexsort. Unsorted inputs still work: a cheap
     monotonicity check falls back to the lexsort path."""
-    if a[0].size == 0 and _is_sorted_unique(b[0], b[1]):
+    ka = _keys_if_sorted_unique(a[0], a[1])
+    kb = _keys_if_sorted_unique(b[0], b[1])
+    if a[0].size == 0 and kb is not None:
         return b[0], b[1], b[2].astype(np.int64)
-    if b[0].size == 0 and _is_sorted_unique(a[0], a[1]):
+    if b[0].size == 0 and ka is not None:
         return a[0], a[1], a[2].astype(np.int64)
     hi = np.concatenate([a[0], b[0]])
     lo = np.concatenate([a[1], b[1]])
     ct = np.concatenate([a[2].astype(np.int64), b[2].astype(np.int64)])
     if hi.size == 0:
         return _EMPTY_ARRAYS
-    ka = _combined_keys(a[0], a[1])
-    kb = _combined_keys(b[0], b[1])
-    if (a[0].size and b[0].size and _is_sorted_unique(a[0], a[1])
-            and _is_sorted_unique(b[0], b[1])):
+    if a[0].size and b[0].size and ka is not None and kb is not None:
         # both sides sorted: rank merge (searchsorted is ~10x a lexsort)
         pa = np.searchsorted(kb, ka, side="left") + np.arange(ka.size)
         pb = np.searchsorted(ka, kb, side="right") + np.arange(kb.size)

@@ -225,10 +225,11 @@ def _sorted_merge(hi_a, lo_a, ct_a, hi_b, lo_b, ct_b):
     (ct == 0). Returns (hi, lo, ct, n_unique) of length len(a) + len(b),
     uniques compacted to the front.
 
-    Kept as the MPT_KMER_SORT_FOLD fallback: the default fold is the rank
-    merge below, which exploits that both inputs are already sorted —
-    lax.sort re-sorts from scratch at ~3-5M elem/s on v5e, the measured
-    wall of the whole k-mer worst case (VERDICT round 2 #1).
+    This IS the default fold: 2-key lax.sort measured ~250M elem/s on v5e
+    (round 3, /tmp/kbench2.log), overturning the round-2 premise that the
+    sort was the drain wall. The rank merge below exploits the inputs
+    being pre-sorted but its gather rounds run 245x SLOWER on TPU; it is
+    kept behind MPT_KMER_RANK_FOLD as a documented negative result.
     """
     hi = jnp.concatenate([hi_a, hi_b])
     lo = jnp.concatenate([lo_a, lo_b])

@@ -210,8 +210,12 @@ def sw_score_batch_pallas(
 def _chain_routable(B: int, M: int, N: int, k_chain: int) -> bool:
     """The skewed-chain kernel wins when the batch fills its chains and the
     pair is square-ish (the chain reclaims ramp waste ~ min(M,N)/(M+N));
-    small or very rectangular batches stay on the plain wavefront."""
-    if B < k_chain * B_BLK:
+    small or very rectangular batches stay on the plain wavefront.
+
+    Gates on CHAIN_B_BLK — the b_blk the chained call actually runs with —
+    not the plain kernel's env-tunable B_BLK (MPT_SW_BLOCK overrides must
+    not shift this threshold; review round-3 finding)."""
+    if B < k_chain * CHAIN_B_BLK:
         return False
     Mp, Np = -(-M // 8) * 8, -(-N // 8) * 8
     return max(Mp, Np) <= 2 * min(Mp, Np)
@@ -268,6 +272,7 @@ def sw_score_batch_best(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 CHAIN_K = _env_int("MPT_SW_CHAIN", 8)
+CHAIN_B_BLK = 128  # the chained kernels' default b_blk (their signatures)
 
 
 def _to_stream(x, seg_len, fill, G, k_chain, b_blk, S, rows):
@@ -367,6 +372,20 @@ def sw_score_batch_chained(
             "sw_score_batch_chained: sequences too long for exact f32 "
             "state; use ops.sw_long for long pairs"
         )
+    return _chained_call(_sw_chain_kernel_factory, 3, seq_a, seq_b,
+                         b_blk, k_chain, interpret, with_cost=True)
+
+
+def _chained_call(make_kernel, n_state, seq_a, seq_b, b_blk, k_chain,
+                  interpret, with_cost=False):
+    """Shared plumbing for the skewed-chain kernels (linear + affine):
+    stream layout, grid/BlockSpecs, scratch, and the pair unpack. The
+    subtlest part of the layout — pair p = ((g*k_chain)+k)*b_blk + lane,
+    stream row k*S + i — lives here ONCE so the two wrappers cannot
+    diverge. ``make_kernel(k_chain, S, Mp)`` builds the kernel body;
+    ``n_state`` is its count of (Mp, b_blk) f32 scratch refs."""
+    B, M = seq_a.shape
+    N = seq_b.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -386,8 +405,15 @@ def sw_score_batch_chained(
     a_stream = _to_stream(at, Mp, int(PAD_A), G, k_chain, b_blk, S, rows)
     b_stream = _to_stream(bt, Np, int(PAD_B), G, k_chain, b_blk, S, rows)
 
+    extra = {}
+    if with_cost:
+        extra["cost_estimate"] = pl.CostEstimate(
+            flops=8 * G * b_blk * Mp * (k_chain * S + Mp) // k_chain,
+            bytes_accessed=2 * rows * G * b_blk * 4,
+            transcendentals=0,
+        )
     out = pl.pallas_call(
-        _sw_chain_kernel_factory(k_chain, S, Mp),
+        make_kernel(k_chain, S, Mp),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((rows, b_blk), lambda i: (0, i),
@@ -398,20 +424,15 @@ def sw_score_batch_chained(
         out_specs=pl.BlockSpec((k_chain, b_blk), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_chain, G * b_blk), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((Mp, b_blk), jnp.int32),    # a tile (front-loaded)
-            pltpu.VMEM((Mp, b_blk), jnp.int32),    # w (codes)
-            pltpu.VMEM((Mp, b_blk), jnp.float32),  # d1
-            pltpu.VMEM((Mp, b_blk), jnp.float32),  # d1s
-            pltpu.VMEM((Mp, b_blk), jnp.float32),  # best
-            pltpu.VMEM((k_chain, b_blk), jnp.float32),  # per-pair maxima
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=8 * G * b_blk * Mp * (k_chain * S + Mp) // k_chain,
-            bytes_accessed=2 * rows * G * b_blk * 4,
-            transcendentals=0,
+        scratch_shapes=(
+            [pltpu.VMEM((Mp, b_blk), jnp.int32)   # a tile (front-loaded)
+             for _ in range(2)]                    # + w (codes)
+            + [pltpu.VMEM((Mp, b_blk), jnp.float32)  # DP state (d1/d1s/best
+               for _ in range(n_state)]              # or h1/h1s/e1/f1/best)
+            + [pltpu.VMEM((k_chain, b_blk), jnp.float32)]  # per-pair maxima
         ),
+        interpret=interpret,
+        **extra,
     )(a_stream, b_stream)
     # out[k, g*b_blk + lane] -> pair ((g*k_chain)+k)*b_blk + lane
     out = out.reshape(k_chain, G, b_blk).transpose(1, 0, 2).reshape(Bp)
@@ -687,51 +708,10 @@ def sw_affine_batch_chained(
             "sw_affine_batch_chained: gap params too large for exact f32 "
             "state"
         )
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    Mp = -(-M // 8) * 8
-    Np = -(-N // 8) * 8
-    S = max(Mp, Np) + 8
-    rows = k_chain * S + Mp
-    lanes_per_blk = b_blk * k_chain
-    Bp = -(-B // lanes_per_blk) * lanes_per_blk
-    G = Bp // lanes_per_blk
-
-    at = jnp.full((Bp, Mp), int(PAD_A), jnp.int32)
-    at = at.at[:B, :M].set(seq_a.astype(jnp.int32))
-    bt = jnp.full((Bp, Np), int(PAD_B), jnp.int32)
-    bt = bt.at[:B, :N].set(seq_b.astype(jnp.int32))
-    a_stream = _to_stream(at, Mp, int(PAD_A), G, k_chain, b_blk, S, rows)
-    b_stream = _to_stream(bt, Np, int(PAD_B), G, k_chain, b_blk, S, rows)
-
-    out = pl.pallas_call(
-        _sw_affine_chain_kernel_factory(gap_open, gap_extend, k_chain, S,
-                                        Mp),
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((rows, b_blk), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, b_blk), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((k_chain, b_blk), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k_chain, G * b_blk), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((Mp, b_blk), jnp.int32),    # a tile (front-loaded)
-            pltpu.VMEM((Mp, b_blk), jnp.int32),    # w (codes)
-            pltpu.VMEM((Mp, b_blk), jnp.float32),  # h1
-            pltpu.VMEM((Mp, b_blk), jnp.float32),  # h1s
-            pltpu.VMEM((Mp, b_blk), jnp.float32),  # e1
-            pltpu.VMEM((Mp, b_blk), jnp.float32),  # f1
-            pltpu.VMEM((Mp, b_blk), jnp.float32),  # best
-            pltpu.VMEM((k_chain, b_blk), jnp.float32),  # per-pair maxima
-        ],
-        interpret=interpret,
-    )(a_stream, b_stream)
-    out = out.reshape(k_chain, G, b_blk).transpose(1, 0, 2).reshape(Bp)
-    return out[:B]
+    return _chained_call(
+        lambda k, S, Mp: _sw_affine_chain_kernel_factory(
+            gap_open, gap_extend, k, S, Mp),
+        5, seq_a, seq_b, b_blk, k_chain, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend", "interpret"))

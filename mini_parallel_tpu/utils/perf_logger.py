@@ -234,6 +234,7 @@ def summarize_monitor_logs(run_dir: str) -> dict:
 
         peak = None
         probes: list[float] = []
+        probe_ts: list[float] = []
         with open(path) as f:
             for line in f:
                 try:
@@ -243,6 +244,9 @@ def summarize_monitor_logs(run_dir: str) -> dict:
                 p = row.get("queue_probe_ms")
                 if isinstance(p, (int, float)):
                     probes.append(float(p))
+                    t = row.get("t")
+                    probe_ts.append(float(t) if isinstance(t, (int, float))
+                                    else 0.0)
                 for key, val in row.items():
                     if key == "t" or not isinstance(val, dict):
                         continue
@@ -252,14 +256,22 @@ def summarize_monitor_logs(run_dir: str) -> dict:
         if peak is not None:
             out["peak_device_bytes_in_use"] = int(peak)
         if probes:
-            # latency-based utilization: fraction of 1 Hz samples whose
-            # probe waited behind queued device work (> 3x the idle floor,
-            # the run's own fastest probe). A proxy, not a counter.
+            # latency-based utilization, TIME-weighted: the probe BLOCKS the
+            # sampling loop while it waits behind queued device work, so a
+            # long busy window yields one sample with a huge latency rather
+            # than many busy samples. Counting samples would bias the
+            # estimate low in exactly the busy regime; instead sum the
+            # over-floor probe wait time and divide by elapsed wall time.
             floor = min(probes)
-            busy = sum(1 for p in probes if p > 3 * floor)
+            busy_ms = sum(p - floor for p in probes if p > 3 * floor)
+            # row timestamps are taken BEFORE each probe, so elapsed wall
+            # spans first-row t .. last-row t + last probe's own wait.
+            elapsed_ms = (probe_ts[-1] - probe_ts[0]) * 1e3 + probes[-1]
             out["queue_probe_idle_floor_ms"] = round(floor, 3)
             out["queue_probe_median_ms"] = round(
                 sorted(probes)[len(probes) // 2], 3)
-            out["device_busy_fraction_est"] = round(busy / len(probes), 4)
+            if elapsed_ms > 0:
+                out["device_busy_fraction_est"] = round(
+                    min(1.0, busy_ms / elapsed_ms), 4)
 
     return out

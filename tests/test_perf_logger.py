@@ -73,15 +73,22 @@ def test_summarize_queue_probe_utilization(tmp_path):
     from mini_parallel_tpu.utils.perf_logger import summarize_monitor_logs
 
     rows = []
-    # 4 idle samples near the floor, 6 busy samples queued behind work
-    for ms in (10.0, 11.0, 10.5, 12.0, 400.0, 380.0, 90.0, 55.0, 200.0, 31.0):
-        rows.append({"t": 0.0, "queue_probe_ms": ms,
+    # The probe BLOCKS the sampler, so a 100 s busy window is ONE sample
+    # with a 100 s latency — counting samples would call this run ~20%
+    # busy; time-weighting must call it ~96% busy (review round-3 fix).
+    samples = [(0.0, 10.0),        # idle floor
+               (1.0, 100_000.0),   # 100 s queued behind real work
+               (102.0, 10.0), (103.0, 10.0), (104.0, 10.0)]  # idle tail
+    for t, ms in samples:
+        rows.append({"t": t, "queue_probe_ms": ms,
                      "0": {"bytes_in_use": 1000, "peak_bytes_in_use": 2000}})
     path = tmp_path / "device_memory.jsonl"
     path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
     out = summarize_monitor_logs(str(tmp_path))
     assert out["peak_device_bytes_in_use"] == 2000
     assert out["queue_probe_idle_floor_ms"] == 10.0
-    # busy = samples > 3x floor (30 ms): 400, 380, 90, 55, 200, 31 -> 6/10
-    assert out["device_busy_fraction_est"] == 0.6
-    assert out["queue_probe_median_ms"] > 10
+    # busy_ms = 100000 - 10 over elapsed = 104 s + 10 ms last probe
+    expected = (100_000.0 - 10.0) / (104_000.0 + 10.0)
+    assert abs(out["device_busy_fraction_est"] - expected) < 1e-3
+    assert out["device_busy_fraction_est"] > 0.9   # NOT the 0.2 of counting
+    assert out["queue_probe_median_ms"] == 10.0
