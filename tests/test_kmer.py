@@ -265,6 +265,27 @@ def test_merge_sorted_arrays_rank_merge_and_fast_paths(rng):
         hi, lo, ct = merge_sorted_arrays(x, y)
         assert (hi == a[0]).all() and (lo == a[1]).all() and (ct == a[2]).all()
 
+    # cross-side DUPLICATE keys on the sorted-unique path: random 2^61-key
+    # triples never collide, so force overlap — half of b's keys are a's
+    # (the duplicate-fold branch adds a-counts into b slots directly)
+    o = np.arange(0, a[0].size, 2)
+    b_hi = np.concatenate([a[0][o], b[0]])
+    b_lo = np.concatenate([a[1][o], b[1]])
+    b_ct = np.concatenate([a[2][o] * 10, b[2]])
+    key = (b_hi.astype(np.int64) + (1 << 31)) * (1 << 32) + b_lo
+    srt = np.argsort(key)
+    bo = (b_hi[srt].astype(np.int32), b_lo[srt].astype(np.int32),
+          b_ct[srt].astype(np.int64))
+    want = Counter()
+    for t in (a, bo):
+        for h, l, c in zip(*t):
+            want[(int(h), int(l))] += int(c)
+    hi, lo, ct = merge_sorted_arrays(a, bo)
+    got = {(int(hi[i]), int(lo[i])): int(ct[i]) for i in range(hi.size)}
+    assert got == dict(want)
+    keys = list(zip(hi.tolist(), lo.tolist()))
+    assert keys == sorted(set(keys))
+
 
 @pytest.mark.parametrize("device_acc", [True, False])
 def test_kmer_checkpoint_resume_exact(tmp_path, rng, device_acc):
