@@ -125,3 +125,41 @@ def test_sw_affine_long_strips_match_gotoh(a, b):
     got = sw_affine_score_long(a.encode(), b.encode(), sb=8, blk=512,
                                interpret=True)
     assert got == sw.sw_affine_numpy(a, b)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 60), st.integers(1, 5)),
+             min_size=0, max_size=40),
+    st.lists(st.tuples(st.integers(0, 60), st.integers(1, 5)),
+             min_size=0, max_size=40),
+    st.booleans(),
+)
+def test_merge_sorted_arrays_counter_oracle(ta, tb, sort_b):
+    """Host k-mer fold == Counter over arbitrary key overlap, including the
+    duplicate-fold fast path (both sides sorted-unique) and the lexsort
+    fallback (one side unsorted / duplicated)."""
+    from collections import Counter
+
+    from mini_parallel_tpu.models.kmer_model import (
+        _combined_keys, merge_sorted_arrays)
+
+    def triple(items, sort):
+        hi = np.asarray([k % 8 - 4 for k, _ in items], np.int32)
+        lo = np.asarray([k // 8 for k, _ in items], np.int32)
+        ct = np.asarray([c for _, c in items], np.int64)
+        if sort:
+            order = np.argsort(_combined_keys(hi, lo), kind="stable")
+            hi, lo, ct = hi[order], lo[order], ct[order]
+        return hi, lo, ct
+
+    a = triple(ta, True)
+    b = triple(tb, sort_b)
+    want = Counter()
+    for t in (a, b):
+        for h, l, c in zip(*t):
+            want[(int(h), int(l))] += int(c)
+    hi, lo, ct = merge_sorted_arrays(a, b)
+    got = {(int(hi[i]), int(lo[i])): int(ct[i]) for i in range(hi.size)}
+    assert got == dict(+want)
+    keys = _combined_keys(hi, lo)
+    assert (keys[1:] > keys[:-1]).all()
