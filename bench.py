@@ -41,7 +41,47 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def _arm_watchdog() -> None:
+    """Emit one honest failure line instead of hanging forever.
+
+    Device init and the first dispatch block indefinitely if the axon
+    tunnel is down (observed: jax.devices() hangs >2 min with no timeout);
+    a silent hang leaves the driver with no record at all. The watchdog
+    prints the headline JSON with value null and hard-exits once
+    MPT_BENCH_TIMEOUT seconds (default 1800 — generous against the
+    worst observed 300 s remote compile plus loaded timing loops) pass
+    without the measurement completing."""
+    import os
+    import threading
+
+    budget = float(os.environ.get("MPT_BENCH_TIMEOUT", "1800"))
+
+    def fire() -> None:
+        print(
+            json.dumps(
+                {
+                    "metric": "batched_sw_10k_reads_150bp",
+                    "value": None,
+                    "unit": "GCUPS",
+                    "vs_baseline": None,
+                    "extra": {
+                        "error": f"no measurement after {budget:.0f}s "
+                                 "(device tunnel unreachable?)"
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
+    _arm_watchdog()
+
     import jax
     import jax.numpy as jnp
 
