@@ -77,10 +77,11 @@ def _arm_watchdog() -> None:
     t = threading.Timer(budget, fire)
     t.daemon = True
     t.start()
+    return t
 
 
 def main() -> None:
-    _arm_watchdog()
+    watchdog = _arm_watchdog()
 
     import jax
     import jax.numpy as jnp
@@ -128,6 +129,7 @@ def main() -> None:
     cells = READS * READ_LEN * READ_LEN
     gcups = cells / dt / 1e9
     batch_ms = dt * 1e3
+    watchdog.cancel()  # a teardown stall must not emit a second (null) line
     print(
         json.dumps(
             {

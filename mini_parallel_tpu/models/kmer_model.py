@@ -153,8 +153,9 @@ def merge_sorted_arrays(a: tuple, b: tuple) -> tuple:
         ct_b[pos[match]] += a[2][match].astype(np.int64)
         keep = ~match
         ka_u = ka[keep]
-        # merged rank = own index + rank in the other run (no ties left)
-        ra = np.searchsorted(kb, ka_u, side="left") + np.arange(ka_u.size)
+        # merged rank = own index + rank in the other run (no ties left);
+        # pos[keep] IS the kept keys' rank in kb — don't re-searchsorted
+        ra = pos[keep] + np.arange(ka_u.size)
         rb = np.searchsorted(ka_u, kb, side="left") + np.arange(kb.size)
         n = ka_u.size + kb.size
         hi = np.empty(n, a[0].dtype)

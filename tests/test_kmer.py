@@ -272,8 +272,10 @@ def test_merge_sorted_arrays_rank_merge_and_fast_paths(rng):
     b_hi = np.concatenate([a[0][o], b[0]])
     b_lo = np.concatenate([a[1][o], b[1]])
     b_ct = np.concatenate([a[2][o] * 10, b[2]])
-    key = (b_hi.astype(np.int64) + (1 << 31)) * (1 << 32) + b_lo
-    srt = np.argsort(key)
+    from mini_parallel_tpu.models.kmer_model import _combined_keys
+
+    srt = np.argsort(_combined_keys(b_hi.astype(np.int32),
+                                    b_lo.astype(np.int32)))
     bo = (b_hi[srt].astype(np.int32), b_lo[srt].astype(np.int32),
           b_ct[srt].astype(np.int64))
     want = Counter()
