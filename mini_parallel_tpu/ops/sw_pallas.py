@@ -227,7 +227,10 @@ def sw_score_batch_best(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() == "tpu":
         B, M = seq_a.shape
         N = seq_b.shape[1]
-        if (os.environ.get("MPT_SW_CHAIN_ROUTE", "0") != "0"
+        # Chain route on by default: measured on-chip 2026-08-18, interleaved
+        # bench.py pairs chain 201-348 vs plain 111-186 GCUPS (wins every
+        # pair, all load windows). MPT_SW_CHAIN_ROUTE=0 restores plain.
+        if (os.environ.get("MPT_SW_CHAIN_ROUTE", "1") != "0"
                 and _chain_routable(B, M, N, CHAIN_K)):
             return sw_score_batch_chained(seq_a, seq_b)
         return sw_score_batch_pallas(seq_a, seq_b)
@@ -271,7 +274,11 @@ def sw_score_batch_best(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
 # super-step); the wrapper guards both bounds.
 # ---------------------------------------------------------------------------
 
-CHAIN_K = _env_int("MPT_SW_CHAIN", 8)
+# K=4 default: interleaved on-chip bench pairs 208-670 (K=4) vs 135-221
+# (K=8) GCUPS — K=4 won every pair; autotune's sweep agreed (202 vs 132).
+# Shorter chains pay more handover slabs but halve the b-stream VMEM
+# footprint, and the (K*S+M)-row stream's occupancy wins at b_blk=128.
+CHAIN_K = _env_int("MPT_SW_CHAIN", 4)
 CHAIN_B_BLK = 128  # the chained kernels' default b_blk (their signatures)
 
 
