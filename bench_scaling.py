@@ -10,7 +10,15 @@ representative — labeled as such in the output). On a real slice, run as-is:
 it uses whatever jax.devices() provides per process, and on multiple hosts
 each process reports its local shard throughput.
 
-Usage: python bench_scaling.py [--reads 100000] [--cpu]
+Besides per-size wall clocks this emits *evidence rows*: every mesh size's
+stats dict is compared field-by-field against the 1-device run of the same
+batch (sharded == local bit-exactness), and the long-pair halo pipeline's
+structural constants (stages, bytes/stage, utilization per chip count) are
+reported so the comm/compute ratio is checkable at any geometry. With
+--out the full row set is written as JSON (benchmark_results/scaling_*.json)
+for the record, not just printed.
+
+Usage: python bench_scaling.py [--reads 100000] [--cpu] [--out FILE]
 """
 
 from __future__ import annotations
@@ -28,7 +36,14 @@ def main() -> None:
     ap.add_argument("--len", type=int, default=150, dest="read_len")
     ap.add_argument("--cpu", action="store_true",
                     help="force an 8-device virtual CPU mesh")
+    ap.add_argument("--out", default=None,
+                    help="also write the full row set to this JSON file")
     args = ap.parse_args()
+    out_docs = []
+
+    def emit(doc):
+        out_docs.append(doc)
+        print(json.dumps(doc))
 
     import os
 
@@ -61,18 +76,32 @@ def main() -> None:
     lens = np.full(args.reads, args.read_len, np.int32)
 
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    # Bit-exactness reference: the 1-device run over the largest batch that
+    # every mesh size can shard evenly (so all sizes see identical data).
+    B_common = (args.reads // max(sizes)) * max(sizes)
+    local_stats = None
     rows = []
     for size in sizes:
         mesh = mesh_mod.make_mesh((size,), ("data",),
                                   devices=jax.devices()[:size])
         step = pipeline.make_wgs_step(mesh)
-        B = (args.reads // size) * size
         a, b, la, lb = pipeline.shard_batch(
             mesh,
-            (jnp.asarray(arr_a[:B]), jnp.asarray(arr_b[:B]),
-             jnp.asarray(lens[:B]), jnp.asarray(lens[:B])),
+            (jnp.asarray(arr_a[:B_common]), jnp.asarray(arr_b[:B_common]),
+             jnp.asarray(lens[:B_common]), jnp.asarray(lens[:B_common])),
         )
-        jax.device_get(step(a, b, la, lb))  # warm-up/compile
+        stats = jax.device_get(step(a, b, la, lb))
+        if local_stats is None:
+            local_stats = stats
+            exact = True
+        else:
+            exact = all(
+                bool(np.array_equal(np.asarray(stats[k]),
+                                    np.asarray(local_stats[k])))
+                for k in local_stats
+            )
+
+        B = B_common
 
         def timed(iters: int) -> float:
             t0 = time.perf_counter()
@@ -85,25 +114,25 @@ def main() -> None:
         lo, hi = 1, 5
         dt = max((timed(hi) - timed(lo)) / (hi - lo), 1e-9)
         rows.append({"devices": size, "reads_per_s": B / dt,
-                     "batch_ms": dt * 1e3})
+                     "batch_ms": dt * 1e3,
+                     "stats_bit_exact_vs_local": exact})
 
     base_rate = rows[0]["reads_per_s"]
     for r in rows:
         r["scaling_efficiency"] = r["reads_per_s"] / (base_rate * r["devices"])
-    print(
-        json.dumps(
-            {
-                "metric": "wgs_step_scaling",
-                "platform": jax.devices()[0].platform,
-                "performance_representative": jax.devices()[0].platform == "tpu",
-                "reads": args.reads,
-                "rows": [
-                    {k: (round(v, 4) if isinstance(v, float) else v)
-                     for k, v in r.items()}
-                    for r in rows
-                ],
-            }
-        )
+    emit(
+        {
+            "metric": "wgs_step_scaling",
+            "platform": jax.devices()[0].platform,
+            "performance_representative": jax.devices()[0].platform == "tpu",
+            "reads": B_common,
+            "checked_stats": sorted(local_stats),
+            "rows": [
+                {k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in r.items()}
+                for r in rows
+            ],
+        }
     )
 
     # Long-pair halo pipeline: the seq-axis engine (ops/sw_long.py
@@ -129,11 +158,15 @@ def main() -> None:
                 "halo_bytes_per_stage_linear": 3 * sb * LANES * 4,
                 "halo_bytes_per_stage_affine": 5 * sb * LANES * 4,
             })
-        print(json.dumps({
+        emit({
             "metric": "long_pair_pipeline_model",
             "b_len": n_len, "strip_w": W, "k_strips": K,
             "rows": rows2,
-        }))
+        })
+
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(out_docs, fh, indent=1)
 
 
 if __name__ == "__main__":
