@@ -772,3 +772,28 @@ def sw_affine_batch_pallas(
         interpret=interpret,
     )(at, bt)
     return out[0, :B]
+
+
+def sw_affine_batch_best(
+    seq_a: jnp.ndarray, seq_b: jnp.ndarray,
+    gap_open: int = GAP_OPEN, gap_extend: int = GAP_EXTEND,
+) -> jnp.ndarray:
+    """Fastest available affine-gap SW path (mirror of sw_score_batch_best).
+
+    Chain route on by default: measured on-chip 2026-08-19, interleaved
+    10k x 150bp pairs chained 124-178 vs plain 96-116 GCUPS (won all 6
+    pairs, medians 160.3 vs 102.7). MPT_SW_CHAIN_ROUTE=0 restores plain.
+    """
+    if jax.default_backend() == "tpu":
+        B, M = seq_a.shape
+        N = seq_b.shape[1]
+        if (os.environ.get("MPT_SW_CHAIN_ROUTE", "1") != "0"
+                and _chain_routable(B, M, N, CHAIN_K)):
+            return sw_affine_batch_chained(
+                seq_a, seq_b, gap_open=gap_open, gap_extend=gap_extend)
+        return sw_affine_batch_pallas(
+            seq_a, seq_b, gap_open=gap_open, gap_extend=gap_extend)
+    from mini_parallel_tpu.ops.sw import sw_affine_batch
+
+    return sw_affine_batch(
+        seq_a, seq_b, gap_open=gap_open, gap_extend=gap_extend)

@@ -109,3 +109,30 @@ def test_affine_chained_gap_params(rng):
                                              gap_extend=-2, k_chain=2))
     ref = np.asarray(sw.sw_affine_batch(a, b, gap_open=-5, gap_extend=-2))
     assert (got == ref).all()
+
+
+def test_best_route_parity(rng):
+    """sw_*_batch_best dispatch: identical results to the oracle on every
+    backend (CPU lands on the scan path here; the TPU chain gate is covered
+    by tools/kernel_check.py on-chip)."""
+    from mini_parallel_tpu.ops.sw_pallas import (
+        sw_affine_batch_best, sw_score_batch_best)
+
+    ra, rb, a, b = _batch(rng, 8)
+    lin = np.asarray(sw_score_batch_best(a, b))
+    aff = np.asarray(sw_affine_batch_best(a, b, gap_open=-3, gap_extend=-1))
+    for i in range(8):
+        assert lin[i] == sw.sw_score_numpy(ra[i], rb[i]), i
+        assert aff[i] == sw.sw_affine_numpy(
+            ra[i], rb[i], gap_open=-3, gap_extend=-1), i
+
+
+def test_chain_routable_gate():
+    """Route gate: needs a full chain of pairs and square-ish geometry."""
+    from mini_parallel_tpu.ops.sw_pallas import (
+        CHAIN_B_BLK, CHAIN_K, _chain_routable)
+
+    full = CHAIN_K * CHAIN_B_BLK
+    assert _chain_routable(full, 150, 150, CHAIN_K)
+    assert not _chain_routable(full - 1, 150, 150, CHAIN_K)  # under-filled
+    assert not _chain_routable(full, 64, 256, CHAIN_K)  # too rectangular
