@@ -221,6 +221,18 @@ def _chain_routable(B: int, M: int, N: int, k_chain: int) -> bool:
     return max(Mp, Np) <= 2 * min(Mp, Np)
 
 
+def _route_k(B: int, M: int, N: int) -> int | None:
+    """Pick the chain depth for this batch: CHAIN_K when the batch fills
+    its chains, else the K=4 mid-tier (autotune r4 on-chip: K=16 362.7 /
+    K=8 324.5 / K=4 315.9 / K=32 245.5 / plain 191.9 GCUPS same window —
+    deeper chains amortize more handover slabs, but K=4 still beats plain
+    by ~1.6x for batches in [512, CHAIN_K*128))."""
+    for k in (CHAIN_K, 4):
+        if k <= CHAIN_K and _chain_routable(B, M, N, k):
+            return k
+    return None
+
+
 def sw_score_batch_best(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
     """Fastest available SW path: Pallas kernel on TPU (skewed-chain
     when the batch shape suits it), XLA scan elsewhere."""
@@ -230,9 +242,10 @@ def sw_score_batch_best(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
         # Chain route on by default: measured on-chip 2026-08-18, interleaved
         # bench.py pairs chain 201-348 vs plain 111-186 GCUPS (wins every
         # pair, all load windows). MPT_SW_CHAIN_ROUTE=0 restores plain.
-        if (os.environ.get("MPT_SW_CHAIN_ROUTE", "1") != "0"
-                and _chain_routable(B, M, N, CHAIN_K)):
-            return sw_score_batch_chained(seq_a, seq_b)
+        if os.environ.get("MPT_SW_CHAIN_ROUTE", "1") != "0":
+            k = _route_k(B, M, N)
+            if k is not None:
+                return sw_score_batch_chained(seq_a, seq_b, k_chain=k)
         return sw_score_batch_pallas(seq_a, seq_b)
     from mini_parallel_tpu.ops.sw import sw_score_batch
 
@@ -274,11 +287,13 @@ def sw_score_batch_best(seq_a: jnp.ndarray, seq_b: jnp.ndarray) -> jnp.ndarray:
 # super-step); the wrapper guards both bounds.
 # ---------------------------------------------------------------------------
 
-# K=4 default: interleaved on-chip bench pairs 208-670 (K=4) vs 135-221
-# (K=8) GCUPS — K=4 won every pair; autotune's sweep agreed (202 vs 132).
-# Shorter chains pay more handover slabs but halve the b-stream VMEM
-# footprint, and the (K*S+M)-row stream's occupancy wins at b_blk=128.
-CHAIN_K = _env_int("MPT_SW_CHAIN", 4)
+# K=16 default: autotune r4 single-window sweep 362.7 (K=16) / 324.5
+# (K=8) / 315.9 (K=4) / 245.5 (K=32) GCUPS — deeper chains amortize more
+# handover slabs until the b-stream VMEM footprint bites at K=32. (The
+# round-3 spot pairs that preferred K=4 over K=8 were taken across load
+# windows, not one window — superseded by the controlled sweep.)
+# Batches too small to fill 16 chains fall back to K=4 (_route_k).
+CHAIN_K = _env_int("MPT_SW_CHAIN", 16)
 CHAIN_B_BLK = 128  # the chained kernels' default b_blk (their signatures)
 
 
@@ -787,10 +802,12 @@ def sw_affine_batch_best(
     if jax.default_backend() == "tpu":
         B, M = seq_a.shape
         N = seq_b.shape[1]
-        if (os.environ.get("MPT_SW_CHAIN_ROUTE", "1") != "0"
-                and _chain_routable(B, M, N, CHAIN_K)):
-            return sw_affine_batch_chained(
-                seq_a, seq_b, gap_open=gap_open, gap_extend=gap_extend)
+        if os.environ.get("MPT_SW_CHAIN_ROUTE", "1") != "0":
+            k = _route_k(B, M, N)
+            if k is not None:
+                return sw_affine_batch_chained(
+                    seq_a, seq_b, gap_open=gap_open, gap_extend=gap_extend,
+                    k_chain=k)
         return sw_affine_batch_pallas(
             seq_a, seq_b, gap_open=gap_open, gap_extend=gap_extend)
     from mini_parallel_tpu.ops.sw import sw_affine_batch
