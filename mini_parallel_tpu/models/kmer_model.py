@@ -406,8 +406,9 @@ class KmerEngine:
         cap = self.device_capacity
         if cap is None:
             cap = 1 << 25 if jax.default_backend() == "tpu" else 1 << 20
+        lo_bits = 2 * (self.k // 2)  # pack_kmers' lo-word width
         acc = kmer.DeviceKmerAccumulator(
-            capacity=cap, spill_store=self.make_store()
+            capacity=cap, spill_store=self.make_store(), lo_bits=lo_bits
         )
         totals: list = []
         chunk_size = self.cfg.chunk_size_reads
@@ -438,7 +439,8 @@ class KmerEngine:
                 totals.clear()
                 base = merge_sorted_arrays(base, acc.drain())
                 acc = kmer.DeviceKmerAccumulator(  # fresh: drain() folded the
-                    capacity=cap, spill_store=self.make_store()  # old spill
+                    capacity=cap, spill_store=self.make_store(),  # old spill
+                    lo_bits=lo_bits,
                 )
                 save_kmer_checkpoint(
                     checkpoint_path, base,

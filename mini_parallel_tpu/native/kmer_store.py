@@ -39,8 +39,37 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
     ]
+    lib.ks_decode_planes.restype = None
+    lib.ks_decode_planes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return lib
+
+
+def decode_planes_native(planes: np.ndarray, m: int, kp: int, cp: int,
+                         key0_biased: int, s: int):
+    """One-pass native decode of drain byte planes (ops/kmer.py pack
+    contract); -> (hi int32, lo int32, ct int64). Raises if the native lib
+    is unavailable — callers fall back to the NumPy decoder."""
+    lib = _load()
+    planes = np.ascontiguousarray(planes, np.uint8)
+    b = planes.size // (kp + cp)
+    hi = np.empty(m, np.int32)
+    lo = np.empty(m, np.int32)
+    ct = np.empty(m, np.int64)
+    lib.ks_decode_planes(
+        planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b, m, kp, cp,
+        ctypes.c_uint64(key0_biased & ((1 << 64) - 1)), s,
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ct.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return hi, lo, ct
 
 
 class KmerStore:

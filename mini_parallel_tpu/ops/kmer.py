@@ -351,21 +351,45 @@ def _rank_merge_pair(hi_a, lo_a, ct_a, hi_b, lo_b, ct_b):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _delta_limbs(hi, lo, ct):
-    """Per-element key deltas in two uint32 limbs + validity mask."""
-    hi_u = hi.astype(jnp.uint32)
+_SIGN = 0x80000000  # int32-order <-> uint32-order bias (XOR)
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _delta_limbs(hi, lo, ct, s: int = 32):
+    """Per-element key deltas in two uint32 limbs + validity mask.
+
+    ``s`` is the true bit width of the lo word (2*(k//2) for pack_kmers
+    keys): deltas are taken in the TIGHT key embedding key = hi·2^s + lo,
+    not the limb embedding hi·2^32 + lo. This matters enormously for the
+    wire: for k=21 the lo word holds only 20 bits, so in the limb
+    embedding every hi increment (every ~3 keys of a 13M-key store) showed
+    up as a multi-2^32 "delta", forcing d_hi byte planes for ALL keys
+    (kp=5, measured 101 MB drain); in the tight embedding sorted
+    consecutive deltas are the true ~2^19 key gaps (kp=3, 67 MB).
+
+    hi is XOR-biased by 2^31 first: the store is sorted in int32
+    lexicographic order, and int32 order equals uint32 order of
+    (hi ^ 2^31) — so tight keys of a sorted store are monotone even for
+    k=31 where the packed hi word goes negative. The codec stays exact
+    for ANY order regardless: deltas wrap mod 2^64 and _decode_planes
+    unwraps in biased tight space before unbiasing."""
+    hi_u = hi.astype(jnp.uint32) ^ jnp.uint32(_SIGN)
     lo_u = lo.astype(jnp.uint32)
-    ph = jnp.concatenate([jnp.zeros(1, jnp.uint32), hi_u[:-1]])
-    plo = jnp.concatenate([jnp.zeros(1, jnp.uint32), lo_u[:-1]])
-    d_lo = lo_u - plo
-    borrow = (lo_u < plo).astype(jnp.uint32)
-    d_hi = hi_u - ph - borrow
+    if s < 32:  # tight embedding: key = hi_u * 2^s + lo, relimbed at bit 32
+        t_hi = hi_u >> jnp.uint32(32 - s)
+        t_lo = (hi_u << jnp.uint32(s)) | (lo_u & jnp.uint32((1 << s) - 1))
+    else:
+        t_hi, t_lo = hi_u, lo_u
+    ph = jnp.concatenate([jnp.zeros(1, jnp.uint32), t_hi[:-1]])
+    plo = jnp.concatenate([jnp.zeros(1, jnp.uint32), t_lo[:-1]])
+    d_lo = t_lo - plo
+    borrow = (t_lo < plo).astype(jnp.uint32)
+    d_hi = t_hi - ph - borrow
     return d_hi, d_lo, ct > 0
 
 
-@jax.jit
-def _plane_maxima(hi, lo, ct):
+@functools.partial(jax.jit, static_argnames=("s",))
+def _plane_maxima(hi, lo, ct, s: int = 32):
     """-> uint32[5]: max over the VALID prefix of (d_lo, d_hi, count),
     then (hi[0], lo[0]).
 
@@ -374,7 +398,7 @@ def _plane_maxima(hi, lo, ct):
     d_hi byte plane on every drain (kp 5 vs the 3 typical deltas need —
     a ~1.5x wire-bytes difference), since consecutive-key deltas of even a
     fully random 13M-key store stay below 2^24 while key[0] does not."""
-    d_hi, d_lo, ok = _delta_limbs(hi, lo, ct)
+    d_hi, d_lo, ok = _delta_limbs(hi, lo, ct, s=s)
     ok = ok & (jnp.arange(ok.shape[0]) > 0)
     z = jnp.uint32(0)
     return jnp.stack([
@@ -386,15 +410,15 @@ def _plane_maxima(hi, lo, ct):
     ])
 
 
-@functools.partial(jax.jit, static_argnames=("kp", "cp"))
-def _plane_pack(hi, lo, ct, kp: int, cp: int):
+@functools.partial(jax.jit, static_argnames=("kp", "cp", "s"))
+def _plane_pack(hi, lo, ct, kp: int, cp: int, s: int = 32):
     """-> uint8[(kp+cp)*n]: kp delta byte planes (planes 0-3 from the low
     limb, 4+ from the high limb) then cp count byte planes, concatenated.
 
     Element 0's delta is zeroed (its absolute key ships via _plane_maxima
     and seeds the host cumsum), so kp only needs to cover consecutive-key
     deltas."""
-    d_hi, d_lo, _ = _delta_limbs(hi, lo, ct)
+    d_hi, d_lo, _ = _delta_limbs(hi, lo, ct, s=s)
     first = jnp.arange(d_lo.shape[0]) == 0
     d_lo = jnp.where(first, jnp.uint32(0), d_lo)
     d_hi = jnp.where(first, jnp.uint32(0), d_hi)
@@ -417,11 +441,34 @@ def _planes_needed(max_val: int) -> int:
     return n
 
 
+def _biased_key0(key0: int, s: int) -> int:
+    """Raw (hi << 32) | lo limb pair -> biased tight-embedding value."""
+    return ((((key0 >> 32) ^ _SIGN) << s)
+            | ((key0 & 0xFFFFFFFF) & ((1 << s) - 1))) & ((1 << 64) - 1)
+
+
 def _decode_planes(planes: np.ndarray, m: int, kp: int, cp: int,
-                   key0: int = 0):
+                   key0: int = 0, s: int = 32):
     """Inverse of _plane_pack on the host: -> (hi, lo int32, ct int64).
-    ``key0`` is the absolute first key (element 0's delta is zeroed on the
-    wire); the cumsum is seeded with it."""
+    ``key0`` is the absolute first key as the raw (hi << 32) | lo limb
+    pair (element 0's delta is zeroed on the wire); the cumsum is seeded
+    with its biased tight-embedding value.
+
+    One native C++ pass when available (~10x the numpy column decode,
+    which also loses the core to the axon client's threads on 1-CPU
+    hosts); numpy fallback below is the reference implementation."""
+    try:
+        from mini_parallel_tpu.native.kmer_store import decode_planes_native
+
+        return decode_planes_native(np.asarray(planes), m, kp, cp,
+                                    _biased_key0(key0, s), s)
+    except Exception:  # noqa: BLE001 — no toolchain/lib: numpy fallback
+        return _decode_planes_np(planes, m, kp, cp, key0, s)
+
+
+def _decode_planes_np(planes: np.ndarray, m: int, kp: int, cp: int,
+                      key0: int = 0, s: int = 32):
+    """NumPy reference decoder (see _decode_planes)."""
     b = planes.size // (kp + cp)
     pl = planes.reshape(kp + cp, b)[:, :m]
     # assemble the uint64 deltas by byte COLUMN (plane p is byte p of the
@@ -432,14 +479,20 @@ def _decode_planes(planes: np.ndarray, m: int, kp: int, cp: int,
     for pidx in range(kp):
         buf[:, pidx] = pl[pidx]
     delta = buf.view("<u8").ravel()
-    delta[0] += np.uint64(key0)
+    # deltas live in biased tight space (_delta_limbs): seed the cumsum
+    # with key0 mapped the same way, split + unbias after
+    delta[0] += np.uint64(_biased_key0(key0, s))
     keys = np.cumsum(delta, dtype=np.uint64)
-    hi = (keys >> np.uint64(32)).astype(np.uint32).astype(np.int32)
-    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
-    cbuf = np.zeros((m, 8), np.uint8)
-    for pidx in range(cp):
-        cbuf[:, pidx] = pl[kp + pidx]
-    ct = cbuf.view("<u8").ravel().astype(np.int64)
+    hi = ((keys >> np.uint64(s)).astype(np.uint32)
+          ^ np.uint32(_SIGN)).astype(np.int32)
+    lo = (keys & np.uint64((1 << s) - 1)).astype(np.uint32).astype(np.int32)
+    if cp == 0:  # all counts are 1 (shipped plane-free; see drain())
+        ct = np.ones(m, np.int64)
+    else:
+        cbuf = np.zeros((m, 8), np.uint8)
+        for pidx in range(cp):
+            cbuf[:, pidx] = pl[kp + pidx]
+        ct = cbuf.view("<u8").ravel().astype(np.int64)
     return hi, lo, ct
 
 
@@ -447,6 +500,21 @@ def _pow2_ceil(n: int, lo: int = 8, hi: int | None = None) -> int:
     b = lo
     while b < n:
         b <<= 1
+    return min(b, hi) if hi is not None else b
+
+
+def _bucket_ceil(n: int, lo: int = 8, hi: int | None = None,
+                 frac_bits: int = 3) -> int:
+    """Power-of-two bucket with ``frac_bits`` mantissa bits: the next value
+    of form (2^frac_bits + f) << s, f in [0, 2^frac_bits). Up to 8 jit
+    shapes per octave instead of 1, but the slack is <= 12.5% instead of
+    <= 100% — used for the drain's compressed fetch, where a full-octave
+    bucket shipped up to 2x the needed wire bytes (13M keys -> 16.7M-slot
+    planes; 22% of the drain's 101 MB was sentinel padding)."""
+    if n <= lo:
+        return lo
+    s = max(0, n.bit_length() - 1 - frac_bits)
+    b = -(-n >> s) << s  # ceil to the (1 << s) granularity
     return min(b, hi) if hi is not None else b
 
 
@@ -466,11 +534,15 @@ class DeviceKmerAccumulator:
     MAX_STAGING_SLOTS = 1 << 26
 
     def __init__(self, capacity: int = 1 << 25, staging_batches: int = 40,
-                 spill_store=None):
+                 spill_store=None, lo_bits: int = 32):
         # staging 40 (vs 8) measured +9% on the all-distinct worst case:
         # fewer store folds for the same total sort work
         self.capacity = capacity
         self.staging_batches = staging_batches
+        # true bit width of the lo word (2*(k//2) for pack_kmers keys):
+        # lets the drain codec take deltas in the tight key embedding
+        # (see _delta_limbs) — kp 5 -> 3 on the 13M-key worst case
+        self.lo_bits = lo_bits
         self.spill_store = spill_store if spill_store is not None else {}
         self.spilled = False
         self._store = None  # (hi, lo, ct) device arrays, sorted+compacted
@@ -643,24 +715,33 @@ class DeviceKmerAccumulator:
         if self._store is not None:
             hi_d, lo_d, ct_d = self._store
             m = int((ct_d > 0).sum())
-            b = _pow2_ceil(m, lo=1 << 10,
-                           hi=min(self.capacity, hi_d.shape[0]))
             if (m > COMPRESS_MIN_KEYS
                     and not os.environ.get("MPT_KMER_RAW_DRAIN")):
                 # delta + byte-plane compressed fetch (~3x fewer wire
                 # bytes; see _plane_pack). Deltas wrap mod 2^64 and the
                 # host cumsum unwraps them, so this is exact for ANY key
                 # ordering — only the ratio depends on sortedness.
+                # Eighth-octave buckets: the fetch is the drain's wall, so
+                # <=12.5% slack beats one-shape-per-octave compile thrift.
+                b = _bucket_ceil(m, lo=1 << 10,
+                                 hi=min(self.capacity, hi_d.shape[0]))
+                s = self.lo_bits
                 hi_b, lo_b, ct_b = hi_d[:b], lo_d[:b], ct_d[:b]
-                mx = np.asarray(_plane_maxima(hi_b, lo_b, ct_b))
+                mx = np.asarray(_plane_maxima(hi_b, lo_b, ct_b, s=s))
                 mx_lo, mx_hi, mx_ct, k0_hi, k0_lo = (int(x) for x in mx)
                 kp = (4 + _planes_needed(mx_hi)) if mx_hi \
                     else _planes_needed(mx_lo)
-                cp = _planes_needed(mx_ct)
-                planes = np.asarray(_plane_pack(hi_b, lo_b, ct_b, kp, cp))
+                # all-ones counts (the all-distinct worst case) ship ZERO
+                # count planes — the decoder reconstructs them (25% of the
+                # wire on a 13M-key worst-case drain)
+                cp = 0 if mx_ct == 1 else _planes_needed(mx_ct)
+                planes = np.asarray(_plane_pack(hi_b, lo_b, ct_b, kp, cp,
+                                                s=s))
                 key0 = (k0_hi << 32) | k0_lo
-                hi, lo, ct = _decode_planes(planes, m, kp, cp, key0)
+                hi, lo, ct = _decode_planes(planes, m, kp, cp, key0, s=s)
             else:
+                b = _pow2_ceil(m, lo=1 << 10,
+                               hi=min(self.capacity, hi_d.shape[0]))
                 hi = np.asarray(hi_d[:b])[:m]
                 lo = np.asarray(lo_d[:b])[:m]
                 ct = np.asarray(ct_d[:b])[:m].astype(np.int64)

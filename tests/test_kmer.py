@@ -439,6 +439,51 @@ def test_compressed_drain_exact(rng, monkeypatch):
     assert got == kmer.count_kmers_python(reads, k=21)
 
 
+@pytest.mark.parametrize("k,s", [(21, 20), (13, 12), (31, 30), (8, 8)])
+def test_compressed_drain_tight_embedding(rng, monkeypatch, k, s):
+    """drain() with lo_bits = 2*(k//2) (the tight key embedding the engine
+    passes) is exact, and for sorted stores the tight deltas need no
+    high-limb plane (kp <= 4)."""
+    monkeypatch.setattr(kmer, "COMPRESS_MIN_KEYS", 0)
+    reads = [random_dna(rng, 60) for _ in range(200)]
+    acc = kmer.DeviceKmerAccumulator(capacity=1 << 16, staging_batches=2,
+                                     lo_bits=s)
+    for i in range(0, len(reads), 100):
+        arr, lens = encode.pad_batch(reads[i : i + 100], pad_to=64,
+                                     pad_value=int(encode.PAD_A))
+        codes = encode.ascii_to_code(jnp.asarray(arr))
+        hi, lo, ct, _ = kmer.unique_counts_batch(codes, jnp.asarray(lens),
+                                                 k=k)
+        acc.add(hi, lo, ct)
+    hi, lo, ct = acc.drain()
+    got = {}
+    kmer.merge_device_counts(got, hi, lo, ct)
+    got = {kmer.key_to_string(h, l, k): c for (h, l), c in got.items()}
+    assert got == kmer.count_kmers_python(reads, k=k)
+
+
+def test_plane_codec_roundtrip_any_order(rng):
+    """The delta codec is exact for UNSORTED stores too (mod-2^64 wrap
+    contract), at tight and limb embeddings."""
+    for s in (20, 30, 32):
+        n = 500
+        max_lo = (1 << min(s, 31)) - 1
+        hi = rng.integers(-(1 << 31), 1 << 31, size=n).astype(np.int32)
+        lo = rng.integers(0, max_lo, size=n, endpoint=True).astype(np.int32)
+        ct = rng.integers(1, 1000, size=n).astype(np.int32)
+        import jax.numpy as jnp_
+        mx = np.asarray(kmer._plane_maxima(
+            jnp_.asarray(hi), jnp_.asarray(lo), jnp_.asarray(ct), s=s))
+        # force full planes: unsorted deltas can need anything up to 8
+        kp, cp = 8, 4
+        planes = np.asarray(kmer._plane_pack(
+            jnp_.asarray(hi), jnp_.asarray(lo), jnp_.asarray(ct), kp, cp,
+            s=s))
+        key0 = (int(mx[3]) << 32) | int(mx[4])
+        dh, dl, dc = kmer._decode_planes(planes, n, kp, cp, key0, s=s)
+        assert (dh == hi).all() and (dl == lo).all() and (dc == ct).all()
+
+
 def test_rank_merge_fold_matches_sort_fold(rng, monkeypatch):
     """The lax.sort fold (default) and the rank-merge fold
     (MPT_KMER_RANK_FOLD, kept as a measured negative result) must produce

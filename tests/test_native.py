@@ -244,3 +244,39 @@ def test_native_corrupt_gzip_aborts(tmp_path):
         f.write(blob[: len(blob) // 2])  # truncate mid-stream
     with pytest.raises(IOError):
         list(fastq_native.iter_reads_native(str(path), 10))
+
+
+def test_decode_planes_native_matches_numpy(rng):
+    """ks_decode_planes == the NumPy reference decoder on sorted stores
+    (tight + limb embeddings, with and without count planes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mini_parallel_tpu.ops import kmer
+
+    for s, allones in [(20, True), (20, False), (32, False)]:
+        n = 4096
+        hi = np.sort(rng.integers(0, 1 << 10, size=n).astype(np.int32))
+        lo = rng.integers(0, (1 << min(s, 31)) - 1, size=n).astype(np.int32)
+        order = np.lexsort((lo, hi))
+        hi, lo = hi[order], lo[order]
+        ct = (np.ones(n, np.int32) if allones
+              else rng.integers(1, 300, size=n).astype(np.int32))
+        mx = np.asarray(kmer._plane_maxima(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ct), s=s))
+        kp = ((4 + kmer._planes_needed(int(mx[1]))) if int(mx[1])
+              else kmer._planes_needed(int(mx[0])))
+        cp = 0 if int(mx[2]) == 1 else kmer._planes_needed(int(mx[2]))
+        planes = np.asarray(kmer._plane_pack(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ct), kp, cp, s=s))
+        key0 = (int(mx[3]) << 32) | int(mx[4])
+        try:
+            from mini_parallel_tpu.native.kmer_store import (
+                decode_planes_native)
+            nat = decode_planes_native(planes, n, kp, cp,
+                                       kmer._biased_key0(key0, s), s)
+        except Exception:
+            continue  # no toolchain: dispatcher falls back anyway
+        ref = kmer._decode_planes_np(planes, n, kp, cp, key0, s=s)
+        for a, b in zip(nat, ref):
+            assert (a == b).all()
