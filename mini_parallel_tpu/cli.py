@@ -193,6 +193,7 @@ def main(argv: list[str] | None = None, echo=print) -> int:
         from mini_parallel_tpu.utils.perf_logger import system_monitors
 
         distributed_run = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+        bench_runs: list = []
         with system_monitors() as mon:
             if distributed_run:
                 from mini_parallel_tpu.parallel.distributed import (
@@ -205,14 +206,23 @@ def main(argv: list[str] | None = None, echo=print) -> int:
             else:
                 from mini_parallel_tpu.models.wgs import process_full_wgs_dataset
 
-                results = process_full_wgs_dataset(engine, cfg, echo=echo,
-                                                   retries=args.retries)
+                results = process_full_wgs_dataset(
+                    engine, cfg, echo=echo, retries=args.retries,
+                    on_bench=lambda b: bench_runs.append(b.run_number))
         from mini_parallel_tpu.utils.perf_logger import summarize_monitor_logs
 
         if mon.run_dir:
             summary = summarize_monitor_logs(mon.run_dir)
             if summary:
                 echo(f"Monitor summary ({mon.run_dir}): {summary}")
+                # attach the device-busy evidence (queue-probe percentiles,
+                # io/cpu peaks) to the saved benchmark row — the reference
+                # got this signal from nvidia-smi dmon (perf_logger.rs:77-82)
+                # but then hardcoded 25% into its results (benchmark.rs:159)
+                from mini_parallel_tpu.utils.bench_tracker import annotate_run
+
+                for rn in bench_runs:
+                    annotate_run(rn, {"monitor_summary": summary})
         echo(f"Processed {len(results)} files")
         return 0
 

@@ -34,6 +34,7 @@ def process_full_wgs_dataset(
     files: list[str] | None = None,
     checkpoint_every_chunks: int = 50,
     retries: int = 0,
+    on_bench=None,
 ) -> list[FileResult]:
     """``retries`` > 0 adds elastic recovery beyond the reference's
     abort-on-failure (aligner.rs:318-337): a failed file is retried up to N
@@ -189,6 +190,8 @@ def process_full_wgs_dataset(
     f, r, b, s = state.totals()  # aligner.rs:342-347
     tracker.update(f - f0, r - r0, b - b0, s - s0)
     bench = tracker.finish(host_info={"banner": info.banner()})
+    if on_bench is not None:  # e.g. cli annotates the saved row with the
+        on_bench(bench)       # monitor summary once the monitors stop
     echo("BENCHMARK RESULTS:")
     echo("=" * 21)
     echo(f"Total time: {bench.total_time_seconds:.2f} s")

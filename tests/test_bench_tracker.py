@@ -127,3 +127,27 @@ def test_results_dir_env_override(tmp_path, monkeypatch):
     t.finish()
     assert not (tmp_path / "benchmark_results").exists()
     assert (tmp_path / "elsewhere" / "run_1_benchmark_results.json").exists()
+
+
+def test_annotate_run_adds_fields(tmp_path):
+    """annotate_run patches an existing per-run row and the legacy
+    aggregate entry (the CLI uses it to attach the monitor summary after
+    the monitors stop)."""
+    import json
+    import os
+
+    from mini_parallel_tpu.utils.bench_tracker import (
+        BenchmarkTracker, annotate_run)
+
+    rd = str(tmp_path / "benchmark_results")
+    t = BenchmarkTracker("full_wgs", 10, device="tpu", results_dir=rd)
+    t.update(1, 100, 15000, 7)
+    r = t.finish(host_info={})
+    assert annotate_run(r.run_number, {"monitor_summary": {"p": 1}},
+                        results_dir=rd)
+    per_run = os.path.join(rd, f"run_{r.run_number}_benchmark_results.json")
+    assert json.load(open(per_run))["monitor_summary"] == {"p": 1}
+    legacy = json.load(open(tmp_path / "benchmark_results.json"))
+    row = [x for x in legacy if x["run_number"] == r.run_number][0]
+    assert row["monitor_summary"] == {"p": 1}
+    assert not annotate_run(999, {"a": 1}, results_dir=rd)
