@@ -60,6 +60,7 @@ class CheckpointState:
             "total_files": self.total_files,
             "completed_files": self.completed_files,
         }
+        os.makedirs(self.directory or ".", exist_ok=True)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=2)
