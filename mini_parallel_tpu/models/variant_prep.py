@@ -403,7 +403,7 @@ def _traceback_positions(codes, lens, starts, mapped, ref_ascii,
     via windowed on-device traceback around each read's anchor."""
     from mini_parallel_tpu.ops.sw_traceback import (
         sw_affine_positions_batch,
-        sw_positions_batch,
+        sw_positions_batch_best,
     )
 
     win_starts = jnp.clip(starts - margin, 0, max(G - W, 0))
@@ -417,7 +417,7 @@ def _traceback_positions(codes, lens, starts, mapped, ref_ascii,
             q_ascii, windows, gap_open=gap_open, gap_extend=gap_extend
         )
     else:
-        score, positions = sw_positions_batch(q_ascii, windows)
+        score, positions = sw_positions_batch_best(q_ascii, windows)
     ok = mapped & (score > 0)
     return jnp.where(
         ok[:, None] & (positions >= 0), positions + win_starts[:, None], -1

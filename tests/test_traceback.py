@@ -130,3 +130,64 @@ def test_sw_positions_batch_matches_host_walk(rng):
                     rj += count
         assert score[k] == aln.score
         np.testing.assert_array_equal(pos[k], want, err_msg=f"read {k}")
+
+
+def test_pallas_moves_matches_scan(rng):
+    """sw_moves_batch_pallas (interpret) == sw_moves_batch: scores,
+    argmax (bd, bi), and every valid move in the packed tensor."""
+    import numpy as np
+
+    from mini_parallel_tpu.ops.sw_traceback import (
+        sw_moves_batch, sw_moves_batch_pallas)
+
+    B, M, N = 16, 24, 40
+    a = np.full((B, M), int(encode.PAD_A), np.uint8)
+    b = np.full((B, N), int(encode.PAD_B), np.uint8)
+    base = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(B):
+        la = int(rng.integers(5, M)); lb = int(rng.integers(5, N))
+        a[i, :la] = rng.choice(base, la)
+        b[i, :lb] = rng.choice(base, lb)
+    best0, bd0, bi0, mv0 = (np.asarray(x) for x in
+                            sw_moves_batch(jnp.asarray(a), jnp.asarray(b)))
+    best1, bd1, bi1, packed = (np.asarray(x) for x in sw_moves_batch_pallas(
+        jnp.asarray(a), jnp.asarray(b), interpret=True))
+    assert (best0 == best1).all()
+    assert (bd0 == bd1).all() and (bi0 == bi1).all()
+    D = mv0.shape[0]
+    for d in range(D):
+        slab = ((packed[d // 16].astype(np.uint32)
+                 >> np.uint32(2 * (d % 16))) & 3)[:M, :B].T
+        j = d - np.arange(M)[None, :]
+        valid = (j >= 0) & (j < N)
+        assert ((mv0[d] == slab) | ~valid).all(), d
+
+
+def test_pallas_positions_matches_scan(rng):
+    """sw_positions_batch_pallas == sw_positions_batch on gapped pairs."""
+    import numpy as np
+
+    from mini_parallel_tpu.ops.sw_traceback import (
+        sw_positions_batch, sw_positions_batch_pallas)
+
+    base = np.frombuffer(b"ACGT", np.uint8)
+    for (B, M, N) in [(16, 24, 40), (5, 40, 24)]:
+        a = np.full((B, M), int(encode.PAD_A), np.uint8)
+        b = np.full((B, N), int(encode.PAD_B), np.uint8)
+        for i in range(B):
+            la = int(rng.integers(5, M)); lb = int(rng.integers(5, N))
+            a[i, :la] = rng.choice(base, la)
+            if rng.random() < 0.7:  # related pair -> real gapped walks
+                mut = bytearray(a[i, :la].tobytes() * 2)[:lb]
+                for _ in range(3):
+                    p = int(rng.integers(0, max(1, len(mut))))
+                    mut[p:p + 1] = b""
+                seg = np.frombuffer(bytes(mut), np.uint8)[:lb]
+                b[i, :len(seg)] = seg
+            else:
+                b[i, :lb] = rng.choice(base, lb)
+        s0, p0 = (np.asarray(x) for x in
+                  sw_positions_batch(jnp.asarray(a), jnp.asarray(b)))
+        s1, p1 = (np.asarray(x) for x in
+                  sw_positions_batch_pallas(jnp.asarray(a), jnp.asarray(b)))
+        assert (s0 == s1).all() and (p0 == p1).all()
