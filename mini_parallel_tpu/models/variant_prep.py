@@ -402,7 +402,7 @@ def _traceback_positions(codes, lens, starts, mapped, ref_ascii,
     """(B, L) absolute reference positions per query base (-1 = unaligned)
     via windowed on-device traceback around each read's anchor."""
     from mini_parallel_tpu.ops.sw_traceback import (
-        sw_affine_positions_batch,
+        sw_affine_positions_batch_best,
         sw_positions_batch_best,
     )
 
@@ -413,7 +413,7 @@ def _traceback_positions(codes, lens, starts, mapped, ref_ascii,
     )
     q_ascii = _codes_to_ascii(codes, lens, keep=mapped)
     if gap_model == "affine":
-        score, positions = sw_affine_positions_batch(
+        score, positions = sw_affine_positions_batch_best(
             q_ascii, windows, gap_open=gap_open, gap_extend=gap_extend
         )
     else:

@@ -762,6 +762,238 @@ def sw_positions_batch_best(seq_a, seq_b):
     return sw_positions_batch(seq_a, seq_b)
 
 
+# --- Affine (Gotoh) Pallas moves kernel: 4-bit move bytes (hsrc | eext<<2
+# | fext<<3), 8 diagonals per packed int32. Same structure as the linear
+# kernel above; E/F ride f32 with the -2^20 sentinel the affine scorer
+# uses (exact: sentinel drift |NEG| + D*|ge| stays far under 2^24). ---
+
+PACK8 = 8  # diagonals per packed int32 (4 bits each)
+_NEG_AF = -(2**20)
+
+
+def _affine_moves_kernel_factory(n_k8: int, gap_open: int, gap_extend: int):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    def kernel(a_ref, b_ref, best_ref, bd_ref, bi_ref, mv_ref,
+               w, h1, h1s, e1, f1, bestv, bestd):
+        M, B = a_ref.shape
+        N = b_ref.shape[0]
+        a = a_ref[:]
+        zeros = jnp.zeros((M, B), jnp.float32)
+        zrow = jnp.zeros((1, B), jnp.float32)
+        nrow = jnp.full((1, B), float(_NEG_AF), jnp.float32)
+        w[:] = jnp.full((M, B), int(PAD_B), jnp.int32)
+        h1[:] = zeros
+        h1s[:] = zeros
+        e1[:] = jnp.full((M, B), float(_NEG_AF), jnp.float32)
+        f1[:] = jnp.full((M, B), float(_NEG_AF), jnp.float32)
+        bestv[:] = zeros
+        bestd[:] = jnp.zeros((M, B), jnp.int32)
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
+
+        def one_diag(d, wv_prev, h1v, h1sv, e1v, f1v, bv, bdv):
+            idx = jnp.minimum(d, N - 1)
+            new_row = jnp.where(d < N, b_ref[pl.ds(idx, 1), :], int(PAD_B))
+            wv = jnp.concatenate([new_row, wv_prev[:-1]], axis=0)
+            s = jnp.where(a == wv, float(MATCH_SCORE),
+                          float(MISMATCH_PENALTY))
+            e_open = h1v + float(gap_open)
+            e_ext = e1v >= e_open  # tie -> extend (golden convention)
+            e = jnp.maximum(e1v, e_open) + float(gap_extend)
+            sh_h = jnp.concatenate([zrow, h1v[:-1]], axis=0)
+            sh_f = jnp.concatenate([nrow, f1v[:-1]], axis=0)
+            f_open = sh_h + float(gap_open)
+            f_ext = sh_f >= f_open
+            f = jnp.maximum(sh_f, f_open) + float(gap_extend)
+            diag = h1sv + s
+            h = jnp.maximum(jnp.maximum(diag, zeros), jnp.maximum(e, f))
+            h_src = jnp.where(
+                h <= 0.0, STOP,
+                jnp.where(h == diag, DIAG,
+                          jnp.where(h == e, E_SRC, F_SRC)))
+            mv = (h_src + e_ext.astype(jnp.int32) * 4
+                  + f_ext.astype(jnp.int32) * 8)
+            j = d - i_idx
+            valid = (j >= 0) & (j < N)
+            cand_v = jnp.where(valid, h, 0.0)
+            better = cand_v > bv
+            bv = jnp.where(better, cand_v, bv)
+            bdv = jnp.where(better, d, bdv)
+            return wv, h, sh_h, e, f, bv, bdv, mv
+
+        def step(k, _):
+            d0 = k * PACK8
+            st = (w[:], h1[:], h1s[:], e1[:], f1[:], bestv[:], bestd[:])
+            acc = jnp.zeros((M, B), jnp.int32)
+            for u in range(PACK8):
+                *st, mv = one_diag(d0 + u, *st)
+                acc = acc + mv * (1 << (4 * u))
+            (w[:], h1[:], h1s[:], e1[:], f1[:], bestv[:], bestd[:]) = st
+            mv_ref[pl.ds(k, 1), :, :] = acc[None]
+            return ()
+
+        jax.lax.fori_loop(0, n_k8, step, ())
+
+        bv = bestv[:]
+        bdv = bestd[:]
+        big = jnp.int32(1 << 30)
+        gbest = jnp.max(bv, axis=0, keepdims=True)
+        at_best = bv == gbest
+        gbd = jnp.min(jnp.where(at_best, bdv, big), axis=0, keepdims=True)
+        at_bd = at_best & (bdv == gbd)
+        gbi = jnp.min(jnp.where(at_bd, i_idx, big), axis=0, keepdims=True)
+        best_ref[:] = gbest.astype(jnp.int32)
+        bd_ref[:] = gbd
+        bi_ref[:] = gbi
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend",
+                                             "interpret", "b_blk"))
+def sw_affine_moves_batch_pallas(seq_a, seq_b, gap_open: int = GAP_OPEN,
+                                 gap_extend: int = GAP_EXTEND,
+                                 interpret: bool | None = None,
+                                 b_blk: int = 128):
+    """Pallas variant of sw_affine_moves_batch: (best, bd, bi, packed
+    (K8, Mp, Bp) int32) with 4-bit move bytes at bits 4*(d%8)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mini_parallel_tpu.ops.encode import PAD_A
+
+    B, M = seq_a.shape
+    N = seq_b.shape[1]
+    if (abs(_NEG_AF) + (M + N) * max(abs(gap_extend), 1)
+            + abs(gap_open) + 2 * min(M, N)) >= (1 << 24):
+        raise ValueError("sw_affine_moves_batch_pallas: gap params too "
+                         "large for exact f32 state")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Bp = -(-B // b_blk) * b_blk
+    Mp = -(-M // 8) * 8
+    Np = -(-N // 8) * 8
+    n_k8 = -(-(Mp + Np - 1) // PACK8)
+    at = jnp.full((Mp, Bp), int(PAD_A), jnp.int32)
+    at = at.at[:M, :B].set(seq_a.astype(jnp.int32).T)
+    bt = jnp.full((Np, Bp), int(PAD_B), jnp.int32)
+    bt = bt.at[:N, :B].set(seq_b.astype(jnp.int32).T)
+
+    best, bd, bi, packed = pl.pallas_call(
+        _affine_moves_kernel_factory(n_k8, gap_open, gap_extend),
+        grid=(Bp // b_blk,),
+        in_specs=[
+            pl.BlockSpec((Mp, b_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, b_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_k8, Mp, b_blk), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((n_k8, Mp, Bp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Mp, b_blk), jnp.int32),    # rolling b window
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # h1
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # h1s (shift of h2)
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # e1
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # f1
+            pltpu.VMEM((Mp, b_blk), jnp.float32),  # per-cell best
+            pltpu.VMEM((Mp, b_blk), jnp.int32),    # per-cell first diag
+        ],
+        interpret=interpret,
+    )(at, bt)
+    return best[0, :B], bd[0, :B], bi[0, :B], packed
+
+
+@functools.partial(jax.jit, static_argnames=("M", "N"))
+def _affine_walk_packed(best, bd, bi, packed, M: int, N: int):
+    """Packed-slab variant of sw_affine_positions_batch's 3-state sweep."""
+    K8, Mp, Bp = packed.shape
+    B = best.shape[0]
+    if B < Bp:
+        z = jnp.zeros(Bp - B, jnp.int32)
+        best = jnp.concatenate([best, z])
+        bd = jnp.concatenate([bd, z])
+        bi = jnp.concatenate([bi, z])
+    iota_m = jnp.arange(Mp, dtype=jnp.int32)[:, None]
+    S_H, S_E, S_F = 0, 1, 2
+
+    def one_diag(carry, slab, d, u):
+        qi, ji, state, done, pos = carry
+        mvs = ((slab.astype(jnp.uint32)
+                >> jnp.uint32(4 * u)) & 15).astype(jnp.int32)
+        onehot = iota_m == qi[None, :]
+        mv = jnp.max(jnp.where(onehot, mvs, 0), axis=0)  # (B,)
+        active = (~done) & (qi + ji == d) & (qi >= 0) & (ji >= 0)
+        src = mv & 3
+        eext = ((mv >> 2) & 1) == 1
+        fext = ((mv >> 3) & 1) == 1
+        in_h = active & (state == S_H)
+        h_diag = in_h & (src == DIAG)
+        emit_d = (in_h & (src == E_SRC)) | (active & (state == S_E))
+        emit_i = (in_h & (src == F_SRC)) | (active & (state == S_F))
+        pos = jnp.where(onehot & h_diag[None, :], ji[None, :], pos)
+        state = jnp.where(
+            h_diag, S_H,
+            jnp.where(emit_d, jnp.where(eext, S_E, S_H),
+                      jnp.where(emit_i, jnp.where(fext, S_F, S_H), state)),
+        )
+        qi = qi - h_diag.astype(jnp.int32) - emit_i.astype(jnp.int32)
+        ji = ji - h_diag.astype(jnp.int32) - emit_d.astype(jnp.int32)
+        done = done | (in_h & (src == STOP))
+        return (qi, ji, state, done, pos)
+
+    def step(carry, k):
+        slab = jax.lax.dynamic_slice_in_dim(packed, k, 1, axis=0)[0]
+        for u in range(PACK8 - 1, -1, -1):
+            carry = one_diag(carry, slab, k * PACK8 + u, u)
+        return carry, None
+
+    pos0 = jnp.full((Mp, Bp), -1, jnp.int32)
+    carry0 = (bi, bd - bi, jnp.zeros((Bp,), jnp.int32), best <= 0, pos0)
+    ks = jnp.arange(K8 - 1, -1, -1, dtype=jnp.int32)
+    (qi, ji, state, done, pos), _ = jax.lax.scan(step, carry0, ks)
+    return pos.T[:B, :M]
+
+
+def sw_affine_positions_batch_pallas(seq_a, seq_b,
+                                     gap_open: int = GAP_OPEN,
+                                     gap_extend: int = GAP_EXTEND):
+    """sw_affine_positions_batch via the Pallas moves kernel + packed
+    walk; identical (score, positions)."""
+    best, bd, bi, packed = sw_affine_moves_batch_pallas(
+        seq_a, seq_b, gap_open=gap_open, gap_extend=gap_extend)
+    return best, _affine_walk_packed(best, bd, bi, packed,
+                                     M=seq_a.shape[1], N=seq_b.shape[1])
+
+
+def sw_affine_positions_batch_best(seq_a, seq_b,
+                                   gap_open: int = GAP_OPEN,
+                                   gap_extend: int = GAP_EXTEND):
+    """Fastest affine positions path (mirror of sw_positions_batch_best)."""
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("MPT_TRACEBACK_PALLAS", "1") != "0"):
+        return sw_affine_positions_batch_pallas(
+            seq_a, seq_b, gap_open=gap_open, gap_extend=gap_extend)
+    return sw_affine_positions_batch(seq_a, seq_b, gap_open=gap_open,
+                                     gap_extend=gap_extend)
+
+
 @jax.jit
 def sw_positions_batch(
     seq_a: jnp.ndarray, seq_b: jnp.ndarray

@@ -185,6 +185,39 @@ def check_positions_pallas(rng, B):
     return True, f"{B} reads (packed Pallas moves vs scan path)"
 
 
+def check_positions_affine_pallas(rng, B):
+    """The affine (Gotoh) Pallas packed-moves traceback vs the XLA-scan
+    affine path on indel-bearing pairs."""
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.ops import encode
+    from mini_parallel_tpu.ops.sw_traceback import (
+        sw_affine_positions_batch, sw_affine_positions_batch_pallas)
+
+    reads_a, reads_b = [], []
+    for i in range(B):
+        b = _rand_reads(rng, 1, 60, 60)[0]
+        a = bytearray(b[5:55])
+        if i % 3 == 0:
+            del a[20:24]  # 4bp deletion: affine prefers ONE gap run
+        if i % 3 == 1:
+            a[10:10] = b"GGGTT"
+        reads_a.append(bytes(a))
+        reads_b.append(b)
+    arr_a, _ = encode.pad_batch(reads_a, pad_to=64,
+                                pad_value=int(encode.PAD_A))
+    arr_b, _ = encode.pad_batch(reads_b, pad_to=64,
+                                pad_value=int(encode.PAD_B))
+    a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
+    s0, p0 = sw_affine_positions_batch(a, b)
+    s1, p1 = sw_affine_positions_batch_pallas(a, b)
+    if not np.array_equal(np.asarray(s0), np.asarray(s1)):
+        return False, "score mismatch"
+    if not np.array_equal(np.asarray(p0), np.asarray(p1)):
+        return False, "positions mismatch"
+    return True, f"{B} reads (affine packed Pallas moves vs scan path)"
+
+
 def check_pairhmm(rng, B):
     from mini_parallel_tpu.ops import pairhmm
     from mini_parallel_tpu.ops.pairhmm_pallas import pairhmm_log10_batch
@@ -292,6 +325,7 @@ CHECKS = [
     ("sw-vs-ref", check_sw_vs_ref),
     ("sw-positions", check_positions),
     ("sw-positions-pallas", check_positions_pallas),
+    ("sw-affine-positions-pallas", check_positions_affine_pallas),
     ("pairhmm-fwd", check_pairhmm),
     ("kmer-rle", check_kmer),
     ("sw-long-strips", check_sw_long),
