@@ -849,3 +849,51 @@ def test_variant_prep_multi_file_sam(tmp_path, rng, cfg, ref_and_reads):
     assert res.total_reads == len(reads)
     records = [l for l in open(sam) if not l.startswith("@")]
     assert len(records) == len(reads)
+
+
+def test_map_reads_both_matches_two_pass(rng):
+    """_map_reads_both (fused fwd+rc probe-key mapper) is bit-identical to
+    the two-pass composition _map_reads(codes) + _map_reads(_revcomp_codes):
+    same anchors and mapped flags on both strands, including reads with Ns,
+    short reads, and unmappable reads."""
+    import jax.numpy as jnp
+
+    from mini_parallel_tpu.models.variant_prep import (
+        SEED_K, ReferenceIndex, _map_reads, _map_reads_both, _revcomp_codes)
+    from mini_parallel_tpu.ops import encode
+    from tests.conftest import random_dna
+
+    ref = random_dna(rng, 5000)
+    index = ReferenceIndex(ref)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    reads = []
+    for i in range(64):
+        s = int(rng.integers(0, 5000 - 80))
+        r = bytearray(ref[s:s + 80])
+        if i % 4 == 1:  # rc-strand read
+            r = bytearray(bytes(r).translate(comp)[::-1])
+        if i % 4 == 2:  # sprinkle Ns (kills seeds covering them)
+            for p in rng.integers(0, len(r), size=3):
+                r[int(p)] = ord("N")
+        if i % 4 == 3:  # unrelated / short / tiny
+            r = bytearray(random_dna(rng, int(rng.integers(4, 70))))
+        reads.append(bytes(r))
+    reads.append(b"")  # empty read
+    arr, lens = encode.pad_batch(reads, pad_to=80,
+                                 pad_value=int(encode.PAD_A))
+    codes = encode.ascii_to_code(jnp.asarray(arr))
+    lens_j = jnp.asarray(lens)
+
+    sf0, mf0 = _map_reads(codes, lens_j, index.sorted_keys,
+                          index.sorted_pos, SEED_K)
+    rc = _revcomp_codes(codes, lens_j)
+    sr0, mr0 = _map_reads(rc, lens_j, index.sorted_keys,
+                          index.sorted_pos, SEED_K)
+    sf1, mf1, sr1, mr1 = _map_reads_both(
+        codes, lens_j, index.sorted_keys, index.sorted_pos, SEED_K)
+    np.testing.assert_array_equal(np.asarray(mf0), np.asarray(mf1))
+    np.testing.assert_array_equal(np.asarray(sf0), np.asarray(sf1))
+    np.testing.assert_array_equal(np.asarray(mr0), np.asarray(mr1))
+    np.testing.assert_array_equal(np.asarray(sr0), np.asarray(sr1))
+    assert np.asarray(mf1).sum() > 10  # the fixture really maps reads
+    assert np.asarray(mr1).sum() > 10
