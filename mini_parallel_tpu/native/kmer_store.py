@@ -39,13 +39,18 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
     ]
-    lib.ks_decode_planes.restype = None
-    lib.ks_decode_planes.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int64),
-    ]
+    # ks_decode_planes is newer than the store ABI: a stale pre-rebuild .so
+    # (kept deliberately when make fails, native/__init__.py) must still
+    # serve the KmerStore path — decode_planes_native raises and its caller
+    # (_decode_planes) falls back to the NumPy decoder.
+    if hasattr(lib, "ks_decode_planes"):
+        lib.ks_decode_planes.restype = None
+        lib.ks_decode_planes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     _lib = lib
     return lib
 

@@ -751,13 +751,39 @@ def sw_positions_batch_pallas(seq_a, seq_b):
                                         N=seq_b.shape[1])
 
 
+def _pallas_walk_fits(M: int, N: int, affine: bool) -> bool:
+    """True when the packed-moves kernel's VMEM block fits on-chip.
+
+    The Pallas walk holds the WHOLE packed moves tensor for a 128-read
+    block as one VMEM output (n_slabs x Mp x 128 int32) plus 5 (linear)
+    or 7 (affine) full-height f32/int32 scratch planes — ~16 MB/core is
+    the budget. Variant-prep windows (~152 x 184) use ~2 MB; wide rescue
+    or long-read windows can cross the cliff, where the scan path (moves
+    in HBM) still works — so route, don't raise. Also covers the
+    2*min(M,N) < 2^24 exact-f32 guard the kernels enforce."""
+    import os
+
+    Mp = -(-M // 8) * 8
+    Np = -(-N // 8) * 8
+    pack = PACK8 if affine else PACK
+    n_slabs = -(-(Mp + Np - 1) // pack)
+    scratch = 7 if affine else 5
+    plane = Mp * 128 * 4
+    vmem = (n_slabs + scratch) * plane + Np * 128 * 4
+    budget = int(os.environ.get("MPT_WALK_VMEM_BUDGET", 10 * 2**20))
+    return vmem <= budget and 2 * min(M, N) < (1 << 24)
+
+
 def sw_positions_batch_best(seq_a, seq_b):
-    """Fastest positions path: Pallas moves kernel on TPU (see above),
-    XLA scan elsewhere. MPT_TRACEBACK_PALLAS=0 restores the scan."""
+    """Fastest positions path: Pallas moves kernel on TPU (see above) when
+    its VMEM block fits (_pallas_walk_fits), XLA scan elsewhere.
+    MPT_TRACEBACK_PALLAS=0 restores the scan."""
     import os
 
     if (jax.default_backend() == "tpu"
-            and os.environ.get("MPT_TRACEBACK_PALLAS", "1") != "0"):
+            and os.environ.get("MPT_TRACEBACK_PALLAS", "1") != "0"
+            and _pallas_walk_fits(seq_a.shape[1], seq_b.shape[1],
+                                  affine=False)):
         return sw_positions_batch_pallas(seq_a, seq_b)
     return sw_positions_batch(seq_a, seq_b)
 
@@ -987,7 +1013,9 @@ def sw_affine_positions_batch_best(seq_a, seq_b,
     import os
 
     if (jax.default_backend() == "tpu"
-            and os.environ.get("MPT_TRACEBACK_PALLAS", "1") != "0"):
+            and os.environ.get("MPT_TRACEBACK_PALLAS", "1") != "0"
+            and _pallas_walk_fits(seq_a.shape[1], seq_b.shape[1],
+                                  affine=True)):
         return sw_affine_positions_batch_pallas(
             seq_a, seq_b, gap_open=gap_open, gap_extend=gap_extend)
     return sw_affine_positions_batch(seq_a, seq_b, gap_open=gap_open,

@@ -10,8 +10,6 @@ import os
 import sys
 import time
 
-os.chdir(os.path.dirname(os.path.abspath(__file__)))
-
 from mini_parallel_tpu.utils.config import get_config, load_dotenv
 
 load_dotenv()
@@ -43,9 +41,11 @@ fastq.iter_read_chunks = dying_iter
 
 eng = AlignmentEngine(cfg, mode="kadane")
 t0 = time.perf_counter()
+# paths resolve from the INVOKER's cwd (stage a .env + run from a scratch
+# dir, e.g. /root/soak_r4) — never from the installed package directory
 results = process_full_wgs_dataset(
-    eng, cfg, checkpoint_dir="./resil", retries=1,
-    results_dir=os.environ.get("MPT_RESULTS_DIR"))
+    eng, cfg, checkpoint_dir=os.environ.get("MPT_SOAK_CKPT_DIR", "./resil"),
+    retries=1, results_dir=os.environ.get("MPT_RESULTS_DIR"))
 wall = time.perf_counter() - t0
 
 clean = json.load(open(CLEAN_CHECKPOINT))

@@ -191,3 +191,16 @@ def test_pallas_positions_matches_scan(rng):
         s1, p1 = (np.asarray(x) for x in
                   sw_positions_batch_pallas(jnp.asarray(a), jnp.asarray(b)))
         assert (s0 == s1).all() and (p0 == p1).all()
+
+
+def test_pallas_walk_vmem_gate():
+    """_best wrappers must route wide windows back to the scan path: the
+    Pallas walk holds the whole packed moves block in VMEM (~16 MB/core)."""
+    from mini_parallel_tpu.ops.sw_traceback import _pallas_walk_fits
+
+    assert _pallas_walk_fits(152, 184, affine=False)   # variant-prep window
+    assert _pallas_walk_fits(152, 184, affine=True)
+    assert not _pallas_walk_fits(1024, 4096, affine=False)  # ~168 MB block
+    assert not _pallas_walk_fits(1024, 4096, affine=True)
+    # exact-f32 guard: huge-but-thin windows also fall back, never raise
+    assert not _pallas_walk_fits(1 << 23, 1 << 23, affine=False)
