@@ -56,19 +56,36 @@ from mini_parallel_tpu.ops.encode import PAD_A, PAD_B
 from mini_parallel_tpu.ops.sw import GAP_PENALTY, MATCH_SCORE, MISMATCH_PENALTY
 
 LANES = 128
-# v5e sweep (500k x 400k, warm): sb=64 -> 91 GCUPS, 128 -> 172, 256 -> 225,
-# 512 -> 125; unroll 4 beat 2 and 8. Default 256 sublanes = 32768-column
-# strips; sw_score_long narrows sb adaptively when b is shorter.
+# v5e sweep (500k x 400k, warm, int32 state): sb=64 -> 91 GCUPS, 128 ->
+# 172, 256 -> 225, 512 -> 125; unroll 4 beat 2 and 8. f32 score state
+# (r4, same window, interleaved 3/3): linear 257 vs 224, affine 179 vs
+# 153 — the ops/sw_pallas.py float-first-VPU win transfers; int32 remains
+# the automatic fallback past the 2^24 exactness bound (_f32_ok).
+# Default 256 sublanes = 32768-column strips; sw_score_long narrows sb
+# adaptively when b is shorter.
 DEFAULT_SB = 256
 DEFAULT_BLK = 16_384  # row-block (sweep steps) streamed per grid step
 UNROLL = 4
 
 
-def _strip_kernel(sb: int, blk: int, unroll: int):
+def _strip_kernel(sb: int, blk: int, unroll: int, f32: bool = False):
     """Kernel for ONE strip: grid streams row blocks; scratch carries DP
     state across the sequential grid. Shapes: b strip (sb,128); per-block
     a rows (blk//128,128); leftcol rows (blk//128,128); outputs rightcol
-    rows (blk//128,128) and running best (1,128)."""
+    rows (blk//128,128) and running best (1,128).
+
+    f32: score state (d1/d1s/best + boundary rows) in float32 — the same
+    measured 1.27x VPU win as ops/sw_pallas.py:106-111 (the VPU is
+    float-first); exact while |H| <= 2*min(M,N) < 2^24 (callers guard and
+    fall back to int32). Base codes (b, w, aw_row) stay int32, and every
+    HBM interface (lc/rc rows, wavefront state tiles, best) stays int32 so
+    strip chaining and the sharded halo exchange are dtype-unchanged."""
+    dt = jnp.float32 if f32 else jnp.int32
+    # plain Python scalars (weak-typed): jnp.asarray here would be a
+    # closure-captured traced constant, which pallas_call rejects
+    cast = float if f32 else int
+    match_s, mism_s, gap_s = (cast(v) for v in
+                              (MATCH_SCORE, MISMATCH_PENALTY, GAP_PENALTY))
 
     def kernel(b_ref, a_ref, lc_ref, w0_ref, d10_ref, d1s0_ref,
                rc_ref, best_out, wt_ref, d1t_ref, d1st_ref,
@@ -84,12 +101,12 @@ def _strip_kernel(sb: int, blk: int, unroll: int):
             # where another chip's band stopped (seq-axis halo exchange);
             # the single-chip path passes the cold-start state
             w[:] = w0_ref[:]
-            d1[:] = d10_ref[:]
-            d1s[:] = d1s0_ref[:]
-            best[:] = jnp.zeros((sb, LANES), jnp.int32)
+            d1[:] = d10_ref[:].astype(dt)
+            d1s[:] = d1s0_ref[:].astype(dt)
+            best[:] = jnp.zeros((sb, LANES), dt)
 
         b = b_ref[:]
-        zeros = jnp.zeros((sb, LANES), jnp.int32)
+        zeros = jnp.zeros((sb, LANES), dt)
 
         def one_diag(t, st):
             wv, d1v, d1sv, bestv, awv, lcv, rcv = st
@@ -99,12 +116,12 @@ def _strip_kernel(sb: int, blk: int, unroll: int):
             # keep it at lane 0 — no dynamic extraction)
             w_carry = jnp.where(lane0, awv, pltpu.roll(wv[sb - 1:sb], 1, 1))
             wv = jnp.concatenate([w_carry, wv[:-1]], axis=0)
-            s = jnp.where(wv == b, MATCH_SCORE, MISMATCH_PENALTY)
+            s = jnp.where(wv == b, match_s, mism_s)
             diag = d1sv + s
             s_carry = jnp.where(lane0, lcv, pltpu.roll(d1v[sb - 1:sb], 1, 1))
             sh = jnp.concatenate([s_carry, d1v[:-1]], axis=0)
             # up = d1v (same element, previous step); left = sh
-            ud = jnp.maximum(d1v, sh) + GAP_PENALTY
+            ud = jnp.maximum(d1v, sh) + gap_s
             cand = jnp.maximum(jnp.maximum(diag, ud), zeros)
             bestv = jnp.maximum(bestv, cand)
             # harvest the strip's last column: corner cell sits at the
@@ -121,7 +138,7 @@ def _strip_kernel(sb: int, blk: int, unroll: int):
             # one 128-step window: row I/O at the edges, branch-free core
             # (per-step pl.when in the hot loop measured pathologically slow)
             aw_row[:] = a_ref[pl.ds(win, 1), :]
-            lc_row[:] = lc_ref[pl.ds(win, 1), :]
+            lc_row[:] = lc_ref[pl.ds(win, 1), :].astype(dt)
 
             def inner(q, _):
                 st = (w[:], d1[:], d1s[:], best[:],
@@ -133,16 +150,17 @@ def _strip_kernel(sb: int, blk: int, unroll: int):
                 return ()
 
             jax.lax.fori_loop(0, LANES // unroll, inner, ())
-            rc_ref[pl.ds(win, 1), :] = rc_row[:]
+            rc_ref[pl.ds(win, 1), :] = rc_row[:].astype(jnp.int32)
             return ()
 
         jax.lax.fori_loop(0, blk // LANES, window, ())
-        best_out[:] = jnp.max(best[:], axis=0, keepdims=True)
+        best_out[:] = jnp.max(best[:], axis=0,
+                              keepdims=True).astype(jnp.int32)
         # final wavefront state (last grid step's values win) — the next
         # band's cold start
         wt_ref[:] = w[:]
-        d1t_ref[:] = d1[:]
-        d1st_ref[:] = d1s[:]
+        d1t_ref[:] = d1[:].astype(jnp.int32)
+        d1st_ref[:] = d1s[:].astype(jnp.int32)
 
     return kernel
 
@@ -155,7 +173,7 @@ def cold_state(sb: int) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sb", "blk", "unroll", "interpret"))
+    jax.jit, static_argnames=("sb", "blk", "unroll", "interpret", "f32"))
 def _run_strip(
     b_tile: jnp.ndarray,       # (sb, 128) int32, column codes of this strip
     a_rows: jnp.ndarray,       # (T//128, 128) int32, a codes row-major
@@ -163,6 +181,7 @@ def _run_strip(
     sb: int, blk: int, unroll: int = UNROLL,
     interpret: bool | None = None,
     state: tuple | None = None,
+    f32: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, tuple]:
     """Sweep one strip over T = a_rows.size steps starting from ``state``
     (cold_state if None). Returns (best (1,128), rightcol rows
@@ -184,8 +203,9 @@ def _run_strip(
     nblk = a_rows.shape[0] // rows_per_blk
     state_spec = pl.BlockSpec((sb, LANES), lambda k: (0, 0),
                               memory_space=pltpu.VMEM)
+    dt = jnp.float32 if f32 else jnp.int32
     rc, best, wt, d1t, d1st = pl.pallas_call(
-        _strip_kernel(sb, blk, unroll),
+        _strip_kernel(sb, blk, unroll, f32=f32),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((sb, LANES), lambda k: (0, 0),
@@ -211,17 +231,28 @@ def _run_strip(
             jax.ShapeDtypeStruct((sb, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((sb, LANES), jnp.int32),   # w
-            pltpu.VMEM((sb, LANES), jnp.int32),   # d1
-            pltpu.VMEM((sb, LANES), jnp.int32),   # d1s
-            pltpu.VMEM((sb, LANES), jnp.int32),   # best
-            pltpu.VMEM((1, LANES), jnp.int32),    # aw_row
-            pltpu.VMEM((1, LANES), jnp.int32),    # lc_row
-            pltpu.VMEM((1, LANES), jnp.int32),    # rc_row
+            pltpu.VMEM((sb, LANES), jnp.int32),   # w (codes: always int32)
+            pltpu.VMEM((sb, LANES), dt),          # d1
+            pltpu.VMEM((sb, LANES), dt),          # d1s
+            pltpu.VMEM((sb, LANES), dt),          # best
+            pltpu.VMEM((1, LANES), jnp.int32),    # aw_row (codes)
+            pltpu.VMEM((1, LANES), dt),           # lc_row
+            pltpu.VMEM((1, LANES), dt),           # rc_row
         ],
         interpret=interpret,
     )(b_tile, a_rows, leftcol, w0, d10, d1s0)
     return best, rc, (wt, d1t, d1st)
+
+
+def _f32_ok(M: int, N: int) -> bool:
+    """True when f32 score state is exact for this pair: every H is an
+    integer |H| <= 2*min(M,N), exact in f32 below 2^24 (an 8.3M-base
+    minimum side — far beyond any chromosome pair we route here; past it
+    the kernels silently fall back to the int32 state, never raise)."""
+    import os
+
+    return (2 * min(M, N) < (1 << 24)
+            and os.environ.get("MPT_SW_LONG_F32", "1") != "0")
 
 
 def sw_score_long(
@@ -273,7 +304,8 @@ def sw_score_long(
             bt.reshape(LANES, sb).T.astype(np.int32)
         )  # [s, l] = bt[l*sb + s]
         best, rc, _state = _run_strip(b_tile, a_rows, lc, sb, blk,
-                                      unroll=unroll, interpret=interpret)
+                                      unroll=unroll, interpret=interpret,
+                                      f32=_f32_ok(M, N))
         # wavefront skew: the corner element emits H[d-(W-1)][j_last] at
         # step d, so rightcol row i sits at flat index i + W - 1; the next
         # strip consumes leftcol[d'] = H[d'][j_last] -> shift forward W-1
@@ -407,6 +439,7 @@ def sw_score_long_sharded(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    f32 = _f32_ok(M, N)
 
     def stage_local(b_tile, a_band, a_hal, lc_in, w0, d10, d1s0, flags,
                     best_in):
@@ -430,10 +463,10 @@ def sw_score_long_sharded(
         lc_eff = jnp.where(first, 0, lc_in[0])
         best1, rc1, st_t = _run_strip(
             b_t, a_band[0], lc_eff, sb, blk, unroll=unroll,
-            interpret=interpret, state=(w0_, d10_, d1s0_))
+            interpret=interpret, state=(w0_, d10_, d1s0_), f32=f32)
         best2, rc2, _ = _run_strip(
             b_t, a_hal[0], a_hal[0] * 0, sb, Wp, unroll=unroll,
-            interpret=interpret, state=st_t)
+            interpret=interpret, state=st_t, f32=f32)
         lc_next = jnp.concatenate(
             [rc1.reshape(-1)[W - 1 :], rc2.reshape(-1)[: W - 1]]
         ).reshape(lc_in[0].shape)
@@ -451,7 +484,7 @@ def sw_score_long_sharded(
     # cache the jitted stage per geometry: a fresh jit(shard_map(closure))
     # per call would never hit jit's function-identity cache and pay a
     # remote compile (30-300s under tunnel load) on every invocation
-    key = (mesh, axis, sb, blk, unroll, band, bool(interpret))
+    key = (mesh, axis, sb, blk, unroll, band, bool(interpret), f32)
     stage_fn = _SHARDED_STAGE_CACHE.get(key)
     if stage_fn is None:
         stage_fn = jax.jit(shard_map(
@@ -504,7 +537,20 @@ _NEG_LONG = -(2**24)  # decays by |ge| per step; > int32 min at any length
 
 
 def _strip_kernel_affine(sb: int, blk: int, unroll: int,
-                         gap_open: int, gap_extend: int):
+                         gap_open: int, gap_extend: int,
+                         f32: bool = False):
+    # f32 score state: same 1.27x VPU win and int32 HBM interfaces as
+    # _strip_kernel. Exactness: H/E/F are integers bounded by 2*min(M,N)
+    # (< 2^24, caller-guarded) except the _NEG_LONG = -2^24 cold sentinel —
+    # itself a power of two, f32-exact, and H >= 0 means max(sent, H+go)
+    # discards it at the FIRST step, so no arithmetic ever lands on it.
+    dt = jnp.float32 if f32 else jnp.int32
+    # plain Python scalars — see _strip_kernel
+    cast = float if f32 else int
+    match_s, mism_s, go_s, ge_s = (cast(v) for v in
+                                   (MATCH_SCORE, MISMATCH_PENALTY,
+                                    gap_open, gap_extend))
+
     def kernel(b_ref, a_ref, lch_ref, lcf_ref,
                w0_ref, d10_ref, d1s0_ref, e10_ref, f10_ref,
                rch_ref, rcf_ref, best_out,
@@ -521,20 +567,20 @@ def _strip_kernel_affine(sb: int, blk: int, unroll: int,
             # state enters as inputs so a band can resume a predecessor's
             # sweep (seq-axis halo); single-chip passes cold_state_affine
             w[:] = w0_ref[:]
-            d1[:] = d10_ref[:]
-            d1s[:] = d1s0_ref[:]
-            e1[:] = e10_ref[:]
-            f1[:] = f10_ref[:]
-            best[:] = jnp.zeros((sb, LANES), jnp.int32)
+            d1[:] = d10_ref[:].astype(dt)
+            d1s[:] = d1s0_ref[:].astype(dt)
+            e1[:] = e10_ref[:].astype(dt)
+            f1[:] = f10_ref[:].astype(dt)
+            best[:] = jnp.zeros((sb, LANES), dt)
 
         b = b_ref[:]
-        zeros = jnp.zeros((sb, LANES), jnp.int32)
+        zeros = jnp.zeros((sb, LANES), dt)
 
         def one_diag(st):
             wv, d1v, d1sv, ev, fv, bestv, awv, lchv, lcfv, rchv, rcfv = st
             w_carry = jnp.where(lane0, awv, pltpu.roll(wv[sb - 1:sb], 1, 1))
             wv = jnp.concatenate([w_carry, wv[:-1]], axis=0)
-            s = jnp.where(wv == b, MATCH_SCORE, MISMATCH_PENALTY)
+            s = jnp.where(wv == b, match_s, mism_s)
             diag = d1sv + s
             # H left-shift (and its boundary injection)
             h_carry = jnp.where(lane0, lchv,
@@ -544,8 +590,8 @@ def _strip_kernel_affine(sb: int, blk: int, unroll: int,
             f_carry = jnp.where(lane0, lcfv,
                                 pltpu.roll(fv[sb - 1:sb], 1, 1))
             shf = jnp.concatenate([f_carry, fv[:-1]], axis=0)
-            e = jnp.maximum(ev, d1v + gap_open) + gap_extend
-            f = jnp.maximum(shf, sh + gap_open) + gap_extend
+            e = jnp.maximum(ev, d1v + go_s) + ge_s
+            f = jnp.maximum(shf, sh + go_s) + ge_s
             cand = jnp.maximum(jnp.maximum(diag, jnp.maximum(e, f)), zeros)
             bestv = jnp.maximum(bestv, cand)
             rchv = jnp.where(lane_last, cand[sb - 1:sb],
@@ -559,8 +605,8 @@ def _strip_kernel_affine(sb: int, blk: int, unroll: int,
 
         def window(win, _):
             aw_row[:] = a_ref[pl.ds(win, 1), :]
-            lch_row[:] = lch_ref[pl.ds(win, 1), :]
-            lcf_row[:] = lcf_ref[pl.ds(win, 1), :]
+            lch_row[:] = lch_ref[pl.ds(win, 1), :].astype(dt)
+            lcf_row[:] = lcf_ref[pl.ds(win, 1), :].astype(dt)
 
             def inner(q, _):
                 st = (w[:], d1[:], d1s[:], e1[:], f1[:], best[:],
@@ -574,17 +620,18 @@ def _strip_kernel_affine(sb: int, blk: int, unroll: int,
                 return ()
 
             jax.lax.fori_loop(0, LANES // unroll, inner, ())
-            rch_ref[pl.ds(win, 1), :] = rch_row[:]
-            rcf_ref[pl.ds(win, 1), :] = rcf_row[:]
+            rch_ref[pl.ds(win, 1), :] = rch_row[:].astype(jnp.int32)
+            rcf_ref[pl.ds(win, 1), :] = rcf_row[:].astype(jnp.int32)
             return ()
 
         jax.lax.fori_loop(0, blk // LANES, window, ())
-        best_out[:] = jnp.max(best[:], axis=0, keepdims=True)
+        best_out[:] = jnp.max(best[:], axis=0,
+                              keepdims=True).astype(jnp.int32)
         wt_ref[:] = w[:]
-        d1t_ref[:] = d1[:]
-        d1st_ref[:] = d1s[:]
-        e1t_ref[:] = e1[:]
-        f1t_ref[:] = f1[:]
+        d1t_ref[:] = d1[:].astype(jnp.int32)
+        d1st_ref[:] = d1s[:].astype(jnp.int32)
+        e1t_ref[:] = e1[:].astype(jnp.int32)
+        f1t_ref[:] = f1[:].astype(jnp.int32)
 
     return kernel
 
@@ -599,11 +646,11 @@ def cold_state_affine(sb: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sb", "blk", "unroll", "gap_open", "gap_extend", "interpret"))
+    "sb", "blk", "unroll", "gap_open", "gap_extend", "interpret", "f32"))
 def _run_strip_affine(b_tile, a_rows, lch, lcf, sb, blk,
                       gap_open: int, gap_extend: int,
                       unroll: int = UNROLL, interpret: bool | None = None,
-                      state: tuple | None = None):
+                      state: tuple | None = None, f32: bool = False):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if LANES % unroll != 0 or blk % LANES != 0:
@@ -619,8 +666,10 @@ def _run_strip_affine(b_tile, a_rows, lch, lcf, sb, blk,
                             memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((sb, LANES), lambda k: (0, 0),
                               memory_space=pltpu.VMEM)
+    dt = jnp.float32 if f32 else jnp.int32
     out = pl.pallas_call(
-        _strip_kernel_affine(sb, blk, unroll, gap_open, gap_extend),
+        _strip_kernel_affine(sb, blk, unroll, gap_open, gap_extend,
+                             f32=f32),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((sb, LANES), lambda k: (0, 0),
@@ -638,9 +687,11 @@ def _run_strip_affine(b_tile, a_rows, lch, lcf, sb, blk,
             jax.ShapeDtypeStruct((1, LANES), jnp.int32),
         ] + [jax.ShapeDtypeStruct((sb, LANES), jnp.int32)
              for _ in range(5)],
-        scratch_shapes=[pltpu.VMEM((sb, LANES), jnp.int32)
-                        for _ in range(6)]
-        + [pltpu.VMEM((1, LANES), jnp.int32) for _ in range(5)],
+        scratch_shapes=[pltpu.VMEM((sb, LANES), jnp.int32)]  # w (codes)
+        + [pltpu.VMEM((sb, LANES), dt) for _ in range(5)]    # d1,d1s,e1,f1,best
+        + [pltpu.VMEM((1, LANES), jnp.int32)]                # aw_row (codes)
+        + [pltpu.VMEM((1, LANES), dt) for _ in range(4)],    # lch,lcf,rch,rcf
+
         interpret=interpret,
     )(b_tile, a_rows, lch, lcf, *state)
     rch, rcf, best = out[0], out[1], out[2]
@@ -687,7 +738,7 @@ def sw_affine_score_long(
         b_tile = jnp.asarray(bt.reshape(LANES, sb).T.astype(np.int32))
         best, rch, rcf, _st = _run_strip_affine(
             b_tile, a_rows, lch, lcf, sb, blk, gap_open, gap_extend,
-            unroll=unroll, interpret=interpret)
+            unroll=unroll, interpret=interpret, f32=_f32_ok(M, N))
         lch = _shift_rows(rch, W - 1)
         lcf = _shift_rows_fill(rcf, W - 1, _NEG_LONG)
         best_dev = jnp.maximum(best_dev, jnp.max(best))
@@ -806,6 +857,7 @@ def sw_affine_score_long_sharded(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    f32 = _f32_ok(M, N)
 
     def stage_local(b_tile, a_band, a_hal, lch_in, lcf_in,
                     w0, d10, d1s0, e10, f10, flags, best_in):
@@ -829,12 +881,12 @@ def sw_affine_score_long_sharded(
         best1, rch1, rcf1, st_t = _run_strip_affine(
             b_t, a_band[0], lch_eff, lcf_eff, sb, blk,
             gap_open, gap_extend, unroll=unroll, interpret=interpret,
-            state=st0)
+            state=st0, f32=f32)
         best2, rch2, rcf2, _ = _run_strip_affine(
             b_t, a_hal[0], a_hal[0] * 0,
             a_hal[0] * 0 + _NEG_LONG, sb, Wp,
             gap_open, gap_extend, unroll=unroll, interpret=interpret,
-            state=st_t)
+            state=st_t, f32=f32)
         lch_next = jnp.concatenate(
             [rch1.reshape(-1)[W - 1 :], rch2.reshape(-1)[: W - 1]]
         ).reshape(lch_in[0].shape)
@@ -852,7 +904,7 @@ def sw_affine_score_long_sharded(
 
     spec = P(axis)
     key = (mesh, axis, sb, blk, unroll, band, gap_open, gap_extend,
-           bool(interpret), "affine")
+           bool(interpret), f32, "affine")
     stage_fn = _SHARDED_STAGE_CACHE.get(key)
     if stage_fn is None:
         stage_fn = jax.jit(shard_map(

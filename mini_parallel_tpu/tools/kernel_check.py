@@ -316,6 +316,24 @@ def check_sw_long(rng, B):
     return got == want, f"30k x 40k strips, score {got}"
 
 
+def check_sw_affine_long(rng, B):
+    from mini_parallel_tpu.ops.sw_long import (sw_affine_numpy_blocked,
+                                               sw_affine_score_long)
+
+    a = _rand_reads(rng, 1, 30_000, 30_000)[0]
+    b = _rand_reads(rng, 1, 40_000, 40_000)[0]
+    aa, bb = bytearray(a), bytearray(b)
+    seg = _rand_reads(rng, 1, 3000, 3000)[0]
+    aa[5000:8000] = seg
+    # split the planted segment with an insertion right at the strip
+    # boundary so the F carry column is load-bearing on-chip
+    ins = _rand_reads(rng, 1, 60, 60)[0]
+    bb[31_000:34_060] = seg[:1500] + ins + seg[1500:]
+    got = sw_affine_score_long(bytes(aa), bytes(bb))
+    want = sw_affine_numpy_blocked(bytes(aa), bytes(bb))
+    return got == want, f"30k x 40k affine strips, score {got}"
+
+
 CHECKS = [
     ("kadane-parity", check_kadane),
     ("sw-wavefront", check_sw),
@@ -329,6 +347,7 @@ CHECKS = [
     ("pairhmm-fwd", check_pairhmm),
     ("kmer-rle", check_kmer),
     ("sw-long-strips", check_sw_long),
+    ("sw-affine-long-strips", check_sw_affine_long),
 ]
 
 

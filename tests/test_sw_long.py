@@ -142,6 +142,24 @@ class TestSharded:
                                          interpret=True) == want
 
 
+def test_int32_fallback_matches_golden(rng, monkeypatch):
+    """MPT_SW_LONG_F32=0 pins the int32 state path — the automatic
+    fallback past the 2*min(M,N) < 2^24 f32-exactness bound; both paths
+    must match the golden."""
+    a, b = random_dna(rng, 900), random_dna(rng, 1700)
+    want = sw_score_numpy_blocked(a, b)
+    assert _long(a, b) == want  # f32 state (default at this size)
+    monkeypatch.setenv("MPT_SW_LONG_F32", "0")
+    assert _long(a, b) == want  # int32 state
+
+
+def test_f32_guard_bound():
+    from mini_parallel_tpu.ops.sw_long import _f32_ok
+
+    assert _f32_ok(1 << 23, 1 << 30) is False  # 2*min = 2^24: not exact
+    assert _f32_ok((1 << 23) - 1, 1 << 30) is True
+
+
 def test_bad_unroll_rejected(rng):
     with pytest.raises(ValueError, match="unroll"):
         sw_score_long(b"ACGT" * 100, b"ACGT" * 100, sb=8, blk=512,
@@ -188,6 +206,18 @@ class TestAffineLong:
         monkeypatch.setattr(eng, "LONG_PAIR_THRESHOLD", 1000)
         a, b = random_dna(rng, 1600), random_dna(rng, 1300)
         assert eng.score_strings(a, b) == sw_affine_numpy_blocked(a, b)
+
+    def test_int32_fallback_matches_golden(self, rng, monkeypatch):
+        from mini_parallel_tpu.ops.sw_long import (sw_affine_numpy_blocked,
+                                                   sw_affine_score_long)
+
+        a, b = random_dna(rng, 300), random_dna(rng, 700)
+        want = sw_affine_numpy_blocked(a, b)
+        assert sw_affine_score_long(a, b, sb=SB, blk=BLK,
+                                    interpret=True) == want
+        monkeypatch.setenv("MPT_SW_LONG_F32", "0")
+        assert sw_affine_score_long(a, b, sb=SB, blk=BLK,
+                                    interpret=True) == want
 
 
 class TestAffineSharded:
