@@ -127,6 +127,106 @@ def iter_read_chunks(
         yield chunk
 
 
+def iter_flat_chunks(
+    path: str,
+    chunk_size_reads: int,
+    engine: str = "auto",
+    progress: Callable[[str], None] | None = None,
+) -> Iterator[tuple["np.ndarray", "np.ndarray"]]:
+    """Yield chunks as flat (bytes, offsets) NumPy pairs.
+
+    read i of a chunk is ``flat[offs[i]:offs[i+1]]`` (offs[0] == 0,
+    offs[-1] == flat.size). This is the native decoder's own wire format
+    (fastq_reader.cpp), surfaced without materializing per-read Python
+    bytes objects — the list path costs ~1.4 µs/read in object churn,
+    which at 10k-read chunks is the single largest host charge in the
+    warm --full-wgs loop. Chunk boundaries are identical to
+    ``iter_read_chunks`` (same chunk_size_reads), so chunk-index
+    checkpoints interoperate.
+    """
+    import numpy as np
+
+    if engine in ("auto", "native"):
+        yielded = False
+        try:
+            from mini_parallel_tpu.native import fastq_native
+
+            for flat, offs in fastq_native.iter_read_chunks_native(
+                path, chunk_size_reads
+            ):
+                yielded = True
+                yield flat, offs
+            return
+        except IOError:
+            raise
+        except Exception:
+            if engine == "native" or yielded:
+                raise  # see iter_read_chunks: never re-read after yielding
+            # native plane unavailable: fall through to the Python path
+    for chunk in iter_read_chunks(path, chunk_size_reads, engine=engine,
+                                  progress=progress):
+        flat = np.frombuffer(b"".join(chunk), np.uint8)
+        offs = np.zeros(len(chunk) + 1, np.int64)
+        np.cumsum([len(r) for r in chunk], out=offs[1:])
+        yield flat, offs
+
+
+def iter_flat_chunks_multi(paths, chunk_size_reads: int, **kw):
+    """Flat chunk stream over a file list (see iter_read_chunks_multi)."""
+    for p in as_paths(paths):
+        yield from iter_flat_chunks(p, chunk_size_reads, **kw)
+
+
+def prefetch(it: Iterator, depth: int = 4) -> Iterator:
+    """Run ``it`` in a background thread with a bounded queue.
+
+    Overlaps producer work (gzip decode, record parse, flat-chunk copy)
+    with whatever the consumer does per item (pad, 2-bit pack, device
+    dispatch) — the reference's loop was strictly serial
+    (aligner.rs:143-146 processes each chunk before reading the next).
+    Producer exceptions re-raise at the consumer's next pull; abandoning
+    the generator stops the producer promptly (no leaked file handles
+    blocked on a full queue).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def run():
+        try:
+            for item in it:
+                if not _put((None, item)):
+                    return
+            _put((_END, None))
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            _put((e, None))
+
+    t = threading.Thread(target=run, daemon=True, name="mpt-prefetch")
+    t.start()
+    try:
+        while True:
+            kind, item = q.get()
+            if kind is _END:
+                return
+            if kind is not None:
+                raise kind
+            yield item
+    finally:
+        stop.set()
+
+
 def iter_read_chunks_with_quals(
     path: str,
     chunk_size_reads: int,

@@ -36,6 +36,7 @@ from mini_parallel_tpu.ops.sw_pallas import (
 from mini_parallel_tpu.utils.config import Config
 
 MIN_SELF_CHUNK_BASES = 1000  # aligner.rs:366-368: skip chunks < 1000 bases
+_EMPTY = np.empty(0, np.uint8)  # zero-length batch-pad row (scores 0)
 
 
 class SequenceTooLarge(ValueError):
@@ -544,7 +545,7 @@ class AlignmentEngine:
             prior_seconds = (ms / 1000.0 if ms is not None
                              else getattr(resume, "seconds", 0.0))
         t0 = time.perf_counter()
-        pending: list[bytes] = []
+        pending: list[np.ndarray] = []
         # device-side score accumulation: each flush contributes one device
         # scalar; nothing blocks until the single drain at file end, so host
         # decode overlaps device compute (the reference synced per chunk,
@@ -566,12 +567,12 @@ class AlignmentEngine:
                 self._warm_shapes.add(key)
             return val
 
-        def dispatch(batch: list[bytes]):
+        def dispatch(batch: list[np.ndarray]):
             """Queue one device call scoring a batch of chunk-concats;
             returns the deferred per-batch score sum."""
             # pad the *batch* to a fixed row count too: variable last-batch
             # shapes would each trigger a fresh XLA compile
-            batch = batch + [b""] * (device_batch_chunks - len(batch))
+            batch = batch + [_EMPTY] * (device_batch_chunks - len(batch))
             pad = _bucket(max(len(c) for c in batch))
             check_device_budget(len(batch) * pad)
             arr, lens = encode.pad_batch(
@@ -629,9 +630,13 @@ class AlignmentEngine:
             res.seconds = prior_seconds + (time.perf_counter() - t0)
             on_checkpoint(res)
 
-        for idx, chunk in enumerate(fastq.iter_read_chunks(
+        # flat (bytes, offsets) chunks straight off the native decoder's
+        # wire format — no per-read Python objects — with the decode thread
+        # overlapped against pad/pack/dispatch via a bounded prefetch queue
+        chunks_it = fastq.prefetch(fastq.iter_flat_chunks(
             path, self.cfg.chunk_size_reads, progress=progress
-        )):
+        ))
+        for idx, (flat, offs) in enumerate(chunks_it):
             if chunk_stride is not None:
                 # shared-file mode (parallel/distributed.plan_work): this
                 # process owns every nproc-th chunk of a file too large for
@@ -645,28 +650,39 @@ class AlignmentEngine:
                     continue
             elif idx < start_chunk:  # resume: already scored in a prior run
                 continue
-            res.total_reads += len(chunk)
+            n_reads = len(offs) - 1
+            res.total_reads += n_reads
             res.chunks += 1
             if self.mode in ("sw", "sw-affine"):
-                reads = [bytes(r) for r in chunk]
-                res.total_bases += sum(len(r) for r in reads)
-                pad = _bucket(max((len(r) for r in reads), default=1),
+                res.total_bases += int(flat.size)
+                pad = _bucket(int(np.diff(offs).max()) if n_reads else 1,
                               floor=self.cfg.read_pad)
-                key = ("reads", self.mode, pad, len(reads))
+                # bucket the ROW count too: the final partial chunk must
+                # reuse the full chunks' compiled shape, not buy its own
+                # 30-300 s remote compile (zero-length pad rows score 0 by
+                # the PAD_A-vs-PAD_B sentinel contract)
+                Bp = (n_reads if n_reads >= self.cfg.chunk_size_reads
+                      else min(self.cfg.chunk_size_reads,
+                               _bucket(n_reads, floor=128)))
+                key = ("reads", self.mode, pad, Bp)
                 try:
+                    arr_a, la = encode.pad_batch_flat(
+                        flat, offs, pad_to=pad, pad_value=int(encode.PAD_A)
+                    )
+                    if Bp != n_reads:
+                        arr_a = np.concatenate([arr_a, np.full(
+                            (Bp - n_reads, pad), encode.PAD_A, np.uint8)])
+                        la = np.concatenate(
+                            [la, np.zeros(Bp - n_reads, np.int32)])
                     if self.cfg.packed_transfer and pad % 4 == 0:
-                        arr_a, la = encode.pad_batch(
-                            reads, pad_to=pad, pad_value=int(encode.PAD_A)
-                        )
                         deferred.append(warm(
                             key, self._packed_self_sum(self.mode, arr_a, la)))
                     else:
-                        arr_a, la = encode.pad_batch(
-                            reads, pad_to=pad, pad_value=int(encode.PAD_A)
-                        )
-                        arr_b, lb = encode.pad_batch(
-                            reads, pad_to=pad, pad_value=int(encode.PAD_B)
-                        )
+                        arr_b = np.where(
+                            np.arange(pad, dtype=np.int32)[None, :]
+                            < la[:, None],
+                            arr_a, encode.PAD_B)
+                        lb = la
                         if self.mesh is not None:
                             deferred.append(warm(
                                 key,
@@ -685,12 +701,12 @@ class AlignmentEngine:
                 except Exception as e:
                     skip_failed(e)
             else:
-                concat = b"".join(chunk)
-                res.total_bases += len(concat)
-                if len(concat) < MIN_SELF_CHUNK_BASES:  # aligner.rs:366-368
+                # the flat buffer IS the chunk-concat (reads back to back)
+                res.total_bases += int(flat.size)
+                if flat.size < MIN_SELF_CHUNK_BASES:  # aligner.rs:366-368
                     pass
                 else:
-                    pending.append(concat)
+                    pending.append(flat)
                     if len(pending) >= device_batch_chunks:
                         flush()
             if on_chunk is not None:

@@ -72,8 +72,41 @@ def pad_batch(
         raise ValueError(f"sequence length {max_len} exceeds pad_to={L}")
     out = np.full((len(seqs), L), pad_value, dtype=np.uint8)
     for i, s in enumerate(seqs):
-        b = seq_to_bytes(s)
+        b = s if isinstance(s, np.ndarray) else seq_to_bytes(s)
         out[i, : len(b)] = b
+    return out, lengths
+
+
+def pad_batch_flat(
+    flat: np.ndarray,
+    offs: np.ndarray,
+    pad_to: int | None = None,
+    pad_value: int = PAD_A,
+) -> tuple[np.ndarray, np.ndarray]:
+    """pad_batch over a flat (bytes, offsets) chunk — no per-read objects.
+
+    ``flat``/``offs`` follow the io.fastq.iter_flat_chunks contract
+    (offs[0] == 0, offs[-1] == flat.size). Uniform-length batches (the
+    overwhelmingly common sequencing case) take a single reshape-copy;
+    ragged batches take one vectorized scatter. Output is bit-identical
+    to pad_batch over the equivalent list[bytes].
+    """
+    offs = np.asarray(offs, np.int64)
+    lengths = np.diff(offs).astype(np.int32)
+    B = lengths.size
+    max_len = int(lengths.max()) if B else 0
+    L = max(max_len, 1) if pad_to is None else pad_to
+    if max_len > L:
+        raise ValueError(f"sequence length {max_len} exceeds pad_to={L}")
+    out = np.full((B, L), pad_value, dtype=np.uint8)
+    if B == 0 or flat.size == 0:
+        return out, lengths
+    if max_len == int(lengths.min()):
+        out[:, :max_len] = flat.reshape(B, max_len)
+        return out, lengths
+    rows = np.repeat(np.arange(B, dtype=np.int64), lengths)
+    cols = np.arange(flat.size, dtype=np.int64) - np.repeat(offs[:-1], lengths)
+    out[rows, cols] = flat
     return out, lengths
 
 

@@ -40,3 +40,34 @@ def test_complement_code_involution():
     codes = jnp.asarray(np.arange(7, dtype=np.uint8)[None])
     twice = np.asarray(encode.complement_code(encode.complement_code(codes)))
     assert (twice == np.arange(7)).all()
+
+
+def test_pad_batch_flat_matches_pad_batch():
+    rng = np.random.default_rng(11)
+    reads = [bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=int(n)))
+             for n in rng.integers(1, 60, size=37)]
+    flat = np.frombuffer(b"".join(reads), np.uint8)
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    want, wlen = encode.pad_batch(reads, pad_to=64, pad_value=int(encode.PAD_A))
+    got, glen = encode.pad_batch_flat(flat, offs, pad_to=64,
+                                      pad_value=int(encode.PAD_A))
+    np.testing.assert_array_equal(want, got)
+    np.testing.assert_array_equal(wlen, glen)
+
+
+def test_pad_batch_flat_uniform_fast_path():
+    reads = [b"ACGT", b"TTTT", b"GGCC"]
+    flat = np.frombuffer(b"".join(reads), np.uint8)
+    offs = np.arange(0, 13, 4, np.int64)
+    got, lens = encode.pad_batch_flat(flat, offs, pad_to=8,
+                                      pad_value=int(encode.PAD_B))
+    want, _ = encode.pad_batch(reads, pad_to=8, pad_value=int(encode.PAD_B))
+    np.testing.assert_array_equal(want, got)
+    assert list(lens) == [4, 4, 4]
+
+
+def test_pad_batch_flat_empty():
+    got, lens = encode.pad_batch_flat(np.empty(0, np.uint8),
+                                      np.zeros(1, np.int64), pad_to=4)
+    assert got.shape == (0, 4) and lens.size == 0

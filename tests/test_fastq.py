@@ -92,3 +92,72 @@ def test_zcat_engine_corrupt_gz_raises(tmp_path):
     bad.write_bytes(b"this is not gzip data")
     with pytest.raises(IOError, match="zcat exited"):
         list(fastq.open_lines(str(bad), engine="zcat"))
+
+
+def test_iter_flat_chunks_matches_list_path(tmp_path):
+    import numpy as np
+
+    path = str(tmp_path / "flat.fastq.gz")
+    rng = np.random.default_rng(3)
+    reads = ["".join(rng.choice(list("ACGT"), size=int(n)))
+             for n in rng.integers(20, 180, size=257)]
+    fastq.write_fastq(path, reads)
+    lists = list(fastq.iter_read_chunks(path, 100))
+    flats = list(fastq.iter_flat_chunks(path, 100))
+    assert len(lists) == len(flats)
+    for chunk, (flat, offs) in zip(lists, flats):
+        assert offs[0] == 0 and offs[-1] == flat.size
+        got = [flat[offs[i]:offs[i + 1]].tobytes()
+               for i in range(len(offs) - 1)]
+        assert got == chunk
+
+
+def test_iter_flat_chunks_python_fallback(tmp_path):
+    import numpy as np
+
+    path = str(tmp_path / "flat2.fastq")
+    with open(path, "w") as f:
+        f.write("@a\nACGT\n+\nIIII\n@b\nTTGCA\n+\nIIIII\n")
+    (flat, offs), = list(fastq.iter_flat_chunks(path, 10, engine="python"))
+    assert flat.tobytes() == b"ACGTTTGCA"
+    assert list(offs) == [0, 4, 9]
+    assert flat.dtype == np.uint8
+
+
+def test_prefetch_preserves_order_and_exceptions():
+    import pytest
+
+    assert list(fastq.prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise ValueError("producer died")
+
+    it = fastq.prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="producer died"):
+        next(it)
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    import threading
+    import time as _time
+
+    produced = []
+
+    def gen():
+        for i in range(10_000):
+            produced.append(i)
+            yield i
+
+    it = fastq.prefetch(gen(), depth=2)
+    next(it)
+    it.close()  # abandon: producer must stop, not block forever
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        n_threads = sum(1 for t in threading.enumerate()
+                        if t.name == "mpt-prefetch" and t.is_alive())
+        if n_threads == 0:
+            break
+        _time.sleep(0.05)
+    assert len(produced) < 10_000
