@@ -77,8 +77,15 @@ def main() -> None:
         r = best(lambda: ComplementarityEngine(cfg)
                  .analyze_lane_pair(lane, lane))
         _emit("complementarity_pairs", r.pairs, r.seconds)
-        r = best(lambda: KmerEngine(cfg).count_file(lane))
+        # summary mode = the default CLI path (no --kmer-out): distinct /
+        # histogram / top-N computed device-side, count table never drained
+        r = best(lambda: KmerEngine(cfg).count_file(
+            lane, result_mode="summary"))
         _emit("kmer_k21_worst_case", r.total_reads, r.seconds,
+              extra={"distinct": r.distinct_kmers})
+        # full-drain variant (--kmer-out): ships the whole table
+        r = best(lambda: KmerEngine(cfg).count_file(lane))
+        _emit("kmer_k21_full_drain", r.total_reads, r.seconds,
               extra={"distinct": r.distinct_kmers})
         r = best(lambda: VariantPrepEngine(ref, cfg).process_file(mapped))
         _emit("variant_prep_ungapped", r.total_reads, r.seconds,
@@ -144,12 +151,20 @@ def main() -> None:
         with gzip.open(gpath, "wt", compresslevel=1) as f:
             for i, r in enumerate(greads):
                 f.write(f"@g{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+        import copy
+
         geng = VariantPrepEngine(gref, Config(chunk_size_reads=2_000),
                                  min_depth=3, alt_fraction=0.2)
-        gres = geng.process_file(gpath)
+        gres0 = geng.process_file(gpath)
+        # warm once (remote compile of the map + Pair-HMM shapes), then time
+        # the steady-state call — same warm-throughput convention as every
+        # other row; outputs must be identical call to call
+        gwarm = geng.genotype_candidates(gpath, copy.deepcopy(gres0))
         t0 = time.perf_counter()
-        gres = geng.genotype_candidates(gpath, gres)
+        gres = geng.genotype_candidates(gpath, copy.deepcopy(gres0))
         gdt = time.perf_counter() - t0
+        assert ([(c.pos, c.gt, c.gq, c.gl) for c in gres.candidates]
+                == [(c.pos, c.gt, c.gq, c.gl) for c in gwarm.candidates])
         called = sum(1 for c in gres.candidates if c.gt is not None)
         _emit("genotype_sites", called, gdt,
               extra={"reads": len(greads), "sites": len(gres.candidates)})

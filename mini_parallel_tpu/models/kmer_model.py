@@ -41,7 +41,13 @@ class KmerResult:
     total_reads: int = 0
     seconds: float = 0.0
     # (hi, lo, count) int32/int32/uint64 NumPy arrays of the distinct k-mers
+    # (empty in summary mode — the table never left the device)
     arrays: tuple = ()
+    # summary-mode payload (see DeviceKmerAccumulator.summary):
+    # multiplicity histogram (hist[c-1] = distinct k-mers seen c times,
+    # last bin = tail) and the top-N (hi, lo, count) triples
+    count_histogram: np.ndarray | None = None
+    top_items: list = field(default_factory=list)
 
     @property
     def counts(self) -> dict:
@@ -55,13 +61,35 @@ class KmerResult:
 
     def top(self, n: int = 10) -> list[tuple[str, int]]:
         if not self.arrays:
-            return []
+            return [
+                (kmer.key_to_string(h, l, self.k), c)
+                for h, l, c in self.top_items[:n]
+            ]
         hi, lo, ct = self.arrays
         order = np.lexsort((lo, hi, -ct.astype(np.int64)))[:n]
         return [
             (kmer.key_to_string(int(hi[i]), int(lo[i]), self.k), int(ct[i]))
             for i in order
         ]
+
+    def histogram(self, bins: int = 64) -> np.ndarray:
+        """Multiplicity histogram: out[c-1] = distinct k-mers with count c
+        (c < bins), out[bins-1] = tail. Uses the device-side summary when
+        present, else derives from .arrays."""
+        if self.count_histogram is not None:
+            h = self.count_histogram
+            if h.size == bins:
+                return h
+            out = np.zeros(bins, np.int64)
+            m = min(bins - 1, h.size)
+            out[:m] = h[:m]
+            out[bins - 1] = int(h[m:].sum())
+            return out
+        out = np.zeros(bins, np.int64)
+        if self.arrays:
+            ct = np.minimum(self.arrays[2].astype(np.int64), bins)
+            out[:] = np.bincount(ct, minlength=bins + 1)[1:bins + 1]
+        return out
 
     def write_counts(self, path: str) -> int:
         """Dump every distinct k-mer as "<kmer>\\t<count>" lines, sorted by
@@ -393,7 +421,8 @@ class KmerEngine:
     def _count_file_device(self, paths: list, res: KmerResult, progress,
                            start_chunk: int = 0, base: tuple = _EMPTY_ARRAYS,
                            checkpoint_path: str | None = None,
-                           checkpoint_every: int = 0) -> None:
+                           checkpoint_every: int = 0,
+                           result_mode: str = "full") -> None:
         """Single-device path: the aggregate lives in HBM; per-batch D2H is
         one deferred scalar (the batch k-mer total).
 
@@ -412,21 +441,27 @@ class KmerEngine:
         )
         totals: list = []
         chunk_size = self.cfg.chunk_size_reads
-        for idx, chunk in enumerate(
-            fastq.iter_read_chunks_multi(paths, chunk_size, progress=progress)
-        ):
+        # flat (bytes, offsets) chunks with prefetch-threaded decode: no
+        # per-read Python objects, gzip decode overlapped with pack/dispatch
+        # (same discipline as the full-WGS loop, models/alignment.py)
+        for idx, (flat, offs) in enumerate(fastq.prefetch(
+            fastq.iter_flat_chunks_multi(paths, chunk_size, progress=progress)
+        )):
             if idx < start_chunk:  # resume: counted in a prior run
                 continue
-            reads = [bytes(r) for r in chunk]
-            res.total_reads += len(reads)
-            while len(reads) < chunk_size:  # fixed slot count: no re-flush
-                reads.append(b"")
-            maxlen = max((len(r) for r in reads), default=1)
+            n_reads = len(offs) - 1
+            res.total_reads += n_reads
+            maxlen = int(np.diff(offs).max()) if n_reads else 1
             pad = max(self.cfg.read_pad, -(-(self.k + 7) // 8) * 8)
             while pad < maxlen:  # power-of-two growth: stable slab geometry
                 pad *= 2
-            arr, lens = encode.pad_batch(reads, pad_to=pad,
-                                         pad_value=int(encode.PAD_A))
+            arr, lens = encode.pad_batch_flat(flat, offs, pad_to=pad,
+                                              pad_value=int(encode.PAD_A))
+            if n_reads < chunk_size:  # fixed slot count: no re-flush
+                arr = np.concatenate([arr, np.full(
+                    (chunk_size - n_reads, pad), encode.PAD_A, np.uint8)])
+                lens = np.concatenate(
+                    [lens, np.zeros(chunk_size - n_reads, np.int32)])
             pb = packedmod.pack_batch(arr, lens)
             hi, lo, ct, nu = kmer.unique_counts_packed(
                 *packedmod.device_args(pb), k=self.k, canonical=self.canonical
@@ -447,20 +482,37 @@ class KmerEngine:
                     self._checkpoint_meta("|".join(paths), res, idx + 1),
                 )
         res.total_kmers += sum(int(t) for t in jax.device_get(totals))
+        if result_mode == "summary" and base[0].size == 0:
+            s = acc.summary()
+            if s is not None:  # exact without the host spill store
+                res.distinct_kmers = s["n_unique"]
+                res.count_histogram = s["hist"]
+                res.top_items = s["top"]
+                return
+            # spilled: exactness requires the host fold — full drain
         hi, lo, ct = merge_sorted_arrays(base, acc.drain())
         res.arrays = (hi, lo, ct)
         res.distinct_kmers = int(hi.size)
 
     def count_file(self, path, progress=None,
                    checkpoint_path: str | None = None,
-                   checkpoint_every: int = 0) -> KmerResult:
+                   checkpoint_every: int = 0,
+                   result_mode: str = "full") -> KmerResult:
         """Count one FASTQ lane — or a whole sample: ``path`` may be a LIST
         of lane files, streamed in order into one aggregate (chunk indices,
         and therefore checkpoint resume points, are global across the
         list). ``checkpoint_path`` + ``checkpoint_every`` enable
         crash-resumable counting (beyond the reference, which had no k-mer
         implementation at all): an .npz snapshot of the merged counts is
-        written every N chunks, and a rerun resumes from it exactly."""
+        written every N chunks, and a rerun resumes from it exactly.
+
+        ``result_mode="summary"`` computes distinct count, multiplicity
+        histogram, and top-N DEVICE-SIDE and never drains the count table
+        (res.arrays stays empty) — the right call when the caller doesn't
+        need the full dump (no --kmer-out): at 13M distinct keys the drain
+        is ~41.5 MB over the tunnel wire, the round-4 worst-case wall.
+        Falls back to the exact full drain whenever correctness requires
+        host-side folding (spill overflow, resume base, mesh path)."""
         paths = fastq.as_paths(path)
         joined = "|".join(paths)
         res = KmerResult(file_path=joined, k=self.k, canonical=self.canonical)
@@ -471,7 +523,7 @@ class KmerEngine:
             self._count_file_device(
                 paths, res, progress, start_chunk=start_chunk, base=base,
                 checkpoint_path=checkpoint_path,
-                checkpoint_every=checkpoint_every,
+                checkpoint_every=checkpoint_every, result_mode=result_mode,
             )
             res.seconds = time.perf_counter() - t0
             return res

@@ -1099,20 +1099,36 @@ class VariantPrepEngine:
         abs_sorted = abs_pos[order]
         site_reads: list[list] = [[] for _ in snps]
 
-        for chunk, quals in fastq.iter_read_chunks_with_quals_multi(
-            path, self.cfg.chunk_size_reads
-        ):
+        def _dispatch_map(chunk):
             reads = [bytes(r) for r in chunk]
             arr, lens, _pad = self._prep_batch(reads)
-            starts, mapped, flipped = _genotype_map_step(
+            return reads, _genotype_map_step(
                 jnp.asarray(arr), jnp.asarray(lens),
                 self.index.sorted_keys, self.index.sorted_pos,
                 self.index.ref_ascii_dev, rescue=self.rescue,
                 rescue_min_frac=self.rescue_min_frac,
             )
-            starts, mapped, flipped = jax.device_get(
-                (starts, mapped, flipped)
-            )
+
+        def _chunks():
+            # software-pipelined map pass (depth 1): chunk i+1 is dispatched
+            # before chunk i's results are fetched, so the device/tunnel
+            # round trip overlaps the host assignment loop below instead of
+            # serializing with it (each blocked fetch costs a full tunnel
+            # RTT; the old loop paid one per chunk)
+            prev = None
+            for chunk, quals in fastq.iter_read_chunks_with_quals_multi(
+                path, self.cfg.chunk_size_reads
+            ):
+                nxt = (_dispatch_map(chunk), quals)
+                if prev is not None:
+                    (reads, dev), q = prev
+                    yield reads, q, jax.device_get(dev)
+                prev = nxt
+            if prev is not None:
+                (reads, dev), q = prev
+                yield reads, q, jax.device_get(dev)
+
+        for reads, quals, (starts, mapped, flipped) in _chunks():
             for r_i, read in enumerate(reads):
                 if not mapped[r_i] or not read:
                     continue

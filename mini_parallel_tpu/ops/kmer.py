@@ -701,6 +701,41 @@ class DeviceKmerAccumulator:
             self.spill_store.merge(hi[:m], lo[:m], ct[:m])
         self.spilled = True
 
+    def summary(self, top_n: int = 10, hist_bins: int = 64):
+        """Device-side summary — NO table drain.
+
+        Returns {"n_unique": int, "hist": int64[hist_bins] (hist[c-1] =
+        number of distinct k-mers with count c for c < hist_bins; the last
+        bin aggregates counts >= hist_bins), "top": [(hi, lo, count), ...]
+        descending by count, ties broken by ascending key — identical to
+        KmerResult.top()'s host ordering on the sorted store}.
+
+        The wire cost is O(top_n + hist_bins) scalars instead of the full
+        (hi, lo, ct) table (41.5 MB compressed at 13M keys, ~1.1-1.5 s of
+        every worst-case drain through the tunnel — the round-4 wall).
+        Returns None when exactness would require the host spill store
+        (capacity overflow): callers must fall back to drain().
+        """
+        self.flush()
+        if self.spilled:
+            return None
+        if self._store is None:
+            return {"n_unique": 0,
+                    "hist": np.zeros(hist_bins, np.int64), "top": []}
+        S = _pow2_ceil(max(self._store_bound, 1),
+                       hi=self._store[0].shape[0])
+        hi_d, lo_d, ct_d = (x[:S] for x in self._store)
+        n, hist, tv, th, tl = _summary_store(
+            hi_d, lo_d, ct_d, top_n=min(top_n, S), hist_bins=hist_bins
+        )
+        import jax
+
+        n, hist, tv, th, tl = jax.device_get((n, hist, tv, th, tl))
+        top = [(int(h), int(l), int(c))
+               for c, h, l in zip(tv, th, tl) if c > 0]
+        return {"n_unique": int(n), "hist": hist.astype(np.int64),
+                "top": top}
+
     def drain(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Final fetch: (hi, lo, counts) of every distinct k-mer.
 
@@ -761,6 +796,25 @@ class DeviceKmerAccumulator:
                 order = np.lexsort((lo, hi))
                 hi, lo, ct = hi[order], lo[order], ct64[order].astype(np.int64)
         return hi, lo, ct
+
+
+@functools.partial(jax.jit, static_argnames=("top_n", "hist_bins"))
+def _summary_store(hi, lo, ct, top_n: int, hist_bins: int):
+    """Distinct count, multiplicity histogram, and top-N of a store slab.
+
+    Empty slots have ct == 0. Histogram bin b (1-based count) is exact for
+    counts 1..hist_bins-1; bin hist_bins aggregates the tail. top_k ties
+    resolve to the lower index = the smaller key (the store is key-sorted),
+    matching the host lexsort((lo, hi, -ct)) tie-break in KmerResult.top().
+    """
+    valid = ct > 0
+    n_unique = valid.astype(jnp.int32).sum()
+    idx = jnp.clip(ct, 0, hist_bins)
+    hist = jnp.zeros((hist_bins + 1,), jnp.int32).at[idx].add(
+        valid.astype(jnp.int32)
+    )[1:]  # bin 0 would count empty slots
+    tv, ti = jax.lax.top_k(jnp.where(valid, ct, jnp.int32(-1)), top_n)
+    return n_unique, hist, tv, jnp.take(hi, ti), jnp.take(lo, ti)
 
 
 def key_to_string(hi: int, lo: int, k: int = DEFAULT_K) -> str:

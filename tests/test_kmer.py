@@ -301,6 +301,7 @@ def test_kmer_checkpoint_resume_exact(tmp_path, rng, device_acc):
     # first run dies after 5 chunks; snapshots every 2 chunks
     ckpt = str(tmp_path / "kmer_ckpt.npz")
     real_iter = fastq.iter_read_chunks
+    real_flat = fastq.iter_flat_chunks
 
     def dying_iter(p, n, progress=None):
         for i, c in enumerate(real_iter(p, n, progress=progress)):
@@ -308,13 +309,21 @@ def test_kmer_checkpoint_resume_exact(tmp_path, rng, device_acc):
                 raise RuntimeError("injected crash")
             yield c
 
+    def dying_flat(p, n, **kw):
+        for i, c in enumerate(real_flat(p, n, **kw)):
+            if i == 5:
+                raise RuntimeError("injected crash")
+            yield c
+
     fastq.iter_read_chunks = dying_iter
+    fastq.iter_flat_chunks = dying_flat
     try:
         with pytest.raises(RuntimeError, match="injected crash"):
             KmerEngine(cfg, k=21, device_accumulate=device_acc).count_file(
                 path, checkpoint_path=ckpt, checkpoint_every=2)
     finally:
         fastq.iter_read_chunks = real_iter
+        fastq.iter_flat_chunks = real_flat
 
     from mini_parallel_tpu.models.kmer_model import load_kmer_checkpoint
 
@@ -397,6 +406,7 @@ def test_kmer_multi_file_sample(tmp_path, rng):
     # crash-resume across the file boundary is exact
     ckpt = str(tmp_path / "mc.npz")
     real_iter = fastq.iter_read_chunks
+    real_flat = fastq.iter_flat_chunks
     fails = {"left": 1}
 
     def dying(p, n, progress=None):
@@ -406,13 +416,22 @@ def test_kmer_multi_file_sample(tmp_path, rng):
                 raise RuntimeError("boom")
             yield c
 
+    def dying_flat(p, n, **kw):
+        for i, c in enumerate(real_flat(p, n, **kw)):
+            if p == p2 and i == 0 and fails["left"]:
+                fails["left"] -= 1
+                raise RuntimeError("boom")
+            yield c
+
     fastq.iter_read_chunks = dying
+    fastq.iter_flat_chunks = dying_flat
     try:
         with pytest.raises(RuntimeError):
             KmerEngine(cfg, k=21).count_file([p1, p2], checkpoint_path=ckpt,
                                              checkpoint_every=1)
     finally:
         fastq.iter_read_chunks = real_iter
+        fastq.iter_flat_chunks = real_flat
     res2 = KmerEngine(cfg, k=21).count_file([p1, p2], checkpoint_path=ckpt,
                                             checkpoint_every=1)
     assert res2.counts == res.counts and res2.total_reads == 21
@@ -538,3 +557,50 @@ def test_rank_merge_runs_exact(rng):
     for k_, c_ in zip(got, oc):
         got_sum[int(k_)] += int(c_)
     assert got_sum == want
+
+
+def test_summary_mode_matches_python_oracle(tmp_path):
+    from mini_parallel_tpu.io import fastq as fq
+    from mini_parallel_tpu.models.kmer_model import KmerEngine
+    from mini_parallel_tpu.utils.config import Config
+
+    rng = np.random.default_rng(17)
+    reads = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(300)]
+    reads += reads[:40]  # repeats: multi-count histogram bins
+    path = str(tmp_path / "s.fastq.gz")
+    fq.write_fastq(path, reads)
+    cfg = Config(chunk_size_reads=128)
+    eng = KmerEngine(cfg, k=11)
+    res = eng.count_file(path, result_mode="summary")
+    oracle = kmer.count_kmers_python([r.encode() for r in reads], k=11)
+    assert res.arrays == ()  # nothing drained
+    assert res.distinct_kmers == len(oracle)
+    assert res.total_kmers == sum(oracle.values())
+    # histogram parity
+    import collections
+    mult = collections.Counter(oracle.values())
+    hist = res.histogram(64)
+    for c in range(1, 64):
+        assert hist[c - 1] == mult.get(c, 0)
+    # top-N parity incl. deterministic tie-break (count desc, key asc)
+    full = eng.count_file(path)  # full drain on a fresh engine pass
+    assert res.top(10) == full.top(10)
+    assert {s: c for s, c in res.top(10)}.items() <= dict(
+        (k_, v) for k_, v in oracle.items()).items()
+
+
+def test_summary_mode_spill_falls_back_to_exact_drain(tmp_path):
+    from mini_parallel_tpu.io import fastq as fq
+    from mini_parallel_tpu.models.kmer_model import KmerEngine
+    from mini_parallel_tpu.utils.config import Config
+
+    rng = np.random.default_rng(19)
+    reads = ["".join(rng.choice(list("ACGT"), size=40)) for _ in range(200)]
+    path = str(tmp_path / "sp.fastq.gz")
+    fq.write_fastq(path, reads)
+    cfg = Config(chunk_size_reads=64)
+    eng = KmerEngine(cfg, k=9, device_capacity=256)  # forces spill
+    res = eng.count_file(path, result_mode="summary")
+    oracle = kmer.count_kmers_python([r.encode() for r in reads], k=9)
+    assert len(res.arrays) == 3  # fell back to the full exact drain
+    assert res.distinct_kmers == len(oracle)
