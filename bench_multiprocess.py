@@ -1,0 +1,239 @@
+"""N-process distributed-WGS measurement (BASELINE.md "N>=2 hosts" point).
+
+Spawns 1/2/4 REAL JAX processes over a local coordinator (CPU backend,
+exactly like tests/test_multiprocess.py) and runs the production
+distributed path (parallel/distributed.process_full_wgs_distributed) over
+a skewed 8-lane fixture, instrumenting what actually transfers to pod
+hardware:
+
+- **comm volume**: every process_allgather's payload bytes in/out and
+  call count (the path's ONLY collectives: one size-agreement gather +
+  one totals merge), plus time blocked in them;
+- **plan quality**: plan_work's makespan_bytes vs the ideal even split,
+  and the shared (chunk-strided) file set;
+- **work inflation**: aggregate busy-seconds across processes vs the
+  1-process run — chunk-striding re-decodes shared files on every
+  process, and this measures exactly what that duplication costs;
+- **correctness**: merged (files, reads, bases, score) must be identical
+  at every N.
+
+HONESTY LABEL: this host has ONE CPU core (nproc=1), so per-process WALL
+times at N>=2 are time-sliced and meaningless as a scaling measurement —
+``performance_representative: false`` on every row. The quantities above
+(bytes, call counts, skew, inflation) are load-independent and feed the
+projection in PERF.md: wall(N) ~= work_bytes/(N * decode_rate) +
+device_work/N + allgather_bytes/DCN_bw + latency * calls.
+
+Usage: python bench_multiprocess.py [--reads-scale 1.0] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+_WORKER = r"""
+import json, os, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+t_start = time.perf_counter()
+from jax.experimental import multihost_utils as _mh
+
+_orig_ag = _mh.process_allgather
+AG = {"calls": 0, "bytes_in": 0, "bytes_out": 0, "seconds": 0.0}
+
+def _traced(x, **kw):
+    t0 = time.perf_counter()
+    out = _orig_ag(x, **kw)
+    AG["seconds"] += time.perf_counter() - t0
+    AG["calls"] += 1
+    AG["bytes_in"] += int(np.asarray(x).nbytes)
+    AG["bytes_out"] += int(sum(np.asarray(o).nbytes
+                               for o in jax.tree_util.tree_leaves(out)))
+    return out
+
+_mh.process_allgather = _traced
+
+from mini_parallel_tpu.models.alignment import AlignmentEngine
+from mini_parallel_tpu.parallel import distributed
+from mini_parallel_tpu.parallel.mesh import initialize_distributed
+from mini_parallel_tpu.utils.config import Config
+
+initialize_distributed()  # must precede ANY backend use (CLAUDE.md)
+out_path = sys.argv[1]
+cfg = Config(
+    wgs_data_dir=os.environ["T_DIR"], sample_id="SC", lanes=8,
+    reads_per_lane=1, chunk_size_reads=10_000,
+)
+eng = AlignmentEngine(cfg, mode="kadane")
+t_init = time.perf_counter()
+files = cfg.wgs_file_list()
+plan = distributed.plan_work(
+    files, jax.process_count(),
+    sizes=distributed._agreed_sizes(files, jax.process_count()),
+)
+sizes = {f: distributed._stat_size(f) for f in files}
+cpu_before = time.process_time()
+t0 = time.perf_counter()
+results, merged = distributed.process_full_wgs_distributed(
+    eng, cfg, checkpoint_dir=os.environ["T_DIR"] + "/ck%d" % jax.process_index(),
+    echo=lambda *_: None,
+)
+t1 = time.perf_counter()
+json.dump({
+    "pid": jax.process_index(), "nproc": jax.process_count(),
+    "bringup_seconds": t_init - t_start,
+    "process_seconds": t1 - t0,
+    "cpu_seconds": time.process_time(),
+    "cpu_work_seconds": time.process_time() - cpu_before,
+    "local_files": len(results),
+    "local_reads": sum(r.total_reads for r in results),
+    "files": merged.files, "reads": merged.reads,
+    "bases": merged.bases, "score": merged.score,
+    "allgather": AG,
+    "plan_shared": plan.shared,
+    "plan_makespan_bytes": plan.makespan_bytes(sizes),
+    "total_bytes": sum(sizes.values()),
+}, open(out_path, "w"))
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _make_fixture(tmp: str, scale: float) -> None:
+    """8 lanes, ~6:1 byte skew: lane 1 is oversized (chunk-strided at
+    N>=2), the rest exercise LPT balancing."""
+    import gzip
+
+    rng = np.random.default_rng(0)
+    alpha = np.array(list("ACGT"))
+    lane_reads = [int(n * scale) for n in
+                  (60_000, 10_000, 10_000, 10_000, 8_000, 8_000, 7_000,
+                   7_000)]
+    for lane, n in enumerate(lane_reads, 1):
+        p = os.path.join(tmp, f"SC_L{lane:03d}_R1_001.fastq.gz")
+        with gzip.open(p, "wt", compresslevel=1) as f:
+            for i in range(n):
+                f.write(
+                    f"@r{i}\n{''.join(rng.choice(alpha, size=150))}\n+\nI\n")
+
+
+def run_n(tmp: str, nproc: int) -> list[dict]:
+    worker = os.path.join(tmp, "worker.py")
+    with open(worker, "w") as f:
+        f.write(_WORKER)
+    port = _free_port()
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            T_DIR=tmp,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES=str(nproc),
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=os.pathsep.join(
+                [os.path.dirname(os.path.abspath(__file__))] + sys.path),
+        )
+        env.pop("XLA_FLAGS", None)
+        os.makedirs(os.path.join(tmp, f"ck{pid}"), exist_ok=True)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, os.path.join(tmp, f"out_{nproc}_{pid}.json")],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        ))
+    for p in procs:
+        _, se = p.communicate(timeout=3600)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n"
+                               f"{se.decode(errors='replace')[-2000:]}")
+    return [json.load(open(os.path.join(tmp, f"out_{nproc}_{pid}.json")))
+            for pid in range(nproc)]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads-scale", type=float, default=1.0)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--sizes", default="1,2,4",
+                    help="comma-separated process counts")
+    args = ap.parse_args()
+
+    rows = []
+    with tempfile.TemporaryDirectory() as tmp:
+        _make_fixture(tmp, args.reads_scale)
+        golden = None
+        for nproc in (int(s) for s in args.sizes.split(",")):
+            t0 = time.perf_counter()
+            outs = run_n(tmp, nproc)
+            wall = time.perf_counter() - t0
+            merged = {k: outs[0][k] for k in ("files", "reads", "bases",
+                                              "score")}
+            if golden is None:
+                golden = merged
+            assert all(
+                {k: o[k] for k in merged} == golden for o in outs
+            ), f"N={nproc}: merged totals diverge from N=1"
+            row = {
+                "nproc": nproc,
+                "performance_representative": False,
+                "host_cores": os.cpu_count(),
+                "merged": merged,
+                "bit_exact_vs_1proc": merged == golden,
+                "max_wall_seconds": round(
+                    max(o["process_seconds"] for o in outs), 3),
+                "sum_cpu_seconds": round(
+                    sum(o["cpu_seconds"] for o in outs), 3),
+                "sum_cpu_work_seconds": round(
+                    sum(o["cpu_work_seconds"] for o in outs), 3),
+                "bringup_seconds_max": round(
+                    max(o["bringup_seconds"] for o in outs), 3),
+                "allgather_calls": sum(o["allgather"]["calls"]
+                                       for o in outs),
+                "allgather_bytes_out": sum(o["allgather"]["bytes_out"]
+                                           for o in outs),
+                "allgather_seconds_max": round(
+                    max(o["allgather"]["seconds"] for o in outs), 4),
+                "plan_shared_files": len(outs[0]["plan_shared"]),
+                "plan_makespan_over_ideal": round(
+                    outs[0]["plan_makespan_bytes"]
+                    / (outs[0]["total_bytes"] / nproc), 4),
+                "reads_per_local_shard": [o["local_reads"] for o in outs],
+            }
+            rows.append(row)
+            print(json.dumps(row))
+    # work inflation: extra aggregate CPU time vs 1 process (shared-file
+    # re-decode + per-process bring-up) — the load-independent overhead
+    base = next(r for r in rows if r["nproc"] == 1)
+    for r in rows:
+        # import/bring-up CPU excluded: it is per-process fixed overhead,
+        # not per-read work (3s of JAX import dwarfed small fixtures)
+        r["work_inflation"] = round(
+            r["sum_cpu_work_seconds"] / base["sum_cpu_work_seconds"], 3)
+    summary = {
+        "metric": "multiprocess_work_inflation_4proc",
+        "value": next((r["work_inflation"] for r in rows
+                       if r["nproc"] == 4), None),
+        "unit": "x_vs_1proc",
+        "rows": rows,
+    }
+    print(json.dumps({k: summary[k] for k in ("metric", "value", "unit")}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
