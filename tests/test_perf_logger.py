@@ -92,3 +92,57 @@ def test_summarize_queue_probe_utilization(tmp_path):
     assert abs(out["device_busy_fraction_est"] - expected) < 1e-3
     assert out["device_busy_fraction_est"] > 0.9   # NOT the 0.2 of counting
     assert out["queue_probe_median_ms"] == 10.0
+
+
+def test_utilization_estimators_reconciliation(tmp_path):
+    """The two utilization numbers answer different questions and must
+    diverge exactly as documented (bench_tracker.UTILIZATION_METHODOLOGY):
+    a host-bound run with per-drain wire RTT shows stall >> occupancy; a
+    device-bound overlapped run shows occupancy >> stall."""
+    import json
+    import time as _t
+
+    from mini_parallel_tpu.utils import bench_tracker as bt
+    from mini_parallel_tpu.utils.perf_logger import summarize_monitor_logs
+
+    # --- scenario A: host-bound. Drains block 2 s of a 10 s run (wire
+    # RTT), but the device queue is idle at every probe.
+    run = tmp_path / "runA"
+    run.mkdir()
+    rows = []
+    t = 1000.0
+    for _ in range(10):
+        rows.append({"t": t, "queue_probe_ms": 10.0})   # idle floor
+        t += 1.0
+    with open(run / "device_memory.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    occ = summarize_monitor_logs(str(run))["device_busy_fraction_est"]
+    assert occ == 0.0  # no probe ever waited: device queue idle
+
+    tr = bt.BenchmarkTracker(workload="t", chunk_size_reads=1, device="d",
+                             mode="kadane", results_dir=str(tmp_path))
+    tr._t0 = _t.perf_counter() - 10.0  # pretend 10 s elapsed
+    tr.add_device_seconds(2.0)
+    r = tr.finish()
+    assert abs(r.device_duty_cycle - 0.2) < 0.01  # stall = 20% >> occ = 0
+    assert r.host_info["utilization_methodology"] \
+        == bt.UTILIZATION_METHODOLOGY
+
+    # --- scenario B: device-bound, fully overlapped. Zero drain-blocked
+    # wall, but probes spend most of the elapsed time queued.
+    run = tmp_path / "runB"
+    run.mkdir()
+    rows = [{"t": 2000.0, "queue_probe_ms": 10.0},
+            {"t": 2001.0, "queue_probe_ms": 4000.0},  # 4 s stuck in queue
+            {"t": 2005.0, "queue_probe_ms": 10.0}]
+    with open(run / "device_memory.jsonl", "w") as f:
+        for r2 in rows:
+            f.write(json.dumps(r2) + "\n")
+    out = summarize_monitor_logs(str(run))
+    assert out["device_busy_fraction_est"] > 0.75  # ~3.99/5.01
+    tr = bt.BenchmarkTracker(workload="t", chunk_size_reads=1, device="d",
+                             mode="kadane", results_dir=str(tmp_path))
+    tr._t0 = _t.perf_counter() - 5.0
+    r = tr.finish()
+    assert r.device_duty_cycle is None  # no drain-blocked wall recorded
