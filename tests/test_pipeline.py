@@ -196,15 +196,15 @@ def test_full_wgs_mid_file_failure_resumes_from_chunk(tmp_path, cfg, rng,
         make_lane(tmp_path, f"TEST_L{lane:03d}_R1_001.fastq.gz", reads)
     eng = AlignmentEngine(cfg, mode="kadane")
 
-    real_iter = fastq.iter_read_chunks
+    real_flat = fastq.iter_flat_chunks
 
-    def dying_iter(path, chunk_size, progress=None):
-        for i, chunk in enumerate(real_iter(path, chunk_size, progress=progress)):
+    def dying_iter(path, chunk_size, **kw):
+        for i, chunk in enumerate(real_flat(path, chunk_size, **kw)):
             if i == 3:  # die mid-file, after the chunk-2 checkpoint
                 raise RuntimeError("injected disk error")
             yield chunk
 
-    monkeypatch.setattr(fastq, "iter_read_chunks", dying_iter)
+    monkeypatch.setattr(fastq, "iter_flat_chunks", dying_iter)
     with pytest.raises(RuntimeError, match="File 1 failed"):
         process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
                                  echo=lambda *_: None,
@@ -217,7 +217,7 @@ def test_full_wgs_mid_file_failure_resumes_from_chunk(tmp_path, cfg, rng,
     assert partial.chunks_done == 2 and partial.total_reads == 10
     assert partial.score == 4  # 2 per scored chunk
 
-    monkeypatch.setattr(fastq, "iter_read_chunks", real_iter)
+    monkeypatch.setattr(fastq, "iter_flat_chunks", real_flat)
     out = []
     results = process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
                                        echo=out.append,
@@ -343,17 +343,17 @@ def test_full_wgs_retries_recover_transient_failure(tmp_path, cfg, rng,
         make_lane(tmp_path, f"TEST_L{lane:03d}_R1_001.fastq.gz", reads)
     eng = AlignmentEngine(cfg, mode="kadane")
 
-    real_iter = fastq.iter_read_chunks
+    real_flat = fastq.iter_flat_chunks
     fails = {"left": 1}  # transient: fail once, then heal
 
-    def flaky_iter(path, chunk_size, progress=None):
-        for i, chunk in enumerate(real_iter(path, chunk_size, progress=progress)):
+    def flaky_iter(path, chunk_size, **kw):
+        for i, chunk in enumerate(real_flat(path, chunk_size, **kw)):
             if i == 3 and fails["left"]:
                 fails["left"] -= 1
                 raise RuntimeError("transient tunnel error")
             yield chunk
 
-    monkeypatch.setattr(fastq, "iter_read_chunks", flaky_iter)
+    monkeypatch.setattr(fastq, "iter_flat_chunks", flaky_iter)
     out = []
     results = process_full_wgs_dataset(eng, cfg, checkpoint_dir=str(tmp_path),
                                        echo=out.append,
