@@ -92,6 +92,11 @@ def pad_batch_flat(
     to pad_batch over the equivalent list[bytes].
     """
     offs = np.asarray(offs, np.int64)
+    if offs.size and (offs[0] != 0 or offs[-1] != flat.size):
+        raise ValueError(
+            f"offs must span flat exactly (offs[0]={offs[0]}, "
+            f"offs[-1]={offs[-1]}, flat.size={flat.size})"
+        )
     lengths = np.diff(offs).astype(np.int32)
     B = lengths.size
     max_len = int(lengths.max()) if B else 0

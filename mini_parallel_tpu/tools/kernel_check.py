@@ -262,6 +262,40 @@ def check_kmer(rng, B):
     return got == want, f"{B} reads, {len(want)} distinct 21-mers"
 
 
+def check_kmer_summary(rng, B):
+    """Device-side summary (distinct / histogram / top-N) vs the Python
+    Counter golden — exercises the bincount scatter + lax.top_k lowering
+    the no-drain path depends on (ops/kmer.py:_summary_store)."""
+    import collections
+
+    from mini_parallel_tpu.ops import encode, kmer
+    from mini_parallel_tpu.ops import packed as packedmod
+
+    reads = _rand_reads(rng, B, 40, 80)
+    reads += reads[: B // 3]  # repeats: populate multi-count bins
+    acc = kmer.DeviceKmerAccumulator(capacity=1 << 16, staging_batches=4,
+                                     lo_bits=20)
+    arr, lens = encode.pad_batch(reads, pad_to=96,
+                                 pad_value=int(encode.PAD_A))
+    pb = packedmod.pack_batch(arr, lens)
+    hi, lo, ct, _ = kmer.unique_counts_packed(*packedmod.device_args(pb),
+                                              k=21)
+    acc.add(hi, lo, ct)
+    s = acc.summary(top_n=10, hist_bins=64)
+    want = kmer.count_kmers_python(reads, k=21)
+    mult = collections.Counter(want.values())
+    hist_ok = all(int(s["hist"][c - 1]) == mult.get(c, 0)
+                  for c in range(1, 64))
+    top_want = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    top_got = [(kmer.key_to_string(h, l, 21), c) for h, l, c in s["top"]]
+    ok = (s["n_unique"] == len(want) and hist_ok
+          and {k for k, _ in top_got}
+          <= {k for k, v in want.items()
+              if v >= (top_want[-1][1] if top_want else 0)}
+          and all(want[k] == c for k, c in top_got))
+    return ok, f"{len(reads)} reads, {len(want)} distinct, top10+hist"
+
+
 def check_sw_chained(rng, B):
     import jax.numpy as jnp
 
@@ -346,6 +380,7 @@ CHECKS = [
     ("sw-affine-positions-pallas", check_positions_affine_pallas),
     ("pairhmm-fwd", check_pairhmm),
     ("kmer-rle", check_kmer),
+    ("kmer-summary", check_kmer_summary),
     ("sw-long-strips", check_sw_long),
     ("sw-affine-long-strips", check_sw_affine_long),
 ]
