@@ -83,6 +83,9 @@ plan = distributed.plan_work(
     sizes=distributed._agreed_sizes(files, jax.process_count()),
 )
 sizes = {f: distributed._stat_size(f) for f in files}
+# the plan probe above used its own _agreed_sizes allgather for REPORTING;
+# reset the trace so the committed stats cover the production path only
+AG.update(calls=0, bytes_in=0, bytes_out=0, seconds=0.0)
 cpu_before = time.process_time()
 t0 = time.perf_counter()
 results, merged = distributed.process_full_wgs_distributed(
@@ -216,12 +219,13 @@ def main() -> None:
             print(json.dumps(row))
     # work inflation: extra aggregate CPU time vs 1 process (shared-file
     # re-decode + per-process bring-up) — the load-independent overhead
-    base = next(r for r in rows if r["nproc"] == 1)
+    base = next((r for r in rows if r["nproc"] == 1), None)
     for r in rows:
         # import/bring-up CPU excluded: it is per-process fixed overhead,
         # not per-read work (3s of JAX import dwarfed small fixtures)
-        r["work_inflation"] = round(
+        r["work_inflation"] = (round(
             r["sum_cpu_work_seconds"] / base["sum_cpu_work_seconds"], 3)
+            if base else None)
     summary = {
         "metric": "multiprocess_work_inflation_4proc",
         "value": next((r["work_inflation"] for r in rows

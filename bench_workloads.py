@@ -82,11 +82,17 @@ def main() -> None:
         r = best(lambda: KmerEngine(cfg).count_file(
             lane, result_mode="summary"))
         _emit("kmer_k21_worst_case", r.total_reads, r.seconds,
-              extra={"distinct": r.distinct_kmers})
+              extra={"distinct": r.distinct_kmers,
+                     # regime label: pre-r5 rows under this metric included
+                     # the full table drain; r5+ measures the CLI-default
+                     # summary path (device-side distinct/hist/top-N, no
+                     # drain) — the drain regime now lives in
+                     # kmer_k21_full_drain
+                     "result_mode": "summary"})
         # full-drain variant (--kmer-out): ships the whole table
         r = best(lambda: KmerEngine(cfg).count_file(lane))
         _emit("kmer_k21_full_drain", r.total_reads, r.seconds,
-              extra={"distinct": r.distinct_kmers})
+              extra={"distinct": r.distinct_kmers, "result_mode": "full"})
         r = best(lambda: VariantPrepEngine(ref, cfg).process_file(mapped))
         _emit("variant_prep_ungapped", r.total_reads, r.seconds,
               extra={"mapping_rate": round(r.mapping_rate, 4)})

@@ -667,13 +667,9 @@ class AlignmentEngine:
                 key = ("reads", self.mode, pad, Bp)
                 try:
                     arr_a, la = encode.pad_batch_flat(
-                        flat, offs, pad_to=pad, pad_value=int(encode.PAD_A)
+                        flat, offs, pad_to=pad, pad_value=int(encode.PAD_A),
+                        rows_to=Bp,
                     )
-                    if Bp != n_reads:
-                        arr_a = np.concatenate([arr_a, np.full(
-                            (Bp - n_reads, pad), encode.PAD_A, np.uint8)])
-                        la = np.concatenate(
-                            [la, np.zeros(Bp - n_reads, np.int32)])
                     if self.cfg.packed_transfer and pad % 4 == 0:
                         deferred.append(warm(
                             key, self._packed_self_sum(self.mode, arr_a, la)))

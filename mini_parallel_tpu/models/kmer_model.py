@@ -61,6 +61,13 @@ class KmerResult:
 
     def top(self, n: int = 10) -> list[tuple[str, int]]:
         if not self.arrays:
+            if n > len(self.top_items) and self.distinct_kmers > len(
+                    self.top_items):
+                raise ValueError(
+                    f"summary mode kept only the top {len(self.top_items)} "
+                    f"k-mers; re-run with count_file(..., summary_top_n>="
+                    f"{n}) or result_mode='full' for top({n})"
+                )
             return [
                 (kmer.key_to_string(h, l, self.k), c)
                 for h, l, c in self.top_items[:n]
@@ -75,15 +82,21 @@ class KmerResult:
     def histogram(self, bins: int = 64) -> np.ndarray:
         """Multiplicity histogram: out[c-1] = distinct k-mers with count c
         (c < bins), out[bins-1] = tail. Uses the device-side summary when
-        present, else derives from .arrays."""
+        present, else derives from .arrays. A summary-mode histogram can
+        be re-binned DOWN exactly (tail absorbs folded bins) but never UP:
+        the stored tail cannot be un-aggregated into exact bins."""
         if self.count_histogram is not None:
             h = self.count_histogram
             if h.size == bins:
                 return h
+            if bins > h.size:
+                raise ValueError(
+                    f"summary kept {h.size} bins; cannot expand to {bins} "
+                    f"(tail bin is aggregated) — use result_mode='full'"
+                )
             out = np.zeros(bins, np.int64)
-            m = min(bins - 1, h.size)
-            out[:m] = h[:m]
-            out[bins - 1] = int(h[m:].sum())
+            out[: bins - 1] = h[: bins - 1]
+            out[bins - 1] = int(h[bins - 1:].sum())
             return out
         out = np.zeros(bins, np.int64)
         if self.arrays:
@@ -422,7 +435,8 @@ class KmerEngine:
                            start_chunk: int = 0, base: tuple = _EMPTY_ARRAYS,
                            checkpoint_path: str | None = None,
                            checkpoint_every: int = 0,
-                           result_mode: str = "full") -> None:
+                           result_mode: str = "full",
+                           summary_top_n: int = 10) -> None:
         """Single-device path: the aggregate lives in HBM; per-batch D2H is
         one deferred scalar (the batch k-mer total).
 
@@ -455,13 +469,10 @@ class KmerEngine:
             pad = max(self.cfg.read_pad, -(-(self.k + 7) // 8) * 8)
             while pad < maxlen:  # power-of-two growth: stable slab geometry
                 pad *= 2
-            arr, lens = encode.pad_batch_flat(flat, offs, pad_to=pad,
-                                              pad_value=int(encode.PAD_A))
-            if n_reads < chunk_size:  # fixed slot count: no re-flush
-                arr = np.concatenate([arr, np.full(
-                    (chunk_size - n_reads, pad), encode.PAD_A, np.uint8)])
-                lens = np.concatenate(
-                    [lens, np.zeros(chunk_size - n_reads, np.int32)])
+            arr, lens = encode.pad_batch_flat(
+                flat, offs, pad_to=pad, pad_value=int(encode.PAD_A),
+                rows_to=chunk_size,  # fixed slot count: no re-flush
+            )
             pb = packedmod.pack_batch(arr, lens)
             hi, lo, ct, nu = kmer.unique_counts_packed(
                 *packedmod.device_args(pb), k=self.k, canonical=self.canonical
@@ -483,7 +494,7 @@ class KmerEngine:
                 )
         res.total_kmers += sum(int(t) for t in jax.device_get(totals))
         if result_mode == "summary" and base[0].size == 0:
-            s = acc.summary()
+            s = acc.summary(top_n=summary_top_n)
             if s is not None:  # exact without the host spill store
                 res.distinct_kmers = s["n_unique"]
                 res.count_histogram = s["hist"]
@@ -497,7 +508,8 @@ class KmerEngine:
     def count_file(self, path, progress=None,
                    checkpoint_path: str | None = None,
                    checkpoint_every: int = 0,
-                   result_mode: str = "full") -> KmerResult:
+                   result_mode: str = "full",
+                   summary_top_n: int = 10) -> KmerResult:
         """Count one FASTQ lane — or a whole sample: ``path`` may be a LIST
         of lane files, streamed in order into one aggregate (chunk indices,
         and therefore checkpoint resume points, are global across the
@@ -524,6 +536,7 @@ class KmerEngine:
                 paths, res, progress, start_chunk=start_chunk, base=base,
                 checkpoint_path=checkpoint_path,
                 checkpoint_every=checkpoint_every, result_mode=result_mode,
+                summary_top_n=summary_top_n,
             )
             res.seconds = time.perf_counter() - t0
             return res

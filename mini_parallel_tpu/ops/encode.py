@@ -82,6 +82,7 @@ def pad_batch_flat(
     offs: np.ndarray,
     pad_to: int | None = None,
     pad_value: int = PAD_A,
+    rows_to: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """pad_batch over a flat (bytes, offsets) chunk — no per-read objects.
 
@@ -90,6 +91,11 @@ def pad_batch_flat(
     overwhelmingly common sequencing case) take a single reshape-copy;
     ragged batches take one vectorized scatter. Output is bit-identical
     to pad_batch over the equivalent list[bytes].
+
+    ``rows_to`` pads the ROW count up with all-pad zero-length rows (the
+    fixed-slot-count discipline: a partial final chunk must reuse the full
+    chunks' compiled shape, and zero-length pad rows score/count 0 by the
+    sentinel contract).
     """
     offs = np.asarray(offs, np.int64)
     if offs.size and (offs[0] != 0 or offs[-1] != flat.size):
@@ -103,14 +109,18 @@ def pad_batch_flat(
     L = max(max_len, 1) if pad_to is None else pad_to
     if max_len > L:
         raise ValueError(f"sequence length {max_len} exceeds pad_to={L}")
-    out = np.full((B, L), pad_value, dtype=np.uint8)
+    Bp = B if rows_to is None else max(rows_to, B)
+    out = np.full((Bp, L), pad_value, dtype=np.uint8)
+    if Bp != B:
+        lengths = np.concatenate([lengths, np.zeros(Bp - B, np.int32)])
     if B == 0 or flat.size == 0:
         return out, lengths
-    if max_len == int(lengths.min()):
-        out[:, :max_len] = flat.reshape(B, max_len)
+    if max_len == int(lengths[:B].min()):
+        out[:B, :max_len] = flat.reshape(B, max_len)
         return out, lengths
-    rows = np.repeat(np.arange(B, dtype=np.int64), lengths)
-    cols = np.arange(flat.size, dtype=np.int64) - np.repeat(offs[:-1], lengths)
+    rows = np.repeat(np.arange(B, dtype=np.int64), lengths[:B])
+    cols = np.arange(flat.size, dtype=np.int64) - np.repeat(offs[:-1],
+                                                            lengths[:B])
     out[rows, cols] = flat
     return out, lengths
 

@@ -213,7 +213,9 @@ class BenchmarkTracker:
                 r.steady_state_duty_cycle = min(
                     1.0, self._device_seconds / steady_wall
                 )
-        r.host_info = host_info or {}
+        # copy: the methodology annotation must not leak into the
+        # caller's dict (review round-5 finding)
+        r.host_info = dict(host_info or {})
         if r.device_seconds is not None:
             r.host_info.setdefault("utilization_methodology",
                                    UTILIZATION_METHODOLOGY)
