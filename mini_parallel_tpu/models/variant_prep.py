@@ -712,12 +712,10 @@ class VariantPrepEngine:
             ok[i, : len(qa)] = qa >= floor
         return ok
 
-    def _prep_batch(self, reads: list[bytes]):
-        """Pad + spacer-guard one batch -> (arr, lens, pad). The guard keeps
-        cross-spacer alignments impossible for EVERY consumer (pileup and
-        SAM output alike)."""
-        pad = -(-max(self.cfg.read_pad, SEED_K + 1,
-                     max((len(r) for r in reads), default=1)) // 8) * 8
+    def _pad_for(self, maxlen: int) -> int:
+        """Pad bucket + contig-spacer guard (the guard keeps cross-spacer
+        alignments impossible for EVERY consumer: pileup and SAM alike)."""
+        pad = -(-max(self.cfg.read_pad, SEED_K + 1, maxlen) // 8) * 8
         if len(self.contig_names) > 1 and 2 * pad > self.contig_spacer:
             # an alignment crossing the N spacer gains <= 2*read_len and
             # pays spacer mismatches; this bound keeps crossing impossible
@@ -726,8 +724,22 @@ class VariantPrepEngine:
                 f"(have {self.contig_spacer}); pass contig_spacer= to "
                 "VariantPrepEngine"
             )
+        return pad
+
+    def _prep_batch(self, reads: list[bytes]):
+        """Pad + spacer-guard one batch -> (arr, lens, pad)."""
+        pad = self._pad_for(max((len(r) for r in reads), default=1))
         arr, lens = encode.pad_batch(reads, pad_to=pad,
                                      pad_value=int(encode.PAD_A))
+        return arr, lens, pad
+
+    def _prep_batch_flat(self, flat: np.ndarray, offs: np.ndarray):
+        """_prep_batch over a flat (bytes, offsets) chunk — no per-read
+        Python objects (io.fastq.iter_flat_chunks wire format)."""
+        maxlen = int(np.diff(offs).max()) if len(offs) > 1 else 1
+        pad = self._pad_for(maxlen)
+        arr, lens = encode.pad_batch_flat(flat, offs, pad_to=pad,
+                                          pad_value=int(encode.PAD_A))
         return arr, lens, pad
 
     def _sharded_packed_step(self, G: int, pad: int, has_q: bool):
@@ -815,6 +827,18 @@ class VariantPrepEngine:
         mapped-count is a DEFERRED device scalar (drain with device_get)."""
         arr, lens, pad = self._prep_batch(reads)
         qmask = self._qual_mask(reads, quals, pad)
+        return self._process_prepped(arr, lens, pad, pileup_acc, qmask)
+
+    def process_flat_batch(self, flat: np.ndarray, offs: np.ndarray,
+                           pileup_acc: jnp.ndarray,
+                           ) -> tuple[jnp.ndarray, int | jnp.ndarray]:
+        """process_reads_batch over a flat (bytes, offsets) chunk — same
+        device steps, no per-read Python objects (quals-free path; the
+        quals path stays on read lists)."""
+        arr, lens, pad = self._prep_batch_flat(flat, offs)
+        return self._process_prepped(arr, lens, pad, pileup_acc, None)
+
+    def _process_prepped(self, arr, lens, pad, pileup_acc, qmask):
         G = len(self.index.ref_codes)
         if self.cfg.packed_transfer and pad % 4 == 0:
             from mini_parallel_tpu.ops import packed as packedmod
@@ -972,17 +996,25 @@ class VariantPrepEngine:
             batches = fastq.iter_read_chunks_with_quals_multi(
                 paths, self.cfg.chunk_size_reads)
         else:
-            batches = (
-                (chunk, None)
-                for chunk in fastq.iter_read_chunks_multi(
-                    paths, self.cfg.chunk_size_reads)
-            )
-        for idx, (chunk, quals) in enumerate(batches):
+            # flat (bytes, offsets) chunks, decode prefetch-threaded — no
+            # per-read Python objects (same discipline as alignment/kmer)
+            batches = fastq.prefetch(fastq.iter_flat_chunks_multi(
+                paths, self.cfg.chunk_size_reads))
+        for idx, item in enumerate(batches):
             if idx < start_chunk:  # resume: already in the saved pileup
                 continue
-            reads = [bytes(r) for r in chunk]
-            pileup, n_mapped = self.process_reads_batch(reads, pileup, quals)
-            res.total_reads += len(reads)
+            if self.min_base_quality > 0:
+                chunk, quals = item
+                reads = [bytes(r) for r in chunk]
+                n_reads = len(reads)
+                pileup, n_mapped = self.process_reads_batch(reads, pileup,
+                                                            quals)
+            else:
+                flat, offs = item
+                n_reads = len(offs) - 1
+                pileup, n_mapped = self.process_flat_batch(flat, offs,
+                                                           pileup)
+            res.total_reads += n_reads
             if isinstance(n_mapped, int):
                 res.mapped_reads += n_mapped
             else:

@@ -527,22 +527,23 @@ def test_variant_prep_checkpoint_resume_exact(tmp_path, rng, cfg,
 
     clean = VariantPrepEngine(ref, cfg, gapped=gapped).process_file(path)
 
-    # first run dies after chunk 1's snapshot
-    real_iter = fastq.iter_read_chunks
+    # first run dies after chunk 1's snapshot (patched at the flat-chunk
+    # layer the no-quals pipeline reads)
+    real_flat = fastq.iter_flat_chunks
 
-    def dying_iter(p, n, progress=None):
-        for i, c in enumerate(real_iter(p, n, progress=progress)):
+    def dying_flat(p, n, **kw):
+        for i, c in enumerate(real_flat(p, n, **kw)):
             if i == 1:
                 raise RuntimeError("injected crash")
             yield c
 
-    fastq.iter_read_chunks = dying_iter
+    fastq.iter_flat_chunks = dying_flat
     try:
         with pytest.raises(RuntimeError, match="injected crash"):
             VariantPrepEngine(ref, cfg, gapped=gapped).process_file(
                 path, checkpoint_path=ckpt, checkpoint_every=1)
     finally:
-        fastq.iter_read_chunks = real_iter
+        fastq.iter_flat_chunks = real_flat
 
     import json
 
