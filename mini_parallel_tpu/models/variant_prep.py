@@ -1161,14 +1161,20 @@ class VariantPrepEngine:
                 yield reads, q, jax.device_get(dev)
 
         for reads, quals, (starts, mapped, flipped) in _chunks():
-            for r_i, read in enumerate(reads):
-                if not mapped[r_i] or not read:
-                    continue
+            # vectorized prefilter: one searchsorted pair for the whole
+            # chunk, then Python-loop only the reads that actually cover a
+            # candidate site (the per-read searchsorted loop was O(reads)
+            # host work on WGS-scale inputs)
+            lens_v = np.fromiter((len(r) for r in reads), np.int64,
+                                 len(reads))
+            lo_v = np.searchsorted(abs_sorted, starts, "left")
+            hi_v = np.searchsorted(abs_sorted, starts + lens_v, "left")
+            covering = np.flatnonzero(
+                np.asarray(mapped, bool) & (hi_v > lo_v) & (lens_v > 0))
+            for r_i in covering:
+                read = reads[r_i]
                 p = int(starts[r_i])
-                lo = int(np.searchsorted(abs_sorted, p, "left"))
-                hi = int(np.searchsorted(abs_sorted, p + len(read), "left"))
-                if lo == hi:
-                    continue
+                lo, hi = int(lo_v[r_i]), int(hi_v[r_i])
                 q = quals[r_i] if r_i < len(quals) else b""
                 if flipped[r_i]:
                     rb, qb = read.translate(_RC_TABLE)[::-1], q[::-1]
