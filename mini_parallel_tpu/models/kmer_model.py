@@ -316,14 +316,18 @@ class KmerEngine:
             return self._store_factory(initial_capacity=1 << 22)
         return {}
 
+    def _pad_for(self, maxlen: int) -> int:
+        pad = max(self.cfg.read_pad, self.k + 7, maxlen)
+        return -(-pad // 8) * 8
+
     def count_reads_batch(self, reads: list[bytes], agg) -> tuple[int, int]:
         """Count one batch on device, merge into ``agg``. Returns
         (n_kmers_in_batch, n_reads)."""
-        pad = max(
-            self.cfg.read_pad, self.k + 7, max((len(r) for r in reads), default=1)
-        )
-        pad = -(-pad // 8) * 8
+        pad = self._pad_for(max((len(r) for r in reads), default=1))
         arr, lens = encode.pad_batch(reads, pad_to=pad, pad_value=int(encode.PAD_A))
+        return self._count_arr_batch(arr, lens, pad, agg)
+
+    def _count_arr_batch(self, arr, lens, pad, agg) -> tuple[int, int]:
         if self.mesh is not None and self.cfg.packed_transfer and pad % 4 == 0:
             return self._count_batch_sharded(arr, lens, agg)
         if self.cfg.packed_transfer and pad % 4 == 0:
@@ -346,7 +350,7 @@ class KmerEngine:
             kmer.merge_device_counts(agg, hi, lo, counts)
         else:  # native KmerStore: bulk merge in C++
             agg.merge(hi, lo, counts)
-        return int(counts.sum()), len(reads)
+        return int(counts.sum()), arr.shape[0]
 
     def _count_batch_sharded(self, arr, lens, agg) -> tuple[int, int]:
         """Sharded batch count: each shard compacts its uniques; the host
@@ -541,12 +545,17 @@ class KmerEngine:
             res.seconds = time.perf_counter() - t0
             return res
         agg = self.make_store()
-        for idx, chunk in enumerate(fastq.iter_read_chunks_multi(
-            paths, self.cfg.chunk_size_reads, progress=progress
+        for idx, (flat, offs) in enumerate(fastq.prefetch(
+            fastq.iter_flat_chunks_multi(
+                paths, self.cfg.chunk_size_reads, progress=progress)
         )):
             if idx < start_chunk:  # resume: counted in a prior run
                 continue
-            n_kmers, n_reads = self.count_reads_batch([bytes(r) for r in chunk], agg)
+            pad = self._pad_for(int(np.diff(offs).max()) if len(offs) > 1
+                                else 1)
+            arr, lens = encode.pad_batch_flat(
+                flat, offs, pad_to=pad, pad_value=int(encode.PAD_A))
+            n_kmers, n_reads = self._count_arr_batch(arr, lens, pad, agg)
             res.total_kmers += n_kmers
             res.total_reads += n_reads
             if (checkpoint_path and checkpoint_every
