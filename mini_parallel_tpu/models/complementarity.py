@@ -150,6 +150,22 @@ class ComplementarityEngine:
         pad = self._pad_for(r1, r2)
         arr1, len1 = encode.pad_batch(r1, pad_to=pad, pad_value=int(encode.PAD_A))
         arr2, len2 = encode.pad_batch(r2, pad_to=pad, pad_value=int(encode.PAD_B))
+        return self._stats_prepped(arr1, len1, arr2, len2, pad)
+
+    def _flat_stats(self, f1, o1, f2, o2, n: int):
+        """_batch_stats over the first n reads of two flat chunks — no
+        per-read Python objects (io.fastq.iter_flat_chunks wire format)."""
+        o1, o2 = o1[: n + 1], o2[: n + 1]
+        m1 = int(np.diff(o1).max()) if n else 1
+        m2 = int(np.diff(o2).max()) if n else 1
+        pad = -(-max(self.cfg.read_pad, m1, m2) // 8) * 8
+        arr1, len1 = encode.pad_batch_flat(
+            f1[: int(o1[-1])], o1, pad_to=pad, pad_value=int(encode.PAD_A))
+        arr2, len2 = encode.pad_batch_flat(
+            f2[: int(o2[-1])], o2, pad_to=pad, pad_value=int(encode.PAD_B))
+        return self._stats_prepped(arr1, len1, arr2, len2, pad)
+
+    def _stats_prepped(self, arr1, len1, arr2, len2, pad: int):
         if self.cfg.packed_transfer and pad % 4 == 0:
             p1 = packedmod.pack_batch(arr1, len1)
             p2 = packedmod.pack_batch(arr2, len2)
@@ -177,17 +193,19 @@ class ComplementarityEngine:
         t0 = time.perf_counter()
         from itertools import zip_longest
 
-        it1 = fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads)
-        it2 = fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads)
+        _empty = (np.empty(0, np.uint8), np.zeros(1, np.int64))
+        it1 = fastq.prefetch(fastq.iter_flat_chunks(
+            file1, self.cfg.chunk_size_reads))
+        it2 = fastq.prefetch(fastq.iter_flat_chunks(
+            file2, self.cfg.chunk_size_reads))
         deferred: list = []  # (n, direct_sum, comp_sum, perfect) device scalars
-        for c1, c2 in zip_longest(it1, it2, fillvalue=[]):
-            n = min(len(c1), len(c2))
-            res.unpaired_reads += max(len(c1), len(c2)) - n
+        for (f1, o1), (f2, o2) in zip_longest(it1, it2, fillvalue=_empty):
+            n1, n2 = len(o1) - 1, len(o2) - 1
+            n = min(n1, n2)
+            res.unpaired_reads += max(n1, n2) - n
             if n == 0:
                 continue
-            stats = self._batch_stats(
-                [bytes(r) for r in c1[:n]], [bytes(r) for r in c2[:n]]
-            )
+            stats = self._flat_stats(f1, o1, f2, o2, n)
             deferred.append((n, stats))
             res.pairs += n
             if progress:
