@@ -131,12 +131,13 @@ def iter_reads_native(path: str, chunk_size_reads: int) -> Iterator[list[bytes]]
         yield [data[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
 
 
-def iter_reads_with_quals_native(
+def iter_flat_with_quals_native(
     path: str, chunk_size_reads: int, avg_read_len_hint: int = 256
-) -> Iterator[tuple[list[bytes], list[bytes]]]:
-    """(sequences, quality_strings) chunks from the native decoder —
-    the quals-aware counterpart of iter_reads_native (records complete at
-    their quality line; a truncated final record gets an empty qual)."""
+) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """(seq_flat, seq_offs, qual_flat, qual_offs) chunks — the quals-aware
+    counterpart of iter_read_chunks_native (no per-read Python objects;
+    records complete at their quality line; a truncated final record gets
+    an empty qual)."""
     lib = _load()
     if not getattr(lib, "_has_quals", False):
         raise NativeUnavailable("libfastq.so predates the quals ABI; "
@@ -177,11 +178,24 @@ def iter_reads_with_quals_native(
                 qoffs = np.empty(offs.size, np.int64)
                 continue
             n = int(n)
-            data = buf[: offs[n]].tobytes()
-            qdata = qbuf[: qoffs[n]].tobytes()
-            yield (
-                [data[offs[i] : offs[i + 1]] for i in range(n)],
-                [qdata[qoffs[i] : qoffs[i + 1]] for i in range(n)],
-            )
+            yield (buf[: offs[n]].copy(), offs[: n + 1].copy(),
+                   qbuf[: qoffs[n]].copy(), qoffs[: n + 1].copy())
     finally:
         lib.fq_close(h)
+
+
+def iter_reads_with_quals_native(
+    path: str, chunk_size_reads: int, avg_read_len_hint: int = 256
+) -> Iterator[tuple[list[bytes], list[bytes]]]:
+    """(sequences, quality_strings) list chunks (wrapper over the flat
+    iterator for callers that want Python bytes)."""
+    for flat, offs, qflat, qoffs in iter_flat_with_quals_native(
+        path, chunk_size_reads, avg_read_len_hint
+    ):
+        data = flat.tobytes()
+        qdata = qflat.tobytes()
+        n = len(offs) - 1
+        yield (
+            [data[offs[i]: offs[i + 1]] for i in range(n)],
+            [qdata[qoffs[i]: qoffs[i + 1]] for i in range(n)],
+        )
