@@ -177,6 +177,52 @@ def iter_flat_chunks_multi(paths, chunk_size_reads: int, **kw):
         yield from iter_flat_chunks(p, chunk_size_reads, **kw)
 
 
+def iter_flat_chunks_with_quals(
+    path: str,
+    chunk_size_reads: int,
+    engine: str = "auto",
+) -> Iterator[tuple["np.ndarray", "np.ndarray", "np.ndarray", "np.ndarray"]]:
+    """(seq_flat, seq_offs, qual_flat, qual_offs) chunks — the quals-aware
+    flat stream (see iter_flat_chunks for the offsets contract; a record
+    with mismatched seq/qual lengths keeps both sides as decoded)."""
+    import numpy as np
+
+    if engine in ("auto", "native"):
+        yielded = False
+        try:
+            from mini_parallel_tpu.native import fastq_native
+
+            for item in fastq_native.iter_flat_with_quals_native(
+                path, chunk_size_reads
+            ):
+                yielded = True
+                yield item
+            return
+        except IOError:
+            raise
+        except Exception:
+            if engine == "native" or yielded:
+                raise  # see iter_read_chunks: never re-read after yielding
+            # native plane unavailable: fall through to the Python path
+
+    def _flatten(rows: list[bytes]):
+        flat = np.frombuffer(b"".join(rows), np.uint8)
+        offs = np.zeros(len(rows) + 1, np.int64)
+        np.cumsum([len(r) for r in rows], out=offs[1:])
+        return flat, offs
+
+    for seqs, quals in iter_read_chunks_with_quals(
+        path, chunk_size_reads, engine="python" if engine == "auto" else engine
+    ):
+        yield (*_flatten(seqs), *_flatten(quals))
+
+
+def iter_flat_chunks_with_quals_multi(paths, chunk_size_reads: int, **kw):
+    """Quals-aware flat chunk stream over a file list."""
+    for p in as_paths(paths):
+        yield from iter_flat_chunks_with_quals(p, chunk_size_reads, **kw)
+
+
 def prefetch(it: Iterator, depth: int = 4) -> Iterator:
     """Run ``it`` in a background thread with a bounded queue.
 

@@ -1131,10 +1131,9 @@ class VariantPrepEngine:
         abs_sorted = abs_pos[order]
         site_reads: list[list] = [[] for _ in snps]
 
-        def _dispatch_map(chunk):
-            reads = [bytes(r) for r in chunk]
-            arr, lens, _pad = self._prep_batch(reads)
-            return reads, _genotype_map_step(
+        def _dispatch_map(flat, offs):
+            arr, lens, _pad = self._prep_batch_flat(flat, offs)
+            return _genotype_map_step(
                 jnp.asarray(arr), jnp.asarray(lens),
                 self.index.sorted_keys, self.index.sorted_pos,
                 self.index.ref_ascii_dev, rescue=self.rescue,
@@ -1146,36 +1145,38 @@ class VariantPrepEngine:
             # before chunk i's results are fetched, so the device/tunnel
             # round trip overlaps the host assignment loop below instead of
             # serializing with it (each blocked fetch costs a full tunnel
-            # RTT; the old loop paid one per chunk)
+            # RTT; the old loop paid one per chunk). Chunks stream flat —
+            # read bytes materialize ONLY for reads that cover a site.
             prev = None
-            for chunk, quals in fastq.iter_read_chunks_with_quals_multi(
+            for fo in fastq.prefetch(fastq.iter_flat_chunks_with_quals_multi(
                 path, self.cfg.chunk_size_reads
-            ):
-                nxt = (_dispatch_map(chunk), quals)
+            )):
+                nxt = (fo, _dispatch_map(fo[0], fo[1]))
                 if prev is not None:
-                    (reads, dev), q = prev
-                    yield reads, q, jax.device_get(dev)
+                    fo_p, dev = prev
+                    yield fo_p, jax.device_get(dev)
                 prev = nxt
             if prev is not None:
-                (reads, dev), q = prev
-                yield reads, q, jax.device_get(dev)
+                fo_p, dev = prev
+                yield fo_p, jax.device_get(dev)
 
-        for reads, quals, (starts, mapped, flipped) in _chunks():
+        for (flat, offs, qflat, qoffs), (starts, mapped, flipped) \
+                in _chunks():
             # vectorized prefilter: one searchsorted pair for the whole
             # chunk, then Python-loop only the reads that actually cover a
             # candidate site (the per-read searchsorted loop was O(reads)
             # host work on WGS-scale inputs)
-            lens_v = np.fromiter((len(r) for r in reads), np.int64,
-                                 len(reads))
+            lens_v = np.diff(offs)
             lo_v = np.searchsorted(abs_sorted, starts, "left")
             hi_v = np.searchsorted(abs_sorted, starts + lens_v, "left")
             covering = np.flatnonzero(
                 np.asarray(mapped, bool) & (hi_v > lo_v) & (lens_v > 0))
             for r_i in covering:
-                read = reads[r_i]
+                read = flat[offs[r_i]: offs[r_i + 1]].tobytes()
                 p = int(starts[r_i])
                 lo, hi = int(lo_v[r_i]), int(hi_v[r_i])
-                q = quals[r_i] if r_i < len(quals) else b""
+                q = (qflat[qoffs[r_i]: qoffs[r_i + 1]].tobytes()
+                     if r_i + 1 < len(qoffs) else b"")
                 if flipped[r_i]:
                     rb, qb = read.translate(_RC_TABLE)[::-1], q[::-1]
                 else:
