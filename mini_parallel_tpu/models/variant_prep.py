@@ -733,6 +733,26 @@ class VariantPrepEngine:
                                      pad_value=int(encode.PAD_A))
         return arr, lens, pad
 
+    def _qual_mask_flat(self, qflat: np.ndarray, qoffs: np.ndarray,
+                        pad: int) -> np.ndarray | None:
+        """_qual_mask over a flat quals chunk — one vectorized scatter
+        (missing/short qual bytes pass, same as the list path)."""
+        if self.min_base_quality <= 0:
+            return None
+        B = len(qoffs) - 1
+        ok = np.ones((B, pad), bool)
+        floor = 33 + self.min_base_quality
+        qlens = np.minimum(np.diff(qoffs), pad)
+        total = int(qlens.sum())
+        if total == 0:
+            return ok
+        rows = np.repeat(np.arange(B, dtype=np.int64), qlens)
+        cols = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(qlens) - qlens, qlens))
+        vals = qflat[np.repeat(qoffs[:-1], qlens) + cols]
+        ok[rows, cols] = vals >= floor
+        return ok
+
     def _prep_batch_flat(self, flat: np.ndarray, offs: np.ndarray):
         """_prep_batch over a flat (bytes, offsets) chunk — no per-read
         Python objects (io.fastq.iter_flat_chunks wire format)."""
@@ -992,23 +1012,31 @@ class VariantPrepEngine:
         pileup = (jnp.asarray(saved_pileup) if saved_pileup is not None
                   else jnp.zeros((G, 7), jnp.int32))
         deferred: list = []  # device scalars from the fused ungapped path
+        # flat (bytes, offsets) chunks, decode prefetch-threaded — no
+        # per-read Python objects (same discipline as alignment/kmer);
+        # the quals variant carries (qual_flat, qual_offs) alongside
         if self.min_base_quality > 0:
-            batches = fastq.iter_read_chunks_with_quals_multi(
-                paths, self.cfg.chunk_size_reads)
+            batches = fastq.prefetch(fastq.iter_flat_chunks_with_quals_multi(
+                paths, self.cfg.chunk_size_reads))
         else:
-            # flat (bytes, offsets) chunks, decode prefetch-threaded — no
-            # per-read Python objects (same discipline as alignment/kmer)
             batches = fastq.prefetch(fastq.iter_flat_chunks_multi(
                 paths, self.cfg.chunk_size_reads))
         for idx, item in enumerate(batches):
             if idx < start_chunk:  # resume: already in the saved pileup
                 continue
             if self.min_base_quality > 0:
-                chunk, quals = item
-                reads = [bytes(r) for r in chunk]
-                n_reads = len(reads)
-                pileup, n_mapped = self.process_reads_batch(reads, pileup,
-                                                            quals)
+                flat, offs, qflat, qoffs = item
+                arr, lens, pad = self._prep_batch_flat(flat, offs)
+                n_reads = len(offs) - 1
+                # a truncated final record can leave quals one row short;
+                # missing rows pass (same as the list path's q = b"")
+                if len(qoffs) - 1 < n_reads:
+                    qoffs = np.concatenate([
+                        qoffs, np.full(n_reads - (len(qoffs) - 1),
+                                       qoffs[-1], qoffs.dtype)])
+                qmask = self._qual_mask_flat(qflat, qoffs, pad)
+                pileup, n_mapped = self._process_prepped(
+                    arr, lens, pad, pileup, qmask)
             else:
                 flat, offs = item
                 n_reads = len(offs) - 1
