@@ -336,6 +336,23 @@ class AlignmentEngine:
         check_device_budget(2 * len(reads_a) * pad)
         arr_a, len_a = encode.pad_batch(reads_a, pad_to=pad, pad_value=int(encode.PAD_A))
         arr_b, len_b = encode.pad_batch(reads_b, pad_to=pad, pad_value=int(encode.PAD_B))
+        return self._score_pair_arrays(arr_a, len_a, arr_b, len_b, pad,
+                                       defer)
+
+    def _score_flat_pairs(self, f1, o1, f2, o2):
+        """Deferred per-pair scores for two flat chunks (same device steps
+        as score_read_batch, no per-read Python objects)."""
+        m1 = int(np.diff(o1).max()) if len(o1) > 1 else 1
+        m2 = int(np.diff(o2).max()) if len(o2) > 1 else 1
+        pad = _bucket(max(m1, m2), floor=self.cfg.read_pad)
+        check_device_budget(2 * (len(o1) - 1) * pad)
+        arr_a, la = encode.pad_batch_flat(
+            f1[: int(o1[-1])], o1, pad_to=pad, pad_value=int(encode.PAD_A))
+        arr_b, lb = encode.pad_batch_flat(
+            f2[: int(o2[-1])], o2, pad_to=pad, pad_value=int(encode.PAD_B))
+        return self._score_pair_arrays(arr_a, la, arr_b, lb, pad, True)
+
+    def _score_pair_arrays(self, arr_a, len_a, arr_b, len_b, pad, defer):
         if self.cfg.packed_transfer and pad % 4 == 0:
             pa = packedmod.pack_batch(arr_a, len_a)
             pb = packedmod.pack_batch(arr_b, len_b)
@@ -734,15 +751,16 @@ class AlignmentEngine:
         if self.mode in ("sw", "sw-affine"):
             import jax
 
-            it1 = fastq.iter_read_chunks(file1, self.cfg.chunk_size_reads)
-            it2 = fastq.iter_read_chunks(file2, self.cfg.chunk_size_reads)
+            it1 = fastq.prefetch(fastq.iter_flat_chunks(
+                file1, self.cfg.chunk_size_reads))
+            it2 = fastq.prefetch(fastq.iter_flat_chunks(
+                file2, self.cfg.chunk_size_reads))
             deferred = []
-            for c1, c2 in zip(it1, it2):
-                n = min(len(c1), len(c2))
+            for (f1, o1), (f2, o2) in zip(it1, it2):
+                n = min(len(o1), len(o2)) - 1
                 if n:
-                    deferred.append(
-                        self.score_read_batch(c1[:n], c2[:n], defer=True).sum()
-                    )
+                    deferred.append(self._score_flat_pairs(
+                        f1, o1[: n + 1], f2, o2[: n + 1]).sum())
             total += sum(int(s) for s in jax.device_get(deferred))
         elif self.cfg.packed_transfer:
             # same cross-product semantics, but chunk2s scored in groups of
