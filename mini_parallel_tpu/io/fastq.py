@@ -343,14 +343,13 @@ def process_fastq_file_in_chunks(
 
 def count_bases(path: str, chunk_size_reads: int = 10_000) -> int:
     """Total sequence bases in a FASTQ file (aligner.rs:535-544)."""
-    total = 0
-    for chunk in iter_read_chunks(path, chunk_size_reads):
-        total += sum(len(s) for s in chunk)
-    return total
+    return sum(int(flat.size)
+               for flat, _ in iter_flat_chunks(path, chunk_size_reads))
 
 
 def count_reads(path: str, chunk_size_reads: int = 10_000) -> int:
-    return sum(len(c) for c in iter_read_chunks(path, chunk_size_reads))
+    return sum(len(offs) - 1
+               for _, offs in iter_flat_chunks(path, chunk_size_reads))
 
 
 def count_lines(path: str) -> int:
