@@ -161,3 +161,36 @@ def test_prefetch_abandoned_consumer_stops_producer():
             break
         _time.sleep(0.05)
     assert len(produced) < 10_000
+
+
+def test_iter_flat_chunks_with_quals_matches_list_path(tmp_path):
+    import gzip as _gz
+
+    import numpy as np
+
+    path = str(tmp_path / "fq.fastq.gz")
+    rng = np.random.default_rng(7)
+    with _gz.open(path, "wt") as f:
+        for i in range(137):
+            n = int(rng.integers(10, 90))
+            seq = "".join(rng.choice(list("ACGT"), size=n))
+            qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 42, n))
+            f.write(f"@r{i}\n{seq}\n+\n{qual}\n")
+    lists = list(fastq.iter_read_chunks_with_quals(path, 50))
+    flats = list(fastq.iter_flat_chunks_with_quals(path, 50))
+    assert len(lists) == len(flats)
+    for (seqs, quals), (flat, offs, qflat, qoffs) in zip(lists, flats):
+        got_s = [flat[offs[i]:offs[i + 1]].tobytes()
+                 for i in range(len(offs) - 1)]
+        got_q = [qflat[qoffs[i]:qoffs[i + 1]].tobytes()
+                 for i in range(len(qoffs) - 1)]
+        assert got_s == seqs and got_q == quals
+    # python fallback parity
+    pflats = list(fastq.iter_flat_chunks_with_quals(path, 50,
+                                                    engine="python"))
+    for (f1, o1, q1, qo1), (f2, o2, q2, qo2) in zip(flats, pflats):
+        import numpy as np
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(q1, q2)
+        np.testing.assert_array_equal(qo1, qo2)
