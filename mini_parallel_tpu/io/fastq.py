@@ -165,10 +165,18 @@ def iter_flat_chunks(
             # native plane unavailable: fall through to the Python path
     for chunk in iter_read_chunks(path, chunk_size_reads, engine=engine,
                                   progress=progress):
-        flat = np.frombuffer(b"".join(chunk), np.uint8)
-        offs = np.zeros(len(chunk) + 1, np.int64)
-        np.cumsum([len(r) for r in chunk], out=offs[1:])
-        yield flat, offs
+        yield _flatten_rows(chunk)
+
+
+def _flatten_rows(rows: list) -> tuple:
+    """list[bytes] -> the flat (bytes, offsets) contract (offs[0] == 0,
+    offs[-1] == flat.size, int64) — the ONE fallback conversion."""
+    import numpy as np
+
+    flat = np.frombuffer(b"".join(rows), np.uint8)
+    offs = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum([len(r) for r in rows], out=offs[1:])
+    return flat, offs
 
 
 def iter_flat_chunks_multi(paths, chunk_size_reads: int, **kw):
@@ -205,16 +213,10 @@ def iter_flat_chunks_with_quals(
                 raise  # see iter_read_chunks: never re-read after yielding
             # native plane unavailable: fall through to the Python path
 
-    def _flatten(rows: list[bytes]):
-        flat = np.frombuffer(b"".join(rows), np.uint8)
-        offs = np.zeros(len(rows) + 1, np.int64)
-        np.cumsum([len(r) for r in rows], out=offs[1:])
-        return flat, offs
-
     for seqs, quals in iter_read_chunks_with_quals(
         path, chunk_size_reads, engine="python" if engine == "auto" else engine
     ):
-        yield (*_flatten(seqs), *_flatten(quals))
+        yield (*_flatten_rows(seqs), *_flatten_rows(quals))
 
 
 def iter_flat_chunks_with_quals_multi(paths, chunk_size_reads: int, **kw):
@@ -230,6 +232,8 @@ def prefetch(it: Iterator, depth: int = 4) -> Iterator:
     with whatever the consumer does per item (pad, 2-bit pack, device
     dispatch) — the reference's loop was strictly serial
     (aligner.rs:143-146 processes each chunk before reading the next).
+    NOTE: any progress callback inside the wrapped iterator now fires on
+    the producer thread, up to ``depth`` chunks ahead of the consumer.
     Producer exceptions re-raise at the consumer's next pull; abandoning
     the generator stops the producer promptly (no leaked file handles
     blocked on a full queue).

@@ -127,12 +127,15 @@ class ComplementarityEngine:
     def _put_packed(self, pb):
         return packedmod.put_sharded(pb, self.mesh)
 
+    def _pad_for_len(self, maxlen: int) -> int:
+        """The one bucket rule for both the list and flat ingestion paths."""
+        return -(-max(self.cfg.read_pad, maxlen) // 8) * 8
+
     def _pad_for(self, r1: list[bytes], r2: list[bytes]) -> int:
-        return -(-max(
-            self.cfg.read_pad,
+        return self._pad_for_len(max(
             max((len(r) for r in r1), default=1),
             max((len(r) for r in r2), default=1),
-        ) // 8) * 8
+        ))
 
     def score_pairs_batch(self, r1: list[bytes], r2: list[bytes]):
         """(direct_scores, comp_scores, perfect_mask) for one mate batch."""
@@ -158,7 +161,7 @@ class ComplementarityEngine:
         o1, o2 = o1[: n + 1], o2[: n + 1]
         m1 = int(np.diff(o1).max()) if n else 1
         m2 = int(np.diff(o2).max()) if n else 1
-        pad = -(-max(self.cfg.read_pad, m1, m2) // 8) * 8
+        pad = self._pad_for_len(max(m1, m2))
         arr1, len1 = encode.pad_batch_flat(
             f1[: int(o1[-1])], o1, pad_to=pad, pad_value=int(encode.PAD_A))
         arr2, len2 = encode.pad_batch_flat(

@@ -853,8 +853,9 @@ class VariantPrepEngine:
                            pileup_acc: jnp.ndarray,
                            ) -> tuple[jnp.ndarray, int | jnp.ndarray]:
         """process_reads_batch over a flat (bytes, offsets) chunk — same
-        device steps, no per-read Python objects (quals-free path; the
-        quals path stays on read lists)."""
+        device steps, no per-read Python objects (quals-free entry; the
+        quals path streams flat too, via _prep_batch_flat +
+        _qual_mask_flat in process_file)."""
         arr, lens, pad = self._prep_batch_flat(flat, offs)
         return self._process_prepped(arr, lens, pad, pileup_acc, None)
 
@@ -1028,12 +1029,9 @@ class VariantPrepEngine:
                 flat, offs, qflat, qoffs = item
                 arr, lens, pad = self._prep_batch_flat(flat, offs)
                 n_reads = len(offs) - 1
-                # a truncated final record can leave quals one row short;
-                # missing rows pass (same as the list path's q = b"")
-                if len(qoffs) - 1 < n_reads:
-                    qoffs = np.concatenate([
-                        qoffs, np.full(n_reads - (len(qoffs) - 1),
-                                       qoffs[-1], qoffs.dtype)])
+                # both producers guarantee len(qoffs) == len(offs) (a
+                # truncated final record gets an EMPTY qual, whose 0-length
+                # row passes the mask)
                 qmask = self._qual_mask_flat(qflat, qoffs, pad)
                 pileup, n_mapped = self._process_prepped(
                     arr, lens, pad, pileup, qmask)
@@ -1203,8 +1201,7 @@ class VariantPrepEngine:
                 read = flat[offs[r_i]: offs[r_i + 1]].tobytes()
                 p = int(starts[r_i])
                 lo, hi = int(lo_v[r_i]), int(hi_v[r_i])
-                q = (qflat[qoffs[r_i]: qoffs[r_i + 1]].tobytes()
-                     if r_i + 1 < len(qoffs) else b"")
+                q = qflat[qoffs[r_i]: qoffs[r_i + 1]].tobytes()
                 if flipped[r_i]:
                     rb, qb = read.translate(_RC_TABLE)[::-1], q[::-1]
                 else:
