@@ -137,90 +137,14 @@ def _fetch_bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
-_EMPTY_ARRAYS = (np.empty(0, np.int32), np.empty(0, np.int32),
-                 np.empty(0, np.int64))
-
-
-def _combined_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
-    """(hi, lo) int32 limb pairs -> uint64 keys preserving the SIGNED lex
-    order the device store uses (k=31 hi limbs fill 32 bits, so the sign
-    bit is live there; biasing hi by 2^31 maps signed order to unsigned)."""
-    uhi = (hi.astype(np.int64) + np.int64(1 << 31)).astype(np.uint64)
-    ulo = (lo.astype(np.int64) & np.int64(0xFFFFFFFF)).astype(np.uint64)
-    return (uhi << np.uint64(32)) | ulo
-
-
-def _keys_if_sorted_unique(hi: np.ndarray, lo: np.ndarray):
-    """Combined uint64 keys when (hi, lo) is strictly ascending, else None.
-
-    Builds the keys ONCE so callers can reuse them for searchsorted — the
-    hot 13M-key final fold must not pay four O(n) key passes (review
-    round-3 finding)."""
-    k = _combined_keys(hi, lo)
-    if k.size < 2 or bool(np.all(k[1:] > k[:-1])):
-        return k
-    return None
-
-
-def merge_sorted_arrays(a: tuple, b: tuple) -> tuple:
-    """Merge two (hi, lo, count) triples into one sorted, deduplicated triple
-    (int64 counts). Host-side; used by the checkpoint base fold and the
-    engine's final (base, drain) fold.
-
-    Each input is expected sorted+unique (the drain/checkpoint contract),
-    letting an empty-side call return the other side directly (the common
-    final fold — the old unconditional lexsort cost seconds at 13M keys).
-    The two-sided case exploits per-side uniqueness harder than a generic
-    rank merge: a key can appear at most once per side, so duplicate
-    counts fold DIRECTLY into b's slot (one indexed add, no reduceat) and
-    the surviving a-keys scatter straight to their merged ranks — writes
-    at strictly-increasing positions, no permutation gathers, no RLE pass
-    (the old permute+reduceat path spent ~75% of a 13M+8M fold in random
-    gathers and np.add.reduceat). Unsorted inputs still work: a cheap
-    monotonicity check falls back to a lexsort + RLE path."""
-    ka = _keys_if_sorted_unique(a[0], a[1])
-    kb = _keys_if_sorted_unique(b[0], b[1])
-    if a[0].size == 0 and kb is not None:
-        return b[0], b[1], b[2].astype(np.int64)
-    if b[0].size == 0 and ka is not None:
-        return a[0], a[1], a[2].astype(np.int64)
-    if a[0].size and b[0].size and ka is not None and kb is not None:
-        # keys present on both sides: each matches at most ONE b slot
-        pos = np.searchsorted(kb, ka, side="left")
-        inb = pos < kb.size
-        match = np.zeros(ka.size, bool)
-        match[inb] = kb[pos[inb]] == ka[inb]
-        ct_b = b[2].astype(np.int64).copy()
-        ct_b[pos[match]] += a[2][match].astype(np.int64)
-        keep = ~match
-        ka_u = ka[keep]
-        # merged rank = own index + rank in the other run (no ties left);
-        # pos[keep] IS the kept keys' rank in kb — don't re-searchsorted
-        ra = pos[keep] + np.arange(ka_u.size)
-        rb = np.searchsorted(ka_u, kb, side="left") + np.arange(kb.size)
-        n = ka_u.size + kb.size
-        hi = np.empty(n, a[0].dtype)
-        lo = np.empty(n, a[1].dtype)
-        ct = np.empty(n, np.int64)
-        hi[ra] = a[0][keep]
-        hi[rb] = b[0]
-        lo[ra] = a[1][keep]
-        lo[rb] = b[1]
-        ct[ra] = a[2][keep].astype(np.int64)
-        ct[rb] = ct_b
-        return hi, lo, ct
-    hi = np.concatenate([a[0], b[0]])
-    lo = np.concatenate([a[1], b[1]])
-    ct = np.concatenate([a[2].astype(np.int64), b[2].astype(np.int64)])
-    if hi.size == 0:
-        return _EMPTY_ARRAYS
-    order = np.lexsort((lo, hi))
-    hi, lo, ct = hi[order], lo[order], ct[order]
-    new = np.empty(hi.size, bool)
-    new[0] = True
-    new[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
-    idx = np.flatnonzero(new)
-    return hi[idx], lo[idx], np.add.reduceat(ct, idx)
+# sorted-triple fold helpers live in ops/kmer.py (the accumulator's spill
+# path folds with them); re-exported here for existing importers/tests
+from mini_parallel_tpu.ops.kmer import (  # noqa: E402,F401
+    _EMPTY_ARRAYS,
+    _combined_keys,
+    _keys_if_sorted_unique,
+    merge_sorted_arrays,
+)
 
 
 def save_kmer_checkpoint(path: str, arrays: tuple, meta: dict) -> None:
@@ -454,9 +378,7 @@ class KmerEngine:
         if cap is None:
             cap = 1 << 25 if jax.default_backend() == "tpu" else 1 << 20
         lo_bits = 2 * (self.k // 2)  # pack_kmers' lo-word width
-        acc = kmer.DeviceKmerAccumulator(
-            capacity=cap, spill_store=self.make_store(), lo_bits=lo_bits
-        )
+        acc = kmer.DeviceKmerAccumulator(capacity=cap, lo_bits=lo_bits)
         totals: list = []
         chunk_size = self.cfg.chunk_size_reads
         # flat (bytes, offsets) chunks with prefetch-threaded decode: no
@@ -488,9 +410,8 @@ class KmerEngine:
                 res.total_kmers += sum(int(t) for t in jax.device_get(totals))
                 totals.clear()
                 base = merge_sorted_arrays(base, acc.drain())
-                acc = kmer.DeviceKmerAccumulator(  # fresh: drain() folded the
-                    capacity=cap, spill_store=self.make_store(),  # old spill
-                    lo_bits=lo_bits,
+                acc = kmer.DeviceKmerAccumulator(  # fresh: drain() folded
+                    capacity=cap, lo_bits=lo_bits,  # the old spill already
                 )
                 save_kmer_checkpoint(
                     checkpoint_path, base,

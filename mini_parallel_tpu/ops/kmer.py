@@ -518,15 +518,105 @@ def _bucket_ceil(n: int, lo: int = 8, hi: int | None = None,
     return min(b, hi) if hi is not None else b
 
 
+_EMPTY_ARRAYS = (np.empty(0, np.int32), np.empty(0, np.int32),
+                 np.empty(0, np.int64))
+
+
+def _combined_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """(hi, lo) int32 limb pairs -> uint64 keys preserving the SIGNED lex
+    order the device store uses (k=31 hi limbs fill 32 bits, so the sign
+    bit is live there; biasing hi by 2^31 maps signed order to unsigned)."""
+    uhi = (hi.astype(np.int64) + np.int64(1 << 31)).astype(np.uint64)
+    ulo = (lo.astype(np.int64) & np.int64(0xFFFFFFFF)).astype(np.uint64)
+    return (uhi << np.uint64(32)) | ulo
+
+
+def _keys_if_sorted_unique(hi: np.ndarray, lo: np.ndarray):
+    """Combined uint64 keys when (hi, lo) is strictly ascending, else None.
+
+    Builds the keys ONCE so callers can reuse them for searchsorted — the
+    hot 13M-key final fold must not pay four O(n) key passes (review
+    round-3 finding)."""
+    k = _combined_keys(hi, lo)
+    if k.size < 2 or bool(np.all(k[1:] > k[:-1])):
+        return k
+    return None
+
+
+def merge_sorted_arrays(a: tuple, b: tuple) -> tuple:
+    """Merge two (hi, lo, count) triples into one sorted, deduplicated triple
+    (int64 counts). Host-side; used by the checkpoint base fold and the
+    engine's final (base, drain) fold.
+
+    Each input is expected sorted+unique (the drain/checkpoint contract),
+    letting an empty-side call return the other side directly (the common
+    final fold — the old unconditional lexsort cost seconds at 13M keys).
+    The two-sided case exploits per-side uniqueness harder than a generic
+    rank merge: a key can appear at most once per side, so duplicate
+    counts fold DIRECTLY into b's slot (one indexed add, no reduceat) and
+    the surviving a-keys scatter straight to their merged ranks — writes
+    at strictly-increasing positions, no permutation gathers, no RLE pass
+    (the old permute+reduceat path spent ~75% of a 13M+8M fold in random
+    gathers and np.add.reduceat). Unsorted inputs still work: a cheap
+    monotonicity check falls back to a lexsort + RLE path."""
+    ka = _keys_if_sorted_unique(a[0], a[1])
+    kb = _keys_if_sorted_unique(b[0], b[1])
+    if a[0].size == 0 and kb is not None:
+        return b[0], b[1], b[2].astype(np.int64)
+    if b[0].size == 0 and ka is not None:
+        return a[0], a[1], a[2].astype(np.int64)
+    if a[0].size and b[0].size and ka is not None and kb is not None:
+        # keys present on both sides: each matches at most ONE b slot
+        pos = np.searchsorted(kb, ka, side="left")
+        inb = pos < kb.size
+        match = np.zeros(ka.size, bool)
+        match[inb] = kb[pos[inb]] == ka[inb]
+        ct_b = b[2].astype(np.int64).copy()
+        ct_b[pos[match]] += a[2][match].astype(np.int64)
+        keep = ~match
+        ka_u = ka[keep]
+        # merged rank = own index + rank in the other run (no ties left);
+        # pos[keep] IS the kept keys' rank in kb — don't re-searchsorted
+        ra = pos[keep] + np.arange(ka_u.size)
+        rb = np.searchsorted(ka_u, kb, side="left") + np.arange(kb.size)
+        n = ka_u.size + kb.size
+        hi = np.empty(n, a[0].dtype)
+        lo = np.empty(n, a[1].dtype)
+        ct = np.empty(n, np.int64)
+        hi[ra] = a[0][keep]
+        hi[rb] = b[0]
+        lo[ra] = a[1][keep]
+        lo[rb] = b[1]
+        ct[ra] = a[2][keep].astype(np.int64)
+        ct[rb] = ct_b
+        return hi, lo, ct
+    hi = np.concatenate([a[0], b[0]])
+    lo = np.concatenate([a[1], b[1]])
+    ct = np.concatenate([a[2].astype(np.int64), b[2].astype(np.int64)])
+    if hi.size == 0:
+        return _EMPTY_ARRAYS
+    order = np.lexsort((lo, hi))
+    hi, lo, ct = hi[order], lo[order], ct[order]
+    new = np.empty(hi.size, bool)
+    new[0] = True
+    new[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    idx = np.flatnonzero(new)
+    return hi[idx], lo[idx], np.add.reduceat(ct, idx)
+
+
+
 class DeviceKmerAccumulator:
     """Cross-batch k-mer aggregate kept entirely in HBM.
 
     add() appends a batch's compacted uniques (fixed slot count per batch)
     into device staging; a sorted merge folds staging into the store every
     ``staging_batches`` appends. drain() does the single device->host fetch.
-    If the distinct count ever exceeds ``capacity``, the store spills to the
-    host ``spill_store`` (native KmerStore or dict) and restarts empty, so
-    results stay exact at any cardinality.
+    If the distinct count ever exceeds ``capacity``, the store spills to a
+    host-side SORTED (hi, lo, ct) triple — each spill is already sorted+
+    unique (the fold contract), so spills fold with the rank merge
+    (merge_sorted_arrays) instead of hash-store inserts, and the final
+    drain needs no full-table lexsort — and restarts empty, so results
+    stay exact at any cardinality.
     """
 
     # upper bound on staging slots (~800 MB at 3 x int32): staging_batches
@@ -534,7 +624,7 @@ class DeviceKmerAccumulator:
     MAX_STAGING_SLOTS = 1 << 26
 
     def __init__(self, capacity: int = 1 << 25, staging_batches: int = 40,
-                 spill_store=None, lo_bits: int = 32):
+                 lo_bits: int = 32):
         # staging 40 (vs 8) measured +9% on the all-distinct worst case:
         # fewer store folds for the same total sort work
         self.capacity = capacity
@@ -543,7 +633,7 @@ class DeviceKmerAccumulator:
         # lets the drain codec take deltas in the tight key embedding
         # (see _delta_limbs) — kp 5 -> 3 on the 13M-key worst case
         self.lo_bits = lo_bits
-        self.spill_store = spill_store if spill_store is not None else {}
+        self._spill_arrays = _EMPTY_ARRAYS  # sorted+unique host fold
         self.spilled = False
         self._store = None  # (hi, lo, ct) device arrays, sorted+compacted
         self._staging = None  # (hi, lo, ct) device arrays, append-only
@@ -693,12 +783,14 @@ class DeviceKmerAccumulator:
         self._after_fold(reset_staging)
 
     def _spill(self, hi, lo, ct) -> None:
-        hi, lo, ct = np.asarray(hi), np.asarray(lo), np.asarray(ct)
-        m = int((ct > 0).sum())
-        if isinstance(self.spill_store, dict):
-            merge_device_counts(self.spill_store, hi[:m], lo[:m], ct[:m])
-        else:
-            self.spill_store.merge(hi[:m], lo[:m], ct[:m])
+        # compressed fetch (same codec as drain): the old raw np.asarray
+        # shipped the full 3-slab pre-truncation arrays per overflow —
+        # ~60 s of an on-chip 70 s forced-spill profile was these fetches.
+        # The host fold is a rank merge of sorted+unique triples (the
+        # store-fold contract guarantees both sides), replacing hash-store
+        # inserts + a final full-table lexsort.
+        self._spill_arrays = merge_sorted_arrays(
+            self._spill_arrays, self._fetch_triple(hi, lo, ct))
         self.spilled = True
 
     def summary(self, top_n: int = 10, hist_bins: int = 64):
@@ -736,65 +828,63 @@ class DeviceKmerAccumulator:
         return {"n_unique": int(n), "hist": hist.astype(np.int64),
                 "top": top}
 
+    def _fetch_triple(self, hi_d, lo_d, ct_d):
+        """Compressed fetch of the valid prefix of a sorted, compacted
+        (hi, lo, ct) device triple -> host int32/int32/int64 arrays.
+
+        Shared by drain() AND _spill(): delta + byte-plane compressed
+        (~3x fewer wire bytes; see _plane_pack). Deltas wrap mod 2^64 and
+        the host cumsum unwraps them, so this is exact for ANY key
+        ordering — only the ratio depends on sortedness. Eighth-octave
+        buckets: the fetch is the wall, so <=12.5% slack beats
+        one-shape-per-octave compile thrift. Small triples (or
+        MPT_KMER_RAW_DRAIN) take the raw bucketed slice."""
+        import os
+
+        cap = hi_d.shape[0]
+        m = int((ct_d > 0).sum())
+        if (m > COMPRESS_MIN_KEYS
+                and not os.environ.get("MPT_KMER_RAW_DRAIN")):
+            b = _bucket_ceil(m, lo=1 << 10, hi=cap)
+            s = self.lo_bits
+            hi_b, lo_b, ct_b = hi_d[:b], lo_d[:b], ct_d[:b]
+            mx = np.asarray(_plane_maxima(hi_b, lo_b, ct_b, s=s))
+            mx_lo, mx_hi, mx_ct, k0_hi, k0_lo = (int(x) for x in mx)
+            kp = (4 + _planes_needed(mx_hi)) if mx_hi \
+                else _planes_needed(mx_lo)
+            # all-ones counts (the all-distinct worst case) ship ZERO
+            # count planes — the decoder reconstructs them (25% of the
+            # wire on a 13M-key worst-case drain)
+            cp = 0 if mx_ct == 1 else _planes_needed(mx_ct)
+            planes = np.asarray(_plane_pack(hi_b, lo_b, ct_b, kp, cp, s=s))
+            key0 = (k0_hi << 32) | k0_lo
+            return _decode_planes(planes, m, kp, cp, key0, s=s)
+        b = _pow2_ceil(m, lo=1 << 10, hi=cap)
+        hi = np.asarray(hi_d[:b])[:m]
+        lo = np.asarray(lo_d[:b])[:m]
+        ct = np.asarray(ct_d[:b])[:m].astype(np.int64)
+        return hi, lo, ct
+
     def drain(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Final fetch: (hi, lo, counts) of every distinct k-mer.
 
         Fetches only the used prefix of the store: one scalar round trip
-        for the distinct count, then power-of-two-bucketed slices — the
+        for the distinct count, then compressed bucketed slices — the
         full capacity slab is 3 x 128 MB at the default 1<<25, a drain-time
         wall on thin links when the data is repetitive (distinct <<
         capacity)."""
-        import os
-
         self.flush()
         if self._store is not None:
             hi_d, lo_d, ct_d = self._store
-            m = int((ct_d > 0).sum())
-            if (m > COMPRESS_MIN_KEYS
-                    and not os.environ.get("MPT_KMER_RAW_DRAIN")):
-                # delta + byte-plane compressed fetch (~3x fewer wire
-                # bytes; see _plane_pack). Deltas wrap mod 2^64 and the
-                # host cumsum unwraps them, so this is exact for ANY key
-                # ordering — only the ratio depends on sortedness.
-                # Eighth-octave buckets: the fetch is the drain's wall, so
-                # <=12.5% slack beats one-shape-per-octave compile thrift.
-                b = _bucket_ceil(m, lo=1 << 10,
-                                 hi=min(self.capacity, hi_d.shape[0]))
-                s = self.lo_bits
-                hi_b, lo_b, ct_b = hi_d[:b], lo_d[:b], ct_d[:b]
-                mx = np.asarray(_plane_maxima(hi_b, lo_b, ct_b, s=s))
-                mx_lo, mx_hi, mx_ct, k0_hi, k0_lo = (int(x) for x in mx)
-                kp = (4 + _planes_needed(mx_hi)) if mx_hi \
-                    else _planes_needed(mx_lo)
-                # all-ones counts (the all-distinct worst case) ship ZERO
-                # count planes — the decoder reconstructs them (25% of the
-                # wire on a 13M-key worst-case drain)
-                cp = 0 if mx_ct == 1 else _planes_needed(mx_ct)
-                planes = np.asarray(_plane_pack(hi_b, lo_b, ct_b, kp, cp,
-                                                s=s))
-                key0 = (k0_hi << 32) | k0_lo
-                hi, lo, ct = _decode_planes(planes, m, kp, cp, key0, s=s)
-            else:
-                b = _pow2_ceil(m, lo=1 << 10,
-                               hi=min(self.capacity, hi_d.shape[0]))
-                hi = np.asarray(hi_d[:b])[:m]
-                lo = np.asarray(lo_d[:b])[:m]
-                ct = np.asarray(ct_d[:b])[:m].astype(np.int64)
+            hi, lo, ct = self._fetch_triple(hi_d, lo_d, ct_d)
         else:
             hi = np.empty(0, np.int32)
             lo, ct = hi.copy(), np.empty(0, np.int64)
         if self.spilled:  # fold the device remainder into the host spill
-            if isinstance(self.spill_store, dict):
-                merge_device_counts(self.spill_store, hi, lo, ct)
-                items = sorted(self.spill_store.items())
-                hi = np.fromiter((k[0] for k, _ in items), np.int32, len(items))
-                lo = np.fromiter((k[1] for k, _ in items), np.int32, len(items))
-                ct = np.fromiter((v for _, v in items), np.int64, len(items))
-            else:
-                self.spill_store.merge(hi, lo, ct.astype(np.int32))
-                hi, lo, ct64 = self.spill_store.items_arrays()
-                order = np.lexsort((lo, hi))
-                hi, lo, ct = hi[order], lo[order], ct64[order].astype(np.int64)
+            # both sides sorted+unique -> rank merge; output order is the
+            # signed (hi, lo) lex order the old lexsort/dict-sort produced
+            hi, lo, ct = merge_sorted_arrays(self._spill_arrays,
+                                             (hi, lo, ct))
         return hi, lo, ct
 
 
