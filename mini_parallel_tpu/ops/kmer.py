@@ -634,6 +634,13 @@ class DeviceKmerAccumulator:
         # (see _delta_limbs) — kp 5 -> 3 on the 13M-key worst case
         self.lo_bits = lo_bits
         self._spill_arrays = _EMPTY_ARRAYS  # sorted+unique host fold
+        # spills fetch+fold on a background worker: the device arrays are
+        # immutable, so counting continues on a fresh store while the host
+        # does its ~10-20 s of fetch + rank merge per overflow (inline it
+        # was the spill regime's wall after the codec fix: merges 37 s of
+        # a 90 s 1.25M-read lane). One worker serializes the folds.
+        self._spill_thread = None
+        self._spill_error = None
         self.spilled = False
         self._store = None  # (hi, lo, ct) device arrays, sorted+compacted
         self._staging = None  # (hi, lo, ct) device arrays, append-only
@@ -788,10 +795,36 @@ class DeviceKmerAccumulator:
         # ~60 s of an on-chip 70 s forced-spill profile was these fetches.
         # The host fold is a rank merge of sorted+unique triples (the
         # store-fold contract guarantees both sides), replacing hash-store
-        # inserts + a final full-table lexsort.
-        self._spill_arrays = merge_sorted_arrays(
-            self._spill_arrays, self._fetch_triple(hi, lo, ct))
+        # inserts + a final full-table lexsort. Both run on the background
+        # worker; `hi/lo/ct` are immutable device arrays, safe to read
+        # after the store restarts.
+        import threading
+
+        prev = self._spill_thread
+
+        def fold():
+            try:
+                if prev is not None:
+                    prev.join()
+                if self._spill_error is not None:
+                    return
+                self._spill_arrays = merge_sorted_arrays(
+                    self._spill_arrays, self._fetch_triple(hi, lo, ct))
+            except BaseException as e:  # noqa: BLE001 — re-raised at drain
+                self._spill_error = e
+
+        self._spill_thread = threading.Thread(
+            target=fold, daemon=True, name="mpt-kmer-spill")
+        self._spill_thread.start()
         self.spilled = True
+
+    def _join_spills(self) -> None:
+        if self._spill_thread is not None:
+            self._spill_thread.join()
+            self._spill_thread = None
+        if self._spill_error is not None:
+            e, self._spill_error = self._spill_error, None
+            raise e
 
     def summary(self, top_n: int = 10, hist_bins: int = 64):
         """Device-side summary — NO table drain.
@@ -883,6 +916,7 @@ class DeviceKmerAccumulator:
         if self.spilled:  # fold the device remainder into the host spill
             # both sides sorted+unique -> rank merge; output order is the
             # signed (hi, lo) lex order the old lexsort/dict-sort produced
+            self._join_spills()  # background folds must land (or raise)
             hi, lo, ct = merge_sorted_arrays(self._spill_arrays,
                                              (hi, lo, ct))
         return hi, lo, ct
