@@ -163,8 +163,11 @@ def iter_flat_chunks(
             if engine == "native" or yielded:
                 raise  # see iter_read_chunks: never re-read after yielding
             # native plane unavailable: fall through to the Python path
-    for chunk in iter_read_chunks(path, chunk_size_reads, engine=engine,
-                                  progress=progress):
+    for chunk in iter_read_chunks(
+        path, chunk_size_reads,
+        engine="python" if engine == "auto" else engine,  # native already
+        progress=progress,                                # failed above
+    ):
         yield _flatten_rows(chunk)
 
 

@@ -49,9 +49,18 @@ class KmerResult:
     count_histogram: np.ndarray | None = None
     top_items: list = field(default_factory=list)
 
+    def _require_full(self, what: str) -> None:
+        if not self.arrays and self.distinct_kmers > 0:
+            raise ValueError(
+                f"{what} needs the full count table, but this result is "
+                f"summary-mode (the table never left the device); re-run "
+                f"with result_mode='full' (CLI: --kmer-out)"
+            )
+
     @property
     def counts(self) -> dict:
         """(hi, lo) -> count dict. O(distinct): use .arrays for large runs."""
+        self._require_full("counts")
         if not self.arrays:
             return {}
         hi, lo, ct = self.arrays
@@ -88,7 +97,7 @@ class KmerResult:
         if self.count_histogram is not None:
             h = self.count_histogram
             if h.size == bins:
-                return h
+                return h.copy()  # never hand out the stored array
             if bins > h.size:
                 raise ValueError(
                     f"summary kept {h.size} bins; cannot expand to {bins} "
@@ -110,6 +119,7 @@ class KmerResult:
         downstream tools consume. Returns the number of records written."""
         import gzip
 
+        self._require_full("write_counts")
         opener = gzip.open if path.endswith(".gz") else open
         if not self.arrays:
             # a .gz path must still be a valid (empty) gzip member, not 0 bytes

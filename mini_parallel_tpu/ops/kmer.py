@@ -823,8 +823,13 @@ class DeviceKmerAccumulator:
             self._spill_thread.join()
             self._spill_thread = None
         if self._spill_error is not None:
-            e, self._spill_error = self._spill_error, None
-            raise e
+            # the flag stays SET (accumulator poisoned): spill folds after
+            # the failure were skipped, so any later drain() would return a
+            # silent undercount — every retry must fail loudly instead
+            raise RuntimeError(
+                "k-mer spill fold failed; counts in this accumulator are "
+                "incomplete (recount required)"
+            ) from self._spill_error
 
     def summary(self, top_n: int = 10, hist_bins: int = 64):
         """Device-side summary — NO table drain.

@@ -273,7 +273,12 @@ def check_kmer_summary(rng, B):
 
     reads = _rand_reads(rng, B, 40, 80)
     reads += reads[: B // 3]  # repeats: populate multi-count bins
-    acc = kmer.DeviceKmerAccumulator(capacity=1 << 16, staging_batches=4,
+    # capacity sized to the read count: a spill would make summary()
+    # return None by contract and fail a healthy kernel at high --reads
+    cap = 1 << 16
+    while cap < 80 * len(reads):
+        cap <<= 1
+    acc = kmer.DeviceKmerAccumulator(capacity=cap, staging_batches=4,
                                      lo_bits=20)
     arr, lens = encode.pad_batch(reads, pad_to=96,
                                  pad_value=int(encode.PAD_A))
@@ -282,6 +287,7 @@ def check_kmer_summary(rng, B):
                                               k=21)
     acc.add(hi, lo, ct)
     s = acc.summary(top_n=10, hist_bins=64)
+    assert s is not None, "accumulator spilled: raise capacity above 80*B"
     want = kmer.count_kmers_python(reads, k=21)
     mult = collections.Counter(want.values())
     hist_ok = all(int(s["hist"][c - 1]) == mult.get(c, 0)
