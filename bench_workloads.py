@@ -100,6 +100,10 @@ def main() -> None:
         r = best(lambda: VariantPrepEngine(ref, gcfg, gapped=True)
                  .process_file(mapped))
         _emit("variant_prep_gapped", r.total_reads, r.seconds)
+        r = best(lambda: VariantPrepEngine(ref, gcfg, gapped=True,
+                                           gap_model="affine")
+                 .process_file(mapped))
+        _emit("variant_prep_gapped_affine", r.total_reads, r.seconds)
 
         # Pair-HMM forward: B read-vs-haplotype likelihoods per call
         import jax.numpy as jnp
