@@ -604,3 +604,43 @@ def test_summary_mode_spill_falls_back_to_exact_drain(tmp_path):
     oracle = kmer.count_kmers_python([r.encode() for r in reads], k=9)
     assert len(res.arrays) == 3  # fell back to the full exact drain
     assert res.distinct_kmers == len(oracle)
+
+
+def test_spill_fold_failure_poisons_accumulator(rng, monkeypatch):
+    """A failed background spill fold must make EVERY drain raise — a
+    retry returning partial counts would be a silent undercount."""
+    acc = kmer.DeviceKmerAccumulator(capacity=64, staging_batches=2)
+    monkeypatch.setattr(
+        kmer.DeviceKmerAccumulator, "_fetch_triple",
+        lambda self, *a: (_ for _ in ()).throw(RuntimeError("wire died")))
+    reads = [random_dna(rng, 40) for _ in range(50)]
+    arr, lens = encode.pad_batch(reads, pad_to=48,
+                                 pad_value=int(encode.PAD_A))
+    codes = encode.ascii_to_code(jnp.asarray(arr))
+    hi, lo, ct, _ = kmer.unique_counts_batch(codes, jnp.asarray(lens), k=9)
+    acc.add(hi, lo, ct)
+    acc.flush()  # overflows capacity 64 -> spill on the worker thread
+    assert acc.spilled
+    with pytest.raises(RuntimeError, match="incomplete"):
+        acc.drain()
+    with pytest.raises(RuntimeError, match="incomplete"):  # still poisoned
+        acc.drain()
+
+
+def test_summary_mode_counts_and_dump_raise(tmp_path):
+    from mini_parallel_tpu.io import fastq as fq
+    from mini_parallel_tpu.models.kmer_model import KmerEngine
+    from mini_parallel_tpu.utils.config import Config
+
+    reads = ["ACGTACGTACGTACGT"] * 30
+    path = str(tmp_path / "c.fastq.gz")
+    fq.write_fastq(path, reads)
+    res = KmerEngine(Config(chunk_size_reads=16), k=11).count_file(
+        path, result_mode="summary")
+    assert res.distinct_kmers > 0 and res.arrays == ()
+    with pytest.raises(ValueError, match="summary-mode"):
+        res.counts
+    with pytest.raises(ValueError, match="summary-mode"):
+        res.write_counts(str(tmp_path / "dump.tsv"))
+    assert res.top(5)  # summary accessors still work
+    assert int(res.histogram(64).sum()) == res.distinct_kmers
