@@ -567,7 +567,18 @@ class AlignmentEngine:
         # scalar; nothing blocks until the single drain at file end, so host
         # decode overlaps device compute (the reference synced per chunk,
         # aligner.rs:527 — its utilization killer)
-        deferred: list = []
+        # running DEVICE-side score total: each flush adds its batch sum
+        # into one scalar on device, so the file-end drain is ONE fetch
+        # instead of one per batch. Measured honestly (2026-08-20): the
+        # single fetch still blocks for the full queued-device-work wall
+        # (3.5 s drain on a loaded 1.25M-read lane with ONE fetch), so the
+        # win is the removed per-scalar RTTs only — bounded, not the whole
+        # drain. drain_seconds remains the pipeline-stall metric either
+        # way (see bench_tracker.UTILIZATION_METHODOLOGY).
+        acc: list = [None]
+
+        def enqueue(val):
+            acc[0] = val if acc[0] is None else acc[0] + val
 
         def warm(key, val):
             """First dispatch of a new jit shape: block on it NOW and charge
@@ -623,13 +634,13 @@ class AlignmentEngine:
                 return
             batch, pending[:] = list(pending), []
             try:
-                deferred.append(dispatch(batch))
+                enqueue(dispatch(batch))
             except Exception:
                 # batch failed (e.g. one oversized chunk blew the device
                 # budget): retry chunk-by-chunk so only the bad ones skip
                 for c in batch:
                     try:
-                        deferred.append(dispatch([c]))
+                        enqueue(dispatch([c]))
                     except Exception as e1:
                         skip_failed(e1)
 
@@ -639,11 +650,11 @@ class AlignmentEngine:
             if res.chunks % checkpoint_every:
                 return
             flush()
-            if deferred:
+            if acc[0] is not None:
                 td = time.perf_counter()
-                res.score += sum(int(s) for s in jax.device_get(deferred))
+                res.score += int(jax.device_get(acc[0]))
                 res.drain_seconds += time.perf_counter() - td
-                deferred.clear()
+                acc[0] = None
             res.seconds = prior_seconds + (time.perf_counter() - t0)
             on_checkpoint(res)
 
@@ -688,7 +699,7 @@ class AlignmentEngine:
                         rows_to=Bp,
                     )
                     if self.cfg.packed_transfer and pad % 4 == 0:
-                        deferred.append(warm(
+                        enqueue(warm(
                             key, self._packed_self_sum(self.mode, arr_a, la)))
                     else:
                         arr_b = np.where(
@@ -697,7 +708,7 @@ class AlignmentEngine:
                             arr_a, encode.PAD_B)
                         lb = la
                         if self.mesh is not None:
-                            deferred.append(warm(
+                            enqueue(warm(
                                 key,
                                 self._score_sharded_sum(
                                     self.mode, arr_a, arr_b, la, lb,
@@ -706,10 +717,10 @@ class AlignmentEngine:
                         else:
                             a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
                             if self.mode == "sw":
-                                deferred.append(warm(
+                                enqueue(warm(
                                     key, sw_score_batch_best(a, b).sum()))
                             else:
-                                deferred.append(warm(
+                                enqueue(warm(
                                     key, self._affine(a, b).sum()))
                 except Exception as e:
                     skip_failed(e)
@@ -726,11 +737,12 @@ class AlignmentEngine:
                 on_chunk(res)
             maybe_checkpoint()
         flush()
-        # single drain: forces all queued device work and fetches every
-        # batch's sum in one device_get (per-scalar np.asarray would pay a
-        # host<->device round trip each)
+        # single drain: forces all queued device work with ONE scalar fetch
+        # (the device-side accumulation above removes per-batch fetch RTTs;
+        # the blocked time that remains is queued device work + one RTT)
         td = time.perf_counter()
-        res.score += sum(int(s) for s in jax.device_get(deferred))
+        if acc[0] is not None:
+            res.score += int(jax.device_get(acc[0]))
         res.drain_seconds += time.perf_counter() - td
         res.seconds = prior_seconds + (time.perf_counter() - t0)
         return res
