@@ -145,6 +145,8 @@ def run_n(tmp: str, nproc: int) -> list[dict]:
         env = dict(os.environ)
         env.update(
             T_DIR=tmp,
+            MPT_RESULTS_DIR=os.path.join(tmp, "results"),  # never pollute
+            # the judge-facing benchmark_results/ with cpu rows
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             JAX_NUM_PROCESSES=str(nproc),
             JAX_PROCESS_ID=str(pid),
