@@ -163,3 +163,45 @@ def test_merge_sorted_arrays_counter_oracle(ta, tb, sort_b):
     assert got == dict(+want)
     keys = _combined_keys(hi, lo)
     assert (keys[1:] > keys[:-1]).all()
+
+
+@given(st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=20),
+       st.integers(0, 1))
+def test_pad_batch_flat_matches_pad_batch_fuzz(rows, which_pad):
+    """Flat padding == list padding for arbitrary (incl. empty/ragged)
+    rows, both pad sentinels, with and without row padding."""
+    pad_value = int(encode.PAD_A) if which_pad else int(encode.PAD_B)
+    flat = np.frombuffer(b"".join(rows), np.uint8)
+    offs = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum([len(r) for r in rows], out=offs[1:])
+    L = max(max((len(r) for r in rows), default=1), 1)
+    want, wlen = encode.pad_batch(rows, pad_to=L, pad_value=pad_value)
+    got, glen = encode.pad_batch_flat(flat, offs, pad_to=L,
+                                      pad_value=pad_value)
+    np.testing.assert_array_equal(want, got)
+    np.testing.assert_array_equal(wlen, glen)
+    # rows_to: extra rows are all-pad, zero-length
+    got2, glen2 = encode.pad_batch_flat(flat, offs, pad_to=L,
+                                        pad_value=pad_value,
+                                        rows_to=len(rows) + 3)
+    np.testing.assert_array_equal(got2[: len(rows)], want)
+    assert (got2[len(rows):] == pad_value).all()
+    assert (glen2[len(rows):] == 0).all()
+
+
+@given(st.lists(st.binary(min_size=0, max_size=30), min_size=1, max_size=12),
+       st.integers(1, 40), st.integers(8, 24))
+def test_qual_mask_flat_matches_list_path_fuzz(quals, minq, pad):
+    """Vectorized flat qual mask == the per-read list path, incl. quals
+    longer and shorter than pad and empty quals."""
+    from mini_parallel_tpu.models.variant_prep import VariantPrepEngine
+
+    eng = VariantPrepEngine.__new__(VariantPrepEngine)
+    eng.min_base_quality = minq
+    reads = [b"A" * pad for _ in quals]  # only the mask geometry matters
+    want = VariantPrepEngine._qual_mask(eng, reads, quals, pad)
+    qflat = np.frombuffer(b"".join(quals), np.uint8)
+    qoffs = np.zeros(len(quals) + 1, np.int64)
+    np.cumsum([len(q) for q in quals], out=qoffs[1:])
+    got = VariantPrepEngine._qual_mask_flat(eng, qflat, qoffs, pad)
+    np.testing.assert_array_equal(want, got)
