@@ -36,6 +36,11 @@ from mini_parallel_tpu.ops.sw_pallas import (
 from mini_parallel_tpu.utils.config import Config
 
 MIN_SELF_CHUNK_BASES = 1000  # aligner.rs:366-368: skip chunks < 1000 bases
+# Device-side score accumulation folds int32 batch sums on device; fold the
+# accumulator back into the (exact, arbitrary-precision) host total before
+# the tracked score-magnitude bound can reach int32 range (review round-5
+# finding: a >1 Gbase single file would otherwise wrap mod 2^32)
+_ACC_LIMIT = 1 << 30
 _EMPTY = np.empty(0, np.uint8)  # zero-length batch-pad row (scores 0)
 
 
@@ -540,8 +545,8 @@ class AlignmentEngine:
         was whole files, aligner.rs:23-32): ``resume`` is any object with
         ``chunks_done/score/total_bases/total_reads`` — the first
         ``chunks_done`` chunks are skipped and the partial totals seeded into
-        the result. ``checkpoint_every`` > 0 drains the deferred device scores
-        every N chunks and calls ``on_checkpoint(res)`` so the caller can
+        the result. ``checkpoint_every`` > 0 drains the device-side score
+        accumulator every N chunks and calls ``on_checkpoint(res)`` so the caller can
         persist a mid-file resume point. Chunk scores are independent
         (self-alignment, per-chunk sums), so skip+seed is bit-exact.
         """
@@ -575,17 +580,27 @@ class AlignmentEngine:
         # win is the removed per-scalar RTTs only — bounded, not the whole
         # drain. drain_seconds remains the pipeline-stall metric either
         # way (see bench_tracker.UTILIZATION_METHODOLOGY).
-        acc: list = [None]
+        # acc = [device int32 scalar, score-magnitude bound]: every score
+        # here is in [0, 2*bases], so folding into the exact host total
+        # whenever the bound nears int32 range keeps any file size exact.
+        acc: list = [None, 0]
 
-        def enqueue(val):
+        def enqueue(val, bound):
+            if acc[0] is not None and acc[1] + bound > _ACC_LIMIT:
+                td = time.perf_counter()  # rare overflow-safety drain
+                res.score += int(jax.device_get(acc[0]))
+                res.drain_seconds += time.perf_counter() - td
+                acc[0], acc[1] = None, 0
             acc[0] = val if acc[0] is None else acc[0] + val
+            acc[1] += bound
 
         def warm(key, val):
             """First dispatch of a new jit shape: block on it NOW and charge
             the wait (dominated by remote compile + tunnel queue) to
             warmup_seconds, so steady-state drain_seconds stays honest. The
-            fetched value stays in the deferred list — re-fetching a ready
-            scalar at drain time is a host-side copy, not a round trip."""
+            value then folds into the running device accumulator like any
+            other batch sum — re-reading a ready scalar there is a host-
+            side copy, not a second round trip."""
             if key not in self._warm_shapes:
                 import jax as _jax
 
@@ -634,13 +649,13 @@ class AlignmentEngine:
                 return
             batch, pending[:] = list(pending), []
             try:
-                enqueue(dispatch(batch))
+                enqueue(dispatch(batch), 2 * sum(len(c) for c in batch))
             except Exception:
                 # batch failed (e.g. one oversized chunk blew the device
                 # budget): retry chunk-by-chunk so only the bad ones skip
                 for c in batch:
                     try:
-                        enqueue(dispatch([c]))
+                        enqueue(dispatch([c]), 2 * len(c))
                     except Exception as e1:
                         skip_failed(e1)
 
@@ -654,7 +669,7 @@ class AlignmentEngine:
                 td = time.perf_counter()
                 res.score += int(jax.device_get(acc[0]))
                 res.drain_seconds += time.perf_counter() - td
-                acc[0] = None
+                acc[0], acc[1] = None, 0
             res.seconds = prior_seconds + (time.perf_counter() - t0)
             on_checkpoint(res)
 
@@ -698,9 +713,11 @@ class AlignmentEngine:
                         flat, offs, pad_to=pad, pad_value=int(encode.PAD_A),
                         rows_to=Bp,
                     )
+                    bound = 2 * int(flat.size)
                     if self.cfg.packed_transfer and pad % 4 == 0:
                         enqueue(warm(
-                            key, self._packed_self_sum(self.mode, arr_a, la)))
+                            key, self._packed_self_sum(self.mode, arr_a, la)),
+                            bound)
                     else:
                         arr_b = np.where(
                             np.arange(pad, dtype=np.int32)[None, :]
@@ -713,15 +730,16 @@ class AlignmentEngine:
                                 self._score_sharded_sum(
                                     self.mode, arr_a, arr_b, la, lb,
                                     defer=True),
-                            ))
+                            ), bound)
                         else:
                             a, b = jnp.asarray(arr_a), jnp.asarray(arr_b)
                             if self.mode == "sw":
                                 enqueue(warm(
-                                    key, sw_score_batch_best(a, b).sum()))
+                                    key, sw_score_batch_best(a, b).sum()),
+                                    bound)
                             else:
                                 enqueue(warm(
-                                    key, self._affine(a, b).sum()))
+                                    key, self._affine(a, b).sum()), bound)
                 except Exception as e:
                     skip_failed(e)
             else:
