@@ -43,7 +43,15 @@ def _fixtures(tmp: str):
     for lane in (1, 2):
         for r in (1, 2):  # test-wgs reads the first lane PAIR (R1 + R2)
             write_fq(f"SMK_L{lane:03d}_R{r}_001.fastq.gz", mapped[:60])
+    # long-align FASTA pair (> LONG_PAIR_THRESHOLD -> column-strip engine)
+    la = bytes(random.choice(b"ACGT") for _ in range(6000))
+    lb = la[500:5500] + bytes(random.choice(b"ACGT") for _ in range(800))
+    for name, seq in (("la_a.fa", la), ("la_b.fa", lb)):
+        with open(os.path.join(tmp, name), "w") as f:
+            f.write(">s\n" + seq.decode() + "\n")
     return {
+        "la_a": os.path.join(tmp, "la_a.fa"),
+        "la_b": os.path.join(tmp, "la_b.fa"),
         "ref_fa": os.path.join(tmp, "ref.fa.gz"),
         "reads": write_fq("reads.fastq.gz", mapped),
         "r1": write_fq("r1.fastq.gz", r1),
@@ -93,6 +101,8 @@ def main(argv=None) -> int:
                                    "--sam-out", "o.sam"]),
         ("genotype", ["--variant-prep", fx["reads"], "--reference",
                       fx["ref_fa"], "--genotype", "--vcf-out", "g.vcf"]),
+        ("long-align", ["--long-align", "-1", fx["la_a"], "-2", fx["la_b"],
+                        "--mode", "sw"]),
     ]
     failures = 0
     try:
